@@ -1,0 +1,455 @@
+"""SQL abstract syntax tree.
+
+Parity surface: reference crates/query-parser/src/ast.rs:4-408 — Statement
+(Select/WithSelect/CreateIndex/DropIndex/CreateTable/Insert/Update/Delete),
+SelectStatement (distinct_on, joins, group/having/order/limit/offset/union),
+Expr (qualified columns, binary/unary ops, aggregates, Cast, subqueries,
+window functions with frames, scalar functions), JoinType, WindowSpec/
+WindowFrame, SetOperation, ON CONFLICT upsert clauses, RETURNING.
+
+Superset extensions beyond the reference grammar (standard SQL that real PG
+clients emit): LIKE/ILIKE, BETWEEN, IS [NOT] NULL, IN (value list), CASE,
+INTERSECT/EXCEPT, COUNT(DISTINCT x).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from query_engine_tpu.core.types import DataType
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+class Expr:
+    pass
+
+
+@dataclass(frozen=True)
+class Column(Expr):
+    name: str
+
+
+@dataclass(frozen=True)
+class QualifiedColumn(Expr):
+    table: str
+    column: str
+
+
+@dataclass(frozen=True)
+class Wildcard(Expr):
+    """`*` inside COUNT(*)."""
+
+
+@dataclass(frozen=True)
+class NumberLit(Expr):
+    value: str  # kept as text; typed at planning (int vs float)
+
+
+@dataclass(frozen=True)
+class StringLit(Expr):
+    value: str
+
+
+@dataclass(frozen=True)
+class BoolLit(Expr):
+    value: bool
+
+
+@dataclass(frozen=True)
+class NullLit(Expr):
+    pass
+
+
+@dataclass(frozen=True)
+class Param(Expr):
+    """Extended-protocol parameter $n (reference extended.rs:141-230)."""
+
+    index: int
+
+
+class BinaryOperator(enum.Enum):
+    PLUS = "+"
+    MINUS = "-"
+    MULTIPLY = "*"
+    DIVIDE = "/"
+    MODULO = "%"
+    EQ = "="
+    NEQ = "!="
+    LT = "<"
+    LTE = "<="
+    GT = ">"
+    GTE = ">="
+    AND = "AND"
+    OR = "OR"
+    TS_MATCH = "@@"
+    LIKE = "LIKE"
+    ILIKE = "ILIKE"
+    NOT_LIKE = "NOT LIKE"
+    NOT_ILIKE = "NOT ILIKE"
+    CONCAT_OP = "||"
+
+
+class UnaryOperator(enum.Enum):
+    NOT = "NOT"
+    MINUS = "-"
+
+
+@dataclass(frozen=True)
+class BinaryOp(Expr):
+    left: Expr
+    op: BinaryOperator
+    right: Expr
+
+
+@dataclass(frozen=True)
+class UnaryOp(Expr):
+    op: UnaryOperator
+    expr: Expr
+
+
+class AggregateFunction(enum.Enum):
+    COUNT = "COUNT"
+    SUM = "SUM"
+    AVG = "AVG"
+    MIN = "MIN"
+    MAX = "MAX"
+
+
+@dataclass(frozen=True)
+class Aggregate(Expr):
+    func: AggregateFunction
+    expr: Expr  # Wildcard() for COUNT(*)
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    expr: Expr
+    data_type: DataType
+
+
+@dataclass(frozen=True)
+class ScalarSubquery(Expr):
+    query: "SelectStatement"
+
+
+@dataclass(frozen=True)
+class InSubquery(Expr):
+    expr: Expr
+    query: "SelectStatement"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class InList(Expr):
+    expr: Expr
+    items: Tuple[Expr, ...]
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Exists(Expr):
+    query: "SelectStatement"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class IsNull(Expr):
+    expr: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    operand: Optional[Expr]
+    branches: Tuple[Tuple[Expr, Expr], ...]  # (when, then)
+    else_expr: Optional[Expr]
+
+
+class WindowFunctionType(enum.Enum):
+    ROW_NUMBER = "ROW_NUMBER"
+    RANK = "RANK"
+    DENSE_RANK = "DENSE_RANK"
+    NTILE = "NTILE"
+    LAG = "LAG"
+    LEAD = "LEAD"
+    FIRST_VALUE = "FIRST_VALUE"
+    LAST_VALUE = "LAST_VALUE"
+
+
+class WindowFrameMode(enum.Enum):
+    ROWS = "ROWS"
+    RANGE = "RANGE"
+
+
+@dataclass(frozen=True)
+class WindowFrameBound:
+    kind: str  # "CURRENT" | "PRECEDING" | "FOLLOWING"
+    offset: Optional[int] = None  # None = UNBOUNDED for PRECEDING/FOLLOWING
+
+
+@dataclass(frozen=True)
+class WindowFrame:
+    mode: WindowFrameMode
+    start: WindowFrameBound
+    end: Optional[WindowFrameBound] = None
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    partition_by: Tuple[Expr, ...] = ()
+    order_by: Tuple["OrderByExpr", ...] = ()
+    frame: Optional[WindowFrame] = None
+
+
+@dataclass(frozen=True)
+class WindowFunction(Expr):
+    func: WindowFunctionType
+    args: Tuple[Expr, ...]
+    over: WindowSpec
+
+
+class ScalarFunction(enum.Enum):
+    UPPER = "UPPER"
+    LOWER = "LOWER"
+    LENGTH = "LENGTH"
+    CONCAT = "CONCAT"
+    SUBSTRING = "SUBSTRING"
+    TRIM = "TRIM"
+    REPLACE = "REPLACE"
+    ABS = "ABS"
+    CEIL = "CEIL"
+    FLOOR = "FLOOR"
+    ROUND = "ROUND"
+    SQRT = "SQRT"
+    POWER = "POWER"
+    COALESCE = "COALESCE"
+    NULLIF = "NULLIF"
+    TO_TSVECTOR = "TO_TSVECTOR"
+    TO_TSQUERY = "TO_TSQUERY"
+
+
+@dataclass(frozen=True)
+class ScalarFunctionCall(Expr):
+    func: ScalarFunction
+    args: Tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class UdfCall(Expr):
+    """User-defined function call resolved at plan time via UdfRegistry."""
+
+    name: str
+    args: Tuple[Expr, ...]
+
+
+# ---------------------------------------------------------------------------
+# Select machinery
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class OrderByExpr:
+    expr: Expr
+    asc: bool = True
+    nulls_first: Optional[bool] = None  # default: NULLS LAST for ASC, FIRST for DESC
+
+
+class SelectItem:
+    pass
+
+
+@dataclass(frozen=True)
+class WildcardItem(SelectItem):
+    pass
+
+
+@dataclass(frozen=True)
+class QualifiedWildcard(SelectItem):
+    table: str
+
+
+@dataclass(frozen=True)
+class ExprItem(SelectItem):
+    expr: Expr
+    alias: Optional[str] = None
+
+
+class JoinType(enum.Enum):
+    INNER = "INNER"
+    LEFT = "LEFT"
+    RIGHT = "RIGHT"
+    FULL = "FULL"
+    CROSS = "CROSS"
+
+
+class TableReference:
+    pass
+
+
+@dataclass(frozen=True)
+class TableName(TableReference):
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class SubqueryRef(TableReference):
+    query: "SelectStatement"
+    alias: str
+
+
+@dataclass(frozen=True)
+class Join:
+    join_type: JoinType
+    right: TableReference
+    on: Optional[Expr] = None
+
+
+class SetOperation(enum.Enum):
+    UNION = "UNION"
+    UNION_ALL = "UNION ALL"
+    INTERSECT = "INTERSECT"
+    EXCEPT = "EXCEPT"
+
+
+@dataclass(frozen=True)
+class UnionClause:
+    set_op: SetOperation
+    select: "SelectStatement"
+
+
+@dataclass
+class SelectStatement:
+    projection: List[SelectItem] = field(default_factory=list)
+    from_: Optional[TableReference] = None
+    joins: List[Join] = field(default_factory=list)
+    selection: Optional[Expr] = None
+    group_by: List[Expr] = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: List[OrderByExpr] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    distinct: bool = False
+    distinct_on: Optional[List[Expr]] = None  # DISTINCT ON (...) — PG extension
+    union_clause: Optional[UnionClause] = None
+
+
+# ---------------------------------------------------------------------------
+# Statements
+# ---------------------------------------------------------------------------
+class Statement:
+    pass
+
+
+@dataclass
+class Select(Statement):
+    select: SelectStatement
+
+
+@dataclass(frozen=True)
+class CteDefinition:
+    name: str
+    columns: Optional[Tuple[str, ...]]
+    query: SelectStatement
+
+
+@dataclass
+class WithSelect(Statement):
+    recursive: bool
+    ctes: List[CteDefinition]
+    select: SelectStatement
+
+
+class IndexType(enum.Enum):
+    BTREE = "BTREE"
+    HASH = "HASH"
+
+
+@dataclass
+class CreateIndex(Statement):
+    name: str
+    table: str
+    columns: List[str]
+    unique: bool = False
+    index_type: IndexType = IndexType.BTREE
+
+
+@dataclass
+class DropIndex(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    name: str
+    data_type: DataType
+    nullable: bool = True
+
+
+@dataclass
+class CreateTable(Statement):
+    name: str
+    columns: List[ColumnDef]
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class Assignment:
+    column: str
+    value: Expr
+
+
+class ConflictAction:
+    pass
+
+
+@dataclass(frozen=True)
+class DoNothing(ConflictAction):
+    pass
+
+
+@dataclass(frozen=True)
+class DoUpdate(ConflictAction):
+    assignments: Tuple[Assignment, ...]
+
+
+@dataclass(frozen=True)
+class OnConflictClause:
+    columns: Tuple[str, ...]
+    action: ConflictAction
+
+
+@dataclass
+class Insert(Statement):
+    table: str
+    columns: Optional[List[str]]
+    values: List[List[Expr]]
+    on_conflict: Optional[OnConflictClause] = None
+    returning: Optional[List[SelectItem]] = None
+
+
+@dataclass
+class Update(Statement):
+    table: str
+    assignments: List[Assignment]
+    selection: Optional[Expr] = None
+    returning: Optional[List[SelectItem]] = None
+
+
+@dataclass
+class Delete(Statement):
+    table: str
+    selection: Optional[Expr] = None
+    returning: Optional[List[SelectItem]] = None

@@ -1,0 +1,869 @@
+"""Recursive-descent SQL parser with precedence climbing.
+
+Parity surface: reference crates/query-parser/src/parser.rs:20-1361 —
+precedence chain or→and→comparison→additive→multiplicative→unary→primary
+(parser.rs grammar), all statements in ast.rs, DISTINCT ON, UNION [ALL],
+window frames ROWS/RANGE BETWEEN, DECIMAL(p,s), arrays `INT[]`.
+
+Type-name mapping matches reference parser.rs:157-230 exactly:
+INT/INTEGER/BIGINT/INT8 -> Int64; FLOAT/DOUBLE/REAL/FLOAT8 -> Float64; etc.
+
+Superset: IN (value list) — a declared error in the reference
+(parser.rs:836-841) — plus LIKE/BETWEEN/IS NULL/CASE/::-casts, which real
+PG clients require.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from query_engine_tpu.core.errors import ParseError
+from query_engine_tpu.core.types import DataType, TypeKind
+from query_engine_tpu.sql import ast
+from query_engine_tpu.sql.lexer import Token, tokenize
+
+_AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_WINDOW_KWS = {
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
+    "FIRST_VALUE", "LAST_VALUE",
+}
+_SCALAR_KWS = {
+    "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
+    "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
+    "TO_TSVECTOR", "TO_TSQUERY",
+}
+_TYPE_START_KWS = {
+    "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT", "REAL",
+    "DOUBLE", "TEXT", "VARCHAR", "CHAR", "BOOLEAN", "BOOL", "DATE",
+    "TIMESTAMP", "TIME", "DECIMAL", "NUMERIC", "UUID", "JSON", "JSONB",
+    "INTERVAL", "SERIAL",
+}
+
+_CMP_OPS = {
+    "=": ast.BinaryOperator.EQ,
+    "!=": ast.BinaryOperator.NEQ,
+    "<>": ast.BinaryOperator.NEQ,
+    "<": ast.BinaryOperator.LT,
+    "<=": ast.BinaryOperator.LTE,
+    ">": ast.BinaryOperator.GT,
+    ">=": ast.BinaryOperator.GTE,
+    "@@": ast.BinaryOperator.TS_MATCH,
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.tokens = tokenize(sql)
+        self.pos = 0
+
+    # ---- token helpers -------------------------------------------------
+    @property
+    def cur(self) -> Token:
+        return self.tokens[self.pos]
+
+    def peek(self, k: int = 1) -> Token:
+        i = self.pos + k
+        return self.tokens[i] if i < len(self.tokens) else self.tokens[-1]
+
+    def advance(self) -> Token:
+        t = self.cur
+        if self.pos < len(self.tokens) - 1:
+            self.pos += 1
+        return t
+
+    def match_kw(self, *kws: str) -> bool:
+        if self.cur.is_kw(*kws):
+            self.advance()
+            return True
+        return False
+
+    def match_op(self, *ops: str) -> bool:
+        if self.cur.is_op(*ops):
+            self.advance()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.match_kw(kw):
+            raise ParseError(f"expected {kw}, found {self.cur.value or 'EOF'}")
+
+    def expect_op(self, op: str) -> None:
+        if not self.match_op(op):
+            raise ParseError(f"expected '{op}', found {self.cur.value or 'EOF'}")
+
+    def expect_ident(self) -> str:
+        t = self.cur
+        if t.kind == "IDENT":
+            self.advance()
+            return t.value
+        # Permit non-reserved keywords as identifiers where unambiguous.
+        if t.kind == "KEYWORD" and t.value in _TYPE_START_KWS | {
+            "LEFT", "RIGHT", "ROW", "HASH", "BTREE", "DO", "NOTHING", "ALL",
+        }:
+            self.advance()
+            return t.value.lower()
+        raise ParseError(f"expected identifier, found {t.value or 'EOF'}")
+
+    # ---- entry points --------------------------------------------------
+    def parse(self) -> ast.Statement:
+        stmt = self.parse_statement()
+        self.match_op(";")
+        if self.cur.kind != "EOF":
+            raise ParseError(f"unexpected trailing input at {self.cur.value!r}")
+        return stmt
+
+    def parse_many(self) -> List[ast.Statement]:
+        stmts = []
+        while self.cur.kind != "EOF":
+            stmts.append(self.parse_statement())
+            while self.match_op(";"):
+                pass
+        return stmts
+
+    def parse_statement(self) -> ast.Statement:
+        t = self.cur
+        if t.is_kw("SELECT") or t.is_op("("):
+            return ast.Select(self.parse_select())
+        if t.is_kw("WITH"):
+            return self.parse_with_select()
+        if t.is_kw("CREATE"):
+            return self.parse_create()
+        if t.is_kw("DROP"):
+            return self.parse_drop()
+        if t.is_kw("INSERT"):
+            return self.parse_insert()
+        if t.is_kw("UPDATE"):
+            return self.parse_update()
+        if t.is_kw("DELETE"):
+            return self.parse_delete()
+        raise ParseError(f"unexpected token {t.value!r} at start of statement")
+
+    # ---- SELECT --------------------------------------------------------
+    def parse_select(self) -> ast.SelectStatement:
+        if self.match_op("("):
+            inner = self.parse_select()
+            self.expect_op(")")
+            sel = inner
+        else:
+            sel = self.parse_select_core()
+        # set operations chain
+        while self.cur.is_kw("UNION", "INTERSECT", "EXCEPT"):
+            kw = self.advance().value
+            if kw == "UNION":
+                op = (
+                    ast.SetOperation.UNION_ALL
+                    if self.match_kw("ALL")
+                    else ast.SetOperation.UNION
+                )
+            elif kw == "INTERSECT":
+                op = ast.SetOperation.INTERSECT
+            else:
+                op = ast.SetOperation.EXCEPT
+            if self.match_op("("):
+                rhs = self.parse_select()
+                self.expect_op(")")
+            else:
+                rhs = self.parse_select_core()
+            sel.union_clause = ast.UnionClause(op, rhs)
+            sel = self._wrap_union_tail(sel)
+        return sel
+
+    @staticmethod
+    def _wrap_union_tail(sel: ast.SelectStatement) -> ast.SelectStatement:
+        # ORDER BY/LIMIT after a UNION apply to the combined result; the
+        # reference keeps them on the left select (ast.rs SelectStatement),
+        # and so do we.
+        return sel
+
+    def parse_select_core(self) -> ast.SelectStatement:
+        self.expect_kw("SELECT")
+        sel = ast.SelectStatement()
+        if self.match_kw("DISTINCT"):
+            if self.match_kw("ON"):
+                self.expect_op("(")
+                cols = [self.parse_expr()]
+                while self.match_op(","):
+                    cols.append(self.parse_expr())
+                self.expect_op(")")
+                sel.distinct_on = cols
+            else:
+                sel.distinct = True
+        # projection
+        sel.projection.append(self.parse_select_item())
+        while self.match_op(","):
+            sel.projection.append(self.parse_select_item())
+        # FROM
+        if self.match_kw("FROM"):
+            sel.from_ = self.parse_table_reference()
+            while True:
+                if self.match_op(","):
+                    sel.joins.append(
+                        ast.Join(ast.JoinType.CROSS, self.parse_table_reference())
+                    )
+                    continue
+                jt = self._try_parse_join_type()
+                if jt is None:
+                    break
+                right = self.parse_table_reference()
+                on = None
+                if jt is not ast.JoinType.CROSS:
+                    self.expect_kw("ON")
+                    on = self.parse_expr()
+                sel.joins.append(ast.Join(jt, right, on))
+        if self.match_kw("WHERE"):
+            sel.selection = self.parse_expr()
+        if self.cur.is_kw("GROUP"):
+            self.advance()
+            self.expect_kw("BY")
+            sel.group_by.append(self.parse_expr())
+            while self.match_op(","):
+                sel.group_by.append(self.parse_expr())
+        if self.match_kw("HAVING"):
+            sel.having = self.parse_expr()
+        if self.cur.is_kw("ORDER"):
+            self.advance()
+            self.expect_kw("BY")
+            sel.order_by.append(self.parse_order_by_expr())
+            while self.match_op(","):
+                sel.order_by.append(self.parse_order_by_expr())
+        if self.match_kw("LIMIT"):
+            sel.limit = self._parse_usize()
+        if self.match_kw("OFFSET"):
+            sel.offset = self._parse_usize()
+        return sel
+
+    def _parse_usize(self) -> int:
+        t = self.cur
+        if t.kind != "NUMBER":
+            raise ParseError(f"expected number, found {t.value!r}")
+        self.advance()
+        try:
+            return int(t.value)
+        except ValueError:
+            raise ParseError(f"expected integer, found {t.value!r}")
+
+    def _try_parse_join_type(self) -> Optional[ast.JoinType]:
+        t = self.cur
+        if t.is_kw("JOIN"):
+            self.advance()
+            return ast.JoinType.INNER
+        if t.is_kw("INNER"):
+            self.advance()
+            self.expect_kw("JOIN")
+            return ast.JoinType.INNER
+        if t.is_kw("LEFT", "RIGHT", "FULL") and self.peek().is_kw("OUTER", "JOIN"):
+            kind = self.advance().value
+            self.match_kw("OUTER")
+            self.expect_kw("JOIN")
+            return ast.JoinType[kind]
+        if t.is_kw("CROSS"):
+            self.advance()
+            self.expect_kw("JOIN")
+            return ast.JoinType.CROSS
+        return None
+
+    def parse_select_item(self) -> ast.SelectItem:
+        if self.cur.is_op("*"):
+            self.advance()
+            return ast.WildcardItem()
+        if (
+            self.cur.kind == "IDENT"
+            and self.peek().is_op(".")
+            and self.peek(2).is_op("*")
+        ):
+            table = self.advance().value
+            self.advance()  # .
+            self.advance()  # *
+            return ast.QualifiedWildcard(table)
+        expr = self.parse_expr()
+        alias = None
+        if self.match_kw("AS"):
+            alias = self.expect_ident()
+        elif self.cur.kind == "IDENT":
+            alias = self.advance().value
+        return ast.ExprItem(expr, alias)
+
+    def parse_table_reference(self) -> ast.TableReference:
+        if self.match_op("("):
+            query = self.parse_select()
+            self.expect_op(")")
+            self.match_kw("AS")
+            alias = self.expect_ident()
+            return ast.SubqueryRef(query, alias)
+        name = self.expect_ident()
+        alias = None
+        if self.match_kw("AS"):
+            alias = self.expect_ident()
+        elif self.cur.kind == "IDENT":
+            alias = self.advance().value
+        return ast.TableName(name, alias)
+
+    def parse_order_by_expr(self) -> ast.OrderByExpr:
+        expr = self.parse_expr()
+        asc = True
+        if self.match_kw("DESC"):
+            asc = False
+        else:
+            self.match_kw("ASC")
+        nulls_first = None
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "NULLS":
+            self.advance()
+            nxt = self.expect_ident().upper()
+            if nxt == "FIRST":
+                nulls_first = True
+            elif nxt == "LAST":
+                nulls_first = False
+            else:
+                raise ParseError(f"expected FIRST or LAST after NULLS, got {nxt}")
+        return ast.OrderByExpr(expr, asc, nulls_first)
+
+    # ---- WITH ----------------------------------------------------------
+    def parse_with_select(self) -> ast.WithSelect:
+        self.expect_kw("WITH")
+        recursive = self.match_kw("RECURSIVE")
+        ctes = [self.parse_cte()]
+        while self.match_op(","):
+            ctes.append(self.parse_cte())
+        select = self.parse_select()
+        return ast.WithSelect(recursive, ctes, select)
+
+    def parse_cte(self) -> ast.CteDefinition:
+        name = self.expect_ident()
+        columns = None
+        if self.match_op("("):
+            cols = [self.expect_ident()]
+            while self.match_op(","):
+                cols.append(self.expect_ident())
+            self.expect_op(")")
+            columns = tuple(cols)
+        self.expect_kw("AS")
+        self.expect_op("(")
+        query = self.parse_select()
+        self.expect_op(")")
+        return ast.CteDefinition(name, columns, query)
+
+    # ---- DDL -----------------------------------------------------------
+    def parse_create(self) -> ast.Statement:
+        self.expect_kw("CREATE")
+        unique = self.match_kw("UNIQUE")
+        if self.match_kw("INDEX"):
+            name = self.expect_ident()
+            self.expect_kw("ON")
+            table = self.expect_ident()
+            self.expect_op("(")
+            columns = [self.expect_ident()]
+            while self.match_op(","):
+                columns.append(self.expect_ident())
+            self.expect_op(")")
+            index_type = ast.IndexType.BTREE
+            if self.match_kw("USING"):
+                if self.match_kw("HASH"):
+                    index_type = ast.IndexType.HASH
+                elif self.match_kw("BTREE"):
+                    index_type = ast.IndexType.BTREE
+                else:
+                    raise ParseError(
+                        f"expected BTREE or HASH, found {self.cur.value!r}"
+                    )
+            return ast.CreateIndex(name, table, columns, unique, index_type)
+        if unique:
+            raise ParseError("UNIQUE only valid for CREATE UNIQUE INDEX")
+        if self.match_kw("TABLE"):
+            if_not_exists = False
+            if self.match_kw("IF"):
+                self.expect_kw("NOT")
+                self.expect_kw("EXISTS")
+                if_not_exists = True
+            name = self.expect_ident()
+            self.expect_op("(")
+            columns = [self.parse_column_def()]
+            while self.match_op(","):
+                columns.append(self.parse_column_def())
+            self.expect_op(")")
+            return ast.CreateTable(name, columns, if_not_exists)
+        raise ParseError(f"expected INDEX or TABLE after CREATE, found {self.cur.value!r}")
+
+    def parse_column_def(self) -> ast.ColumnDef:
+        name = self.expect_ident()
+        dtype = self.parse_data_type()
+        nullable = True
+        while True:
+            if self.match_kw("NOT"):
+                self.expect_kw("NULL")
+                nullable = False
+            elif self.match_kw("NULL"):
+                nullable = True
+            elif self.cur.kind == "IDENT" and self.cur.value.upper() in (
+                "PRIMARY", "KEY", "DEFAULT",
+            ):
+                # tolerated & ignored constraint tokens
+                self.advance()
+            else:
+                break
+        return ast.ColumnDef(name, dtype, nullable)
+
+    def parse_drop(self) -> ast.Statement:
+        self.expect_kw("DROP")
+        if self.match_kw("INDEX"):
+            if_exists = False
+            if self.match_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            name = self.expect_ident()
+            return ast.DropIndex(name, if_exists)
+        raise ParseError("only DROP INDEX is supported")
+
+    # ---- DML -----------------------------------------------------------
+    def parse_insert(self) -> ast.Insert:
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        table = self.expect_ident()
+        columns = None
+        if self.match_op("("):
+            columns = [self.expect_ident()]
+            while self.match_op(","):
+                columns.append(self.expect_ident())
+            self.expect_op(")")
+        self.expect_kw("VALUES")
+        values = [self._parse_value_row()]
+        while self.match_op(","):
+            values.append(self._parse_value_row())
+        on_conflict = None
+        if self.match_kw("ON"):
+            self.expect_kw("CONFLICT")
+            self.expect_op("(")
+            ccols = [self.expect_ident()]
+            while self.match_op(","):
+                ccols.append(self.expect_ident())
+            self.expect_op(")")
+            self.expect_kw("DO")
+            if self.match_kw("NOTHING"):
+                action: ast.ConflictAction = ast.DoNothing()
+            else:
+                self.expect_kw("UPDATE")
+                self.expect_kw("SET")
+                assigns = [self._parse_assignment()]
+                while self.match_op(","):
+                    assigns.append(self._parse_assignment())
+                action = ast.DoUpdate(tuple(assigns))
+            on_conflict = ast.OnConflictClause(tuple(ccols), action)
+        returning = self._parse_returning()
+        return ast.Insert(table, columns, values, on_conflict, returning)
+
+    def _parse_value_row(self) -> List[ast.Expr]:
+        self.expect_op("(")
+        row = [self.parse_expr()]
+        while self.match_op(","):
+            row.append(self.parse_expr())
+        self.expect_op(")")
+        return row
+
+    def _parse_assignment(self) -> ast.Assignment:
+        col = self.expect_ident()
+        self.expect_op("=")
+        return ast.Assignment(col, self.parse_expr())
+
+    def _parse_returning(self) -> Optional[List[ast.SelectItem]]:
+        if not self.match_kw("RETURNING"):
+            return None
+        items = [self.parse_select_item()]
+        while self.match_op(","):
+            items.append(self.parse_select_item())
+        return items
+
+    def parse_update(self) -> ast.Update:
+        self.expect_kw("UPDATE")
+        table = self.expect_ident()
+        self.expect_kw("SET")
+        assigns = [self._parse_assignment()]
+        while self.match_op(","):
+            assigns.append(self._parse_assignment())
+        selection = self.parse_expr() if self.match_kw("WHERE") else None
+        returning = self._parse_returning()
+        return ast.Update(table, assigns, selection, returning)
+
+    def parse_delete(self) -> ast.Delete:
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        table = self.expect_ident()
+        selection = self.parse_expr() if self.match_kw("WHERE") else None
+        returning = self._parse_returning()
+        return ast.Delete(table, selection, returning)
+
+    # ---- expressions ---------------------------------------------------
+    def parse_expr(self) -> ast.Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> ast.Expr:
+        left = self.parse_and()
+        while self.match_kw("OR"):
+            left = ast.BinaryOp(left, ast.BinaryOperator.OR, self.parse_and())
+        return left
+
+    def parse_and(self) -> ast.Expr:
+        left = self.parse_not()
+        while self.match_kw("AND"):
+            left = ast.BinaryOp(left, ast.BinaryOperator.AND, self.parse_not())
+        return left
+
+    def parse_not(self) -> ast.Expr:
+        if self.match_kw("NOT"):
+            return ast.UnaryOp(ast.UnaryOperator.NOT, self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> ast.Expr:
+        left = self.parse_additive()
+        while True:
+            t = self.cur
+            if t.kind == "OP" and t.value in _CMP_OPS:
+                self.advance()
+                left = ast.BinaryOp(left, _CMP_OPS[t.value], self.parse_additive())
+            elif t.is_kw("LIKE", "ILIKE"):
+                self.advance()
+                op = (
+                    ast.BinaryOperator.LIKE
+                    if t.value == "LIKE"
+                    else ast.BinaryOperator.ILIKE
+                )
+                left = ast.BinaryOp(left, op, self.parse_additive())
+            elif t.is_kw("IS"):
+                self.advance()
+                negated = self.match_kw("NOT")
+                self.expect_kw("NULL")
+                left = ast.IsNull(left, negated)
+            elif t.is_kw("BETWEEN"):
+                self.advance()
+                low = self.parse_additive()
+                self.expect_kw("AND")
+                high = self.parse_additive()
+                left = ast.Between(left, low, high, negated=False)
+            elif t.is_kw("IN"):
+                self.advance()
+                left = self._parse_in_tail(left, negated=False)
+            elif t.is_kw("NOT") and self.peek().is_kw("IN", "LIKE", "ILIKE", "BETWEEN"):
+                self.advance()
+                nxt = self.advance()
+                if nxt.value == "IN":
+                    left = self._parse_in_tail(left, negated=True)
+                elif nxt.value == "BETWEEN":
+                    low = self.parse_additive()
+                    self.expect_kw("AND")
+                    high = self.parse_additive()
+                    left = ast.Between(left, low, high, negated=True)
+                else:
+                    op = (
+                        ast.BinaryOperator.NOT_LIKE
+                        if nxt.value == "LIKE"
+                        else ast.BinaryOperator.NOT_ILIKE
+                    )
+                    left = ast.BinaryOp(left, op, self.parse_additive())
+            else:
+                return left
+
+    def _parse_in_tail(self, left: ast.Expr, negated: bool) -> ast.Expr:
+        self.expect_op("(")
+        if self.cur.is_kw("SELECT", "WITH"):
+            query = self.parse_select()
+            self.expect_op(")")
+            return ast.InSubquery(left, query, negated)
+        items = [self.parse_expr()]
+        while self.match_op(","):
+            items.append(self.parse_expr())
+        self.expect_op(")")
+        return ast.InList(left, tuple(items), negated)
+
+    def parse_additive(self) -> ast.Expr:
+        left = self.parse_multiplicative()
+        while True:
+            if self.match_op("+"):
+                left = ast.BinaryOp(left, ast.BinaryOperator.PLUS, self.parse_multiplicative())
+            elif self.match_op("-"):
+                left = ast.BinaryOp(left, ast.BinaryOperator.MINUS, self.parse_multiplicative())
+            elif self.match_op("||"):
+                left = ast.BinaryOp(left, ast.BinaryOperator.CONCAT_OP, self.parse_multiplicative())
+            else:
+                return left
+
+    def parse_multiplicative(self) -> ast.Expr:
+        left = self.parse_unary()
+        while True:
+            if self.match_op("*"):
+                left = ast.BinaryOp(left, ast.BinaryOperator.MULTIPLY, self.parse_unary())
+            elif self.match_op("/"):
+                left = ast.BinaryOp(left, ast.BinaryOperator.DIVIDE, self.parse_unary())
+            elif self.match_op("%"):
+                left = ast.BinaryOp(left, ast.BinaryOperator.MODULO, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self) -> ast.Expr:
+        if self.match_op("-"):
+            return ast.UnaryOp(ast.UnaryOperator.MINUS, self.parse_unary())
+        if self.match_op("+"):
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.Expr:
+        expr = self.parse_primary()
+        while self.match_op("::"):
+            expr = ast.Cast(expr, self.parse_data_type())
+        return expr
+
+    def parse_primary(self) -> ast.Expr:
+        t = self.cur
+        if t.kind == "NUMBER":
+            self.advance()
+            return ast.NumberLit(t.value)
+        if t.kind == "STRING":
+            self.advance()
+            return ast.StringLit(t.value)
+        if t.kind == "PARAM":
+            self.advance()
+            return ast.Param(int(t.value[1:]))
+        if t.is_kw("TRUE"):
+            self.advance()
+            return ast.BoolLit(True)
+        if t.is_kw("FALSE"):
+            self.advance()
+            return ast.BoolLit(False)
+        if t.is_kw("NULL"):
+            self.advance()
+            return ast.NullLit()
+        if t.is_kw("CAST"):
+            self.advance()
+            self.expect_op("(")
+            inner = self.parse_expr()
+            self.expect_kw("AS")
+            dtype = self.parse_data_type()
+            self.expect_op(")")
+            return ast.Cast(inner, dtype)
+        if t.is_kw("CASE"):
+            return self.parse_case()
+        if t.is_kw("EXISTS"):
+            self.advance()
+            self.expect_op("(")
+            query = self.parse_select()
+            self.expect_op(")")
+            return ast.Exists(query, negated=False)
+        if t.is_kw("NOT") and self.peek().is_kw("EXISTS"):
+            self.advance()
+            self.advance()
+            self.expect_op("(")
+            query = self.parse_select()
+            self.expect_op(")")
+            return ast.Exists(query, negated=True)
+        if t.kind == "KEYWORD" and t.value in _AGG_KWS:
+            return self.parse_aggregate()
+        if t.kind == "KEYWORD" and t.value in _WINDOW_KWS:
+            return self.parse_window_function()
+        if t.kind == "KEYWORD" and t.value in _SCALAR_KWS:
+            return self.parse_scalar_function()
+        if t.is_op("("):
+            self.advance()
+            if self.cur.is_kw("SELECT", "WITH"):
+                query = self.parse_select()
+                self.expect_op(")")
+                return ast.ScalarSubquery(query)
+            inner = self.parse_expr()
+            self.expect_op(")")
+            return inner
+        if t.kind == "IDENT" or (
+            t.kind == "KEYWORD"
+            and t.value in {"LEFT", "RIGHT", "ROW", "HASH", "DO"}
+        ):
+            name = self.advance().value
+            if self.cur.is_op(".") and self.peek().kind in ("IDENT", "KEYWORD"):
+                self.advance()
+                col = self.expect_ident()
+                return ast.QualifiedColumn(name, col)
+            if self.cur.is_op("("):
+                # user-defined function call
+                self.advance()
+                args: List[ast.Expr] = []
+                if not self.cur.is_op(")"):
+                    args.append(self.parse_expr())
+                    while self.match_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
+                call = ast.UdfCall(name, tuple(args))
+                if self.cur.is_kw("OVER"):
+                    raise ParseError(f"{name} is not a window function")
+                return call
+            return ast.Column(name)
+        raise ParseError(f"unexpected token {t.value!r} in expression")
+
+    def parse_case(self) -> ast.Expr:
+        self.expect_kw("CASE")
+        operand = None
+        if not self.cur.is_kw("WHEN"):
+            operand = self.parse_expr()
+        branches: List[Tuple[ast.Expr, ast.Expr]] = []
+        while self.match_kw("WHEN"):
+            when = self.parse_expr()
+            self.expect_kw("THEN")
+            then = self.parse_expr()
+            branches.append((when, then))
+        else_expr = self.parse_expr() if self.match_kw("ELSE") else None
+        self.expect_kw("END")
+        if not branches:
+            raise ParseError("CASE requires at least one WHEN branch")
+        return ast.Case(operand, tuple(branches), else_expr)
+
+    def parse_aggregate(self) -> ast.Expr:
+        func = ast.AggregateFunction[self.advance().value]
+        self.expect_op("(")
+        distinct = self.match_kw("DISTINCT")
+        if self.cur.is_op("*"):
+            self.advance()
+            arg: ast.Expr = ast.Wildcard()
+        else:
+            arg = self.parse_expr()
+        self.expect_op(")")
+        return ast.Aggregate(func, arg, distinct)
+
+    def parse_scalar_function(self) -> ast.Expr:
+        func = ast.ScalarFunction[self.advance().value]
+        self.expect_op("(")
+        args: List[ast.Expr] = []
+        if not self.cur.is_op(")"):
+            args.append(self.parse_expr())
+            while self.match_op(","):
+                args.append(self.parse_expr())
+        self.expect_op(")")
+        return ast.ScalarFunctionCall(func, tuple(args))
+
+    def parse_window_function(self) -> ast.Expr:
+        func = ast.WindowFunctionType[self.advance().value]
+        self.expect_op("(")
+        args: List[ast.Expr] = []
+        if not self.cur.is_op(")"):
+            args.append(self.parse_expr())
+            while self.match_op(","):
+                args.append(self.parse_expr())
+        self.expect_op(")")
+        self.expect_kw("OVER")
+        over = self.parse_window_spec()
+        return ast.WindowFunction(func, tuple(args), over)
+
+    def parse_window_spec(self) -> ast.WindowSpec:
+        self.expect_op("(")
+        partition_by: List[ast.Expr] = []
+        order_by: List[ast.OrderByExpr] = []
+        frame = None
+        if self.match_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition_by.append(self.parse_expr())
+            while self.match_op(","):
+                partition_by.append(self.parse_expr())
+        if self.cur.is_kw("ORDER"):
+            self.advance()
+            self.expect_kw("BY")
+            order_by.append(self.parse_order_by_expr())
+            while self.match_op(","):
+                order_by.append(self.parse_order_by_expr())
+        if self.cur.is_kw("ROWS", "RANGE"):
+            frame = self.parse_window_frame()
+        self.expect_op(")")
+        return ast.WindowSpec(tuple(partition_by), tuple(order_by), frame)
+
+    def parse_window_frame(self) -> ast.WindowFrame:
+        """ROWS/RANGE [BETWEEN] bound [AND bound] (reference parser.rs:1195+)."""
+        mode = (
+            ast.WindowFrameMode.ROWS
+            if self.advance().value == "ROWS"
+            else ast.WindowFrameMode.RANGE
+        )
+        has_between = self.match_kw("BETWEEN")
+        start = self.parse_frame_bound()
+        end = None
+        if has_between:
+            self.expect_kw("AND")
+            end = self.parse_frame_bound()
+        return ast.WindowFrame(mode, start, end)
+
+    def parse_frame_bound(self) -> ast.WindowFrameBound:
+        if self.match_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return ast.WindowFrameBound("CURRENT")
+        if self.match_kw("UNBOUNDED"):
+            if self.match_kw("PRECEDING"):
+                return ast.WindowFrameBound("PRECEDING", None)
+            self.expect_kw("FOLLOWING")
+            return ast.WindowFrameBound("FOLLOWING", None)
+        n = self._parse_usize()
+        if self.match_kw("PRECEDING"):
+            return ast.WindowFrameBound("PRECEDING", n)
+        self.expect_kw("FOLLOWING")
+        return ast.WindowFrameBound("FOLLOWING", n)
+
+    # ---- types ---------------------------------------------------------
+    def parse_data_type(self) -> DataType:
+        """Type-name mapping per reference parser.rs:157-230."""
+        t = self.cur
+        name = t.value.upper()
+        if t.kind not in ("KEYWORD", "IDENT"):
+            raise ParseError(f"expected data type, found {t.value!r}")
+        self.advance()
+        base: DataType
+        if name in ("INT", "INTEGER", "BIGINT", "INT8", "SERIAL"):
+            base = DataType.int64()
+        elif name in ("SMALLINT", "INT2"):
+            base = DataType.int16()
+        elif name == "INT4":
+            base = DataType.int32()
+        elif name == "TINYINT":
+            base = DataType.int8()
+        elif name in ("FLOAT", "DOUBLE", "REAL", "FLOAT8"):
+            if name == "DOUBLE":
+                self.match_kw("PRECISION")
+            base = DataType.float64()
+        elif name == "FLOAT4":
+            base = DataType.float32()
+        elif name in ("DECIMAL", "NUMERIC"):
+            p, s = 38, 9  # PG-ish default, matches reference parser.rs:184
+            if self.match_op("("):
+                p = self._parse_usize()
+                s = self._parse_usize() if self.match_op(",") else 0
+                self.expect_op(")")
+            base = DataType.decimal128(p, s)
+        elif name in ("VARCHAR", "CHAR", "TEXT", "STRING"):
+            if self.match_op("("):
+                self._parse_usize()
+                self.expect_op(")")
+            base = DataType.utf8()
+        elif name in ("BOOLEAN", "BOOL"):
+            base = DataType.boolean()
+        elif name == "DATE":
+            base = DataType.date32()
+        elif name in ("TIMESTAMP", "DATETIME", "TIMESTAMPTZ"):
+            base = DataType.timestamp()
+        elif name == "UUID":
+            base = DataType(TypeKind.UUID)
+        elif name in ("JSON", "JSONB"):
+            base = DataType(TypeKind.JSON)
+        elif name == "INTERVAL":
+            base = DataType(TypeKind.INTERVAL)
+        elif name == "POINT":
+            base = DataType(TypeKind.POINT)
+        elif name == "TSVECTOR":
+            base = DataType(TypeKind.TSVECTOR)
+        elif name == "TSQUERY":
+            base = DataType(TypeKind.TSQUERY)
+        else:
+            raise ParseError(f"unknown data type: {name}")
+        # arrays: TYPE[]
+        while self.cur.is_op("[") and self.peek().is_op("]"):
+            self.advance()
+            self.advance()
+            base = DataType.list_(base)
+        return base
+
+
+def parse_sql(sql: str) -> ast.Statement:
+    """Parse a single SQL statement."""
+    return Parser(sql).parse()
+
+
+def parse_many(sql: str) -> List[ast.Statement]:
+    """Parse a semicolon-separated script."""
+    return Parser(sql).parse_many()
