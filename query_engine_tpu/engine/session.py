@@ -1,0 +1,494 @@
+"""Session: the user-facing engine entry point.
+
+Ties the whole pipeline together: Parse -> Plan -> Optimize -> Lower ->
+Execute — the same chain as the reference's only complete path
+(pgwire backend.rs:159-218 execute_query_sync), but for *every* entry point
+(REPL, CLI, pgwire, Flight), not just pgwire.
+
+Also owns the session-level statement handlers the reference implements in
+its pgwire backend: CREATE TABLE (backend.rs:1041-1089), INSERT with
+ON CONFLICT upsert (:1092-1479), UPDATE (:1505-1596), DELETE (:1599-1904),
+CREATE/DROP INDEX (repl.rs:365-462), and recursive CTEs via fixed-point
+iteration re-registering the CTE as a temp table, max 1000 iterations
+(backend.rs:221-369).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from query_engine_tpu.core.errors import (
+    ExecutionError, PlanError, QueryError, SchemaError,
+)
+from query_engine_tpu.core.schema import Field, Schema
+from query_engine_tpu.core.udf import UdfRegistry
+from query_engine_tpu.columnar.batch import ColumnBatch
+from query_engine_tpu.engine.executor import QueryExecutor
+from query_engine_tpu.plan import logical as lp
+from query_engine_tpu.plan.lowering import Lowering
+from query_engine_tpu.plan.optimizer import Optimizer
+from query_engine_tpu.plan.planner import Planner
+from query_engine_tpu.sql import ast
+from query_engine_tpu.sql.parser import parse_sql
+from query_engine_tpu.storage.csv import CsvDataSource
+from query_engine_tpu.storage.memory import MemoryDataSource
+from query_engine_tpu.storage.parquet import ParquetDataSource
+
+MAX_RECURSION_ITERS = 1000  # parity: backend.rs recursive CTE cap
+
+
+class Session:
+    def __init__(self, enable_cache: bool = False):
+        self.udfs = UdfRegistry()
+        self.planner = Planner(self.udfs)
+        self.optimizer = Optimizer()
+        self.executor = QueryExecutor(self.udfs)
+        self.sources: Dict[str, object] = {}
+        self._cache = None
+        if enable_cache:
+            from query_engine_tpu.cache.cache import QueryCache
+            from query_engine_tpu.cache.config import CacheConfig
+
+            self._cache = QueryCache(CacheConfig())
+
+    # ---- registration --------------------------------------------------
+    def register_csv(self, name: str, path: str, schema: Optional[Schema] = None):
+        src = CsvDataSource(path, schema)
+        self.sources[name.lower()] = src
+        self.planner.register_table(name, src.schema())
+        return src
+
+    def register_parquet(self, name: str, path: str):
+        src = ParquetDataSource(path)
+        self.sources[name.lower()] = src
+        self.planner.register_table(name, src.schema())
+        return src
+
+    def register_table(self, name: str, data) -> MemoryDataSource:
+        """Register an in-memory table from a ColumnBatch or dict of lists."""
+        if isinstance(data, dict):
+            data = ColumnBatch.from_pydict(data)
+        src = MemoryDataSource(batch=data, name=name.lower())
+        self.sources[name.lower()] = src
+        self.planner.register_table(name, data.schema)
+        return src
+
+    def register_source(self, name: str, source) -> None:
+        self.sources[name.lower()] = source
+        self.planner.register_table(name, source.schema())
+
+    def deregister_table(self, name: str) -> None:
+        self.sources.pop(name.lower(), None)
+        self.planner.deregister_table(name)
+
+    def tables(self) -> List[str]:
+        return sorted(self.sources)
+
+    def table_schema(self, name: str) -> Schema:
+        return self.sources[name.lower()].schema()
+
+    # ---- SQL entry -----------------------------------------------------
+    def sql(self, query: str, params: Optional[list] = None) -> ColumnBatch:
+        stmt = parse_sql(query)
+        if params:
+            stmt = _bind_params(stmt, params)
+        return self.execute_statement(stmt, sql_text=query)
+
+    def explain(self, query: str) -> str:
+        stmt = parse_sql(query)
+        if isinstance(stmt, (ast.Select, ast.WithSelect)):
+            plan = self._plan_query(stmt)
+            return plan.pretty()
+        return f"-- {type(stmt).__name__}"
+
+    def execute_statement(self, stmt: ast.Statement, sql_text: str = "") -> ColumnBatch:
+        if isinstance(stmt, (ast.Select, ast.WithSelect)):
+            if self._cache is not None and sql_text:
+                hit = self._cache.get_sql(sql_text)
+                if hit is not None:
+                    return hit
+            result = self._execute_query(stmt)
+            if self._cache is not None and sql_text:
+                self._cache.put_sql(sql_text, result)
+            return result
+        if isinstance(stmt, ast.CreateTable):
+            return self._exec_create_table(stmt)
+        if isinstance(stmt, ast.Insert):
+            return self._exec_insert(stmt)
+        if isinstance(stmt, ast.Update):
+            return self._exec_update(stmt)
+        if isinstance(stmt, ast.Delete):
+            return self._exec_delete(stmt)
+        if isinstance(stmt, ast.CreateIndex):
+            return self._exec_create_index(stmt)
+        if isinstance(stmt, ast.DropIndex):
+            return self._exec_drop_index(stmt)
+        raise ExecutionError(f"unsupported statement {type(stmt).__name__}")
+
+    # ---- query path ----------------------------------------------------
+    def _plan_query(self, stmt) -> lp.LogicalPlan:
+        if isinstance(stmt, ast.WithSelect) and any(
+            stmt.recursive and Planner._references_table(c.query, c.name)
+            for c in stmt.ctes
+        ):
+            raise PlanError("recursive CTE must go through _execute_query")
+        plan = self.planner.create_logical_plan(stmt)
+        return self.optimizer.optimize(plan)
+
+    def _execute_query(self, stmt) -> ColumnBatch:
+        if isinstance(stmt, ast.WithSelect) and stmt.recursive:
+            rec = [
+                c for c in stmt.ctes
+                if Planner._references_table(c.query, c.name)
+            ]
+            if rec:
+                return self._execute_recursive_cte(stmt, rec)
+        plan = self._plan_query(stmt)
+        pplan = Lowering(self.sources).lower(plan)
+        return self.executor.execute(pplan)
+
+    def _execute_recursive_cte(self, stmt: ast.WithSelect, rec) -> ColumnBatch:
+        """Fixed-point recursive CTE evaluation (backend.rs:221-369):
+        iterate `base UNION [ALL] step`, re-registering the accumulated
+        result as a temp table each round, until no new rows (or 1000
+        iterations)."""
+        if len(stmt.ctes) != 1:
+            raise PlanError("recursive WITH supports exactly one CTE")
+        cte = stmt.ctes[0]
+        sel = cte.query
+        if sel.union_clause is None:
+            raise PlanError("recursive CTE requires base UNION step shape")
+        base_sel = _strip_union(sel)
+        step_sel = sel.union_clause.select
+        dedup = sel.union_clause.set_op is ast.SetOperation.UNION
+
+        tmp_name = cte.name.lower()
+        had_prev = tmp_name in self.sources
+        if had_prev:
+            raise PlanError(
+                f"recursive CTE name '{cte.name}' shadows an existing table"
+            )
+        try:
+            acc = self._execute_query(ast.Select(base_sel))
+            if cte.columns:
+                acc = _rename_batch(acc, list(cte.columns))
+            frontier = acc
+            for _ in range(MAX_RECURSION_ITERS):
+                if frontier.num_rows == 0:
+                    break
+                self.register_table(tmp_name, frontier)
+                try:
+                    new_rows = self._execute_query(ast.Select(step_sel))
+                finally:
+                    self.deregister_table(tmp_name)
+                if cte.columns:
+                    new_rows = _rename_batch(new_rows, list(cte.columns))
+                if dedup:
+                    seen = set(acc.to_pylist())
+                    fresh = [r for r in new_rows.to_pylist() if r not in seen]
+                    if not fresh:
+                        break
+                    cols = {
+                        f.name: [r[i] for r in fresh]
+                        for i, f in enumerate(acc.schema)
+                    }
+                    new_rows = ColumnBatch.from_pydict(cols, acc.schema)
+                elif new_rows.num_rows == 0:
+                    break
+                acc = ColumnBatch.concat([acc, new_rows])
+                frontier = new_rows
+            # run the outer select against the final CTE result
+            self.register_table(tmp_name, acc)
+            try:
+                return self._execute_query(ast.Select(stmt.select))
+            finally:
+                self.deregister_table(tmp_name)
+        finally:
+            if tmp_name in self.sources:
+                self.deregister_table(tmp_name)
+
+    # ---- DDL / DML -----------------------------------------------------
+    def _exec_create_table(self, stmt: ast.CreateTable) -> ColumnBatch:
+        name = stmt.name.lower()
+        if name in self.sources:
+            if stmt.if_not_exists:
+                return _status_batch("CREATE TABLE")
+            raise ExecutionError(f"table '{stmt.name}' already exists")
+        schema = Schema(
+            [Field(c.name, c.data_type, c.nullable) for c in stmt.columns]
+        )
+        src = MemoryDataSource(schema=schema, name=name)
+        self.sources[name] = src
+        self.planner.register_table(name, schema)
+        self._invalidate_cache()
+        return _status_batch("CREATE TABLE")
+
+    def _require_memory_table(self, name: str) -> MemoryDataSource:
+        src = self.sources.get(name.lower())
+        if src is None:
+            raise ExecutionError(f"table '{name}' not found")
+        if not isinstance(src, MemoryDataSource):
+            # snapshot file-backed tables into memory for DML
+            mem = MemoryDataSource(batch=src.scan(), name=name.lower())
+            self.sources[name.lower()] = mem
+            return mem
+        return src
+
+    def _exec_insert(self, stmt: ast.Insert) -> ColumnBatch:
+        src = self._require_memory_table(stmt.table)
+        schema = src.schema()
+        col_names = stmt.columns or [f.name for f in schema]
+        for c in col_names:
+            schema.index_of(c)  # validate
+
+        rows: Dict[str, list] = {f.name: [] for f in schema}
+        for vrow in stmt.values:
+            if len(vrow) != len(col_names):
+                raise ExecutionError(
+                    f"INSERT row has {len(vrow)} values for {len(col_names)} columns"
+                )
+            given = dict(zip(col_names, [_literal_value(e) for e in vrow]))
+            for f in schema:
+                rows[f.name].append(given.get(f.name))
+        batch = ColumnBatch.from_pydict(rows, schema)
+
+        inserted = batch
+        if stmt.on_conflict is not None:
+            inserted = self._apply_on_conflict(src, batch, stmt.on_conflict)
+        else:
+            src.append(batch)
+        self._invalidate_cache()
+        if stmt.returning is not None:
+            return self._returning(inserted, schema, stmt.returning)
+        return _status_batch(f"INSERT 0 {inserted.num_rows}")
+
+    def _apply_on_conflict(
+        self, src: MemoryDataSource, batch: ColumnBatch,
+        clause: ast.OnConflictClause,
+    ) -> ColumnBatch:
+        """UPSERT semantics (backend.rs:1092-1479): match on the conflict
+        columns; DO NOTHING skips, DO UPDATE SET rewrites matched rows."""
+        existing = src.scan()
+        key_cols = list(clause.columns)
+        exist_keys = {
+            tuple(r): i
+            for i, r in enumerate(
+                zip(*[existing.column(c).to_pylist(existing.num_rows)
+                      for c in key_cols])
+            )
+        }
+        new_rows = batch.to_pylist()
+        names = existing.schema.names()
+        batch_key_idx = [batch.schema.index_of(c) for c in key_cols]
+        fresh, conflicts = [], []
+        for r in new_rows:
+            k = tuple(r[i] for i in batch_key_idx)
+            if k in exist_keys:
+                conflicts.append((exist_keys[k], r))
+            else:
+                fresh.append(r)
+        out_rows: List[tuple] = []
+        if conflicts and isinstance(clause.action, ast.DoUpdate):
+            data = existing.to_pydict()
+            for row_i, new_r in conflicts:
+                for a in clause.action.assignments:
+                    data[a.column][row_i] = _literal_value(a.value)
+                out_rows.append(tuple(data[n][row_i] for n in names))
+            src.replace(ColumnBatch.from_pydict(data, existing.schema))
+        if fresh:
+            cols = {
+                f.name: [r[i] for r in fresh]
+                for i, f in enumerate(batch.schema)
+            }
+            fresh_batch = ColumnBatch.from_pydict(cols, batch.schema)
+            src.append(fresh_batch)
+            out_rows.extend(fresh)
+        if not out_rows:
+            return ColumnBatch.empty(batch.schema)
+        cols = {
+            f.name: [r[i] for r in out_rows]
+            for i, f in enumerate(batch.schema)
+        }
+        return ColumnBatch.from_pydict(cols, batch.schema)
+
+    def _exec_update(self, stmt: ast.Update) -> ColumnBatch:
+        src = self._require_memory_table(stmt.table)
+        batch = src.scan()
+        mask = self._dml_mask(stmt.table, stmt.selection, batch)
+        data = batch.to_pydict()
+        touched = []
+        # evaluate assignment expressions row-wise over the full batch
+        assign_vals = {}
+        for a in stmt.assignments:
+            assign_vals[a.column] = self._eval_assignment(
+                stmt.table, a.value, batch
+            )
+        for i in range(batch.num_rows):
+            if mask[i]:
+                touched.append(i)
+                for col, vals in assign_vals.items():
+                    data[col][i] = vals[i]
+        src.replace(ColumnBatch.from_pydict(data, batch.schema))
+        self._invalidate_cache()
+        if stmt.returning is not None:
+            upd = src.scan().take_host(np.asarray(touched, dtype=np.int64))
+            return self._returning(upd, batch.schema, stmt.returning)
+        return _status_batch(f"UPDATE {len(touched)}")
+
+    def _exec_delete(self, stmt: ast.Delete) -> ColumnBatch:
+        src = self._require_memory_table(stmt.table)
+        batch = src.scan()
+        mask = self._dml_mask(stmt.table, stmt.selection, batch)
+        keep = [i for i in range(batch.num_rows) if not mask[i]]
+        deleted = [i for i in range(batch.num_rows) if mask[i]]
+        deleted_batch = batch.take_host(np.asarray(deleted, dtype=np.int64))
+        src.replace(batch.take_host(np.asarray(keep, dtype=np.int64)))
+        self._invalidate_cache()
+        if stmt.returning is not None:
+            return self._returning(deleted_batch, batch.schema, stmt.returning)
+        return _status_batch(f"DELETE {len(deleted)}")
+
+    def _dml_mask(self, table: str, selection, batch: ColumnBatch):
+        if selection is None:
+            return [True] * batch.num_rows
+        from query_engine_tpu.plan.planner import Resolver, prefix_schema
+
+        scope = Resolver(prefix_schema(batch.schema, table))
+        pred = self.planner.plan_expr(selection, scope, {})
+        mask = self.executor.evaluator.eval_predicate_mask(pred, batch)
+        return np.asarray(mask)[: batch.num_rows].tolist()
+
+    def _eval_assignment(self, table: str, expr, batch: ColumnBatch):
+        from query_engine_tpu.plan.planner import Resolver, prefix_schema
+
+        scope = Resolver(prefix_schema(batch.schema, table))
+        le = self.planner.plan_expr(expr, scope, {})
+        v = self.executor.evaluator.eval(le, batch)
+        if v.dictionary is not None:
+            decoded = v.dictionary.decode(np.asarray(v.data)[: batch.num_rows])
+            valid = np.asarray(v.validity)[: batch.num_rows]
+            return [d if ok else None for d, ok in zip(decoded, valid)]
+        host = np.asarray(v.data)[: batch.num_rows]
+        valid = np.asarray(v.validity)[: batch.num_rows]
+        return [h.item() if ok else None for h, ok in zip(host, valid)]
+
+    def _returning(self, rows: ColumnBatch, schema: Schema, items) -> ColumnBatch:
+        names = [f.name for f in schema]
+        out_cols: Dict[str, list] = {}
+        for item in items:
+            if isinstance(item, ast.WildcardItem):
+                d = rows.to_pydict()
+                for n in names:
+                    out_cols[n] = d[n]
+            elif isinstance(item, ast.ExprItem) and isinstance(item.expr, ast.Column):
+                out_cols[item.alias or item.expr.name] = rows.column(
+                    item.expr.name
+                ).to_pylist(rows.num_rows)
+            else:
+                raise ExecutionError("RETURNING supports columns and *")
+        return ColumnBatch.from_pydict(out_cols)
+
+    # ---- indexes -------------------------------------------------------
+    def _exec_create_index(self, stmt: ast.CreateIndex) -> ColumnBatch:
+        src = self._require_memory_table(stmt.table)
+        src.create_index(
+            stmt.name, stmt.columns,
+            "hash" if stmt.index_type is ast.IndexType.HASH else "btree",
+            stmt.unique,
+        )
+        return _status_batch("CREATE INDEX")
+
+    def _exec_drop_index(self, stmt: ast.DropIndex) -> ColumnBatch:
+        for src in self.sources.values():
+            if isinstance(src, MemoryDataSource) and src.indexes.has_index(stmt.name):
+                src.drop_index(stmt.name)
+                return _status_batch("DROP INDEX")
+        if stmt.if_exists:
+            return _status_batch("DROP INDEX")
+        raise ExecutionError(f"index '{stmt.name}' not found")
+
+    def _invalidate_cache(self):
+        if self._cache is not None:
+            self._cache.clear()
+
+
+def _strip_union(sel: ast.SelectStatement) -> ast.SelectStatement:
+    import copy
+
+    base = copy.copy(sel)
+    base.union_clause = None
+    return base
+
+
+def _rename_batch(batch: ColumnBatch, names: List[str]) -> ColumnBatch:
+    if len(names) != len(batch.schema):
+        raise SchemaError("CTE column list arity mismatch")
+    return batch.rename(names)
+
+
+def _literal_value(e: ast.Expr):
+    if isinstance(e, ast.NumberLit):
+        return float(e.value) if any(c in e.value for c in ".eE") else int(e.value)
+    if isinstance(e, ast.StringLit):
+        return e.value
+    if isinstance(e, ast.BoolLit):
+        return e.value
+    if isinstance(e, ast.NullLit):
+        return None
+    if isinstance(e, ast.UnaryOp) and e.op is ast.UnaryOperator.MINUS:
+        v = _literal_value(e.expr)
+        return -v
+    raise ExecutionError("INSERT values must be literals")
+
+
+def _status_batch(tag: str) -> ColumnBatch:
+    b = ColumnBatch.from_pydict({"status": [tag]})
+    return b
+
+
+def _bind_params(stmt: ast.Statement, params: list) -> ast.Statement:
+    """Substitute $n parameters with literal AST nodes (extended protocol,
+    reference extended.rs:141-230 does SQL-text substitution; we do it on
+    the AST, which is safer)."""
+    import dataclasses
+
+    def sub(obj):
+        if isinstance(obj, ast.Param):
+            v = params[obj.index - 1]
+            if v is None:
+                return ast.NullLit()
+            if isinstance(v, bool):
+                return ast.BoolLit(v)
+            if isinstance(v, (int, float)):
+                return ast.NumberLit(repr(v))
+            return ast.StringLit(str(v))
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            changes = {}
+            for f in dataclasses.fields(obj):
+                val = getattr(obj, f.name)
+                new = sub_value(val)
+                if new is not val:
+                    changes[f.name] = new
+            if changes:
+                try:
+                    return dataclasses.replace(obj, **changes)
+                except TypeError:
+                    for k, v in changes.items():
+                        object.__setattr__(obj, k, v)
+                    return obj
+        return obj
+
+    def sub_value(val):
+        if isinstance(val, (list, tuple)):
+            newv = [sub_value(x) for x in val]
+            if isinstance(val, tuple):
+                newv = tuple(newv)
+            return newv
+        if dataclasses.is_dataclass(val) and not isinstance(val, type):
+            return sub(val)
+        return val
+
+    return sub(stmt)

@@ -1,0 +1,556 @@
+"""Vectorized operator kernels over fixed-capacity device arrays.
+
+These replace the reference's Arrow compute kernels and implement the
+*claimed* semantics its executor stubs out (SURVEY.md table at top):
+real multi-key sort (vs executor.rs:290-297 pass-through), real equi-join
+build/probe for all five join types (vs the Cartesian join_batches
+executor.rs:500-540), real grouped hash aggregation (vs the empty vec at
+executor.rs:188-189), and real window functions (vs executor.rs:76-80).
+
+Design rules (SURVEY.md §7, pallas_guide.md):
+  * static shapes everywhere — every function takes/returns arrays at a
+    fixed capacity plus a live-row count; callers pick pow2 capacity buckets
+    so XLA compiles each bucket once;
+  * data-dependent output sizes (join/filter/group counts) use a
+    count-then-emit two-pass split: the count pass is jitted, the host reads
+    one scalar, picks the output bucket, and runs the jitted emit pass;
+  * no data-dependent Python control flow — masks + lax.sort + segment
+    scans (cummax/cumsum) instead;
+  * exactness over hashing: multi-column keys are reduced to dense ranks by
+    a joint lexicographic sort, so key equality is exact (no hash-collision
+    corrections needed). Sort-merge join == hash-join semantics.
+
+Nulls: SQL three-valued logic. Group keys: NULLs group together. Join keys:
+NULLs never match (each null row gets a unique negative rank).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# small utilities
+# ---------------------------------------------------------------------------
+
+
+def live_mask(capacity: int, num_rows) -> jnp.ndarray:
+    return jnp.arange(capacity) < num_rows
+
+
+_I64_MIN = np.int64(np.iinfo(np.int64).min)
+
+
+def _f64_orderable_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Map float64 -> int64 whose signed integer order matches float order
+    (sign-flip trick; the reference uses the same idea for its IndexKey,
+    query-index/src/types.rs:101-110).
+
+    For non-negative floats the raw bits are already ordered; for negative
+    floats the signed bit pattern *increases* as the value decreases, so we
+    reflect them below zero: y = I64_MIN - bits (no overflow: bits is in
+    [I64_MIN, -1], and -0.0 maps to 0 == +0.0).
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float64), jnp.int64)
+    return jnp.where(bits < 0, _I64_MIN - bits, bits)
+
+
+_I32_MIN = np.int32(np.iinfo(np.int32).min)
+
+
+def _f32_orderable_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """float32 variant of the sign-flip trick (TPU-native: s32 bitcast works
+    on TPU where the s64 one does not — x64 is emulated there)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return jnp.where(bits < 0, _I32_MIN - bits, bits)
+
+
+def orderable_i64(data: jnp.ndarray) -> jnp.ndarray:
+    """Normalize a key column to a sortable integer preserving order &
+    equality. 64-bit lanes (CPU parity profile) map to int64; 32-bit-or-
+    smaller lanes (TPU profile) stay int32 so the hot path never touches
+    emulated 64-bit bitcasts on TPU."""
+    if data.dtype == jnp.float64:
+        return _f64_orderable_bits(data)
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        return _f32_orderable_bits(data).astype(jnp.int64)
+    if data.dtype == jnp.bool_:
+        return data.astype(jnp.int64)
+    return data.astype(jnp.int64)
+
+
+def normalize_key(
+    data: jnp.ndarray, validity: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(orderable int64 key, null mask). Null data slots are zeroed so equal
+    nulls compare equal; callers append the null plane as a separate key."""
+    key = orderable_i64(data)
+    null = ~validity
+    return jnp.where(null, jnp.int64(0), key), null
+
+
+# ---------------------------------------------------------------------------
+# sort
+# ---------------------------------------------------------------------------
+
+
+def sort_permutation(
+    key_datas: Sequence[jnp.ndarray],
+    key_valids: Sequence[jnp.ndarray],
+    ascs: Sequence[bool],
+    nulls_firsts: Sequence[bool],
+    num_rows,
+) -> jnp.ndarray:
+    """Stable multi-key sort permutation.
+
+    Returns perm of length capacity: perm[out_pos] = in_row. Live rows come
+    first in the requested order; pad rows sink to the end.
+    Implements the semantics of Arrow lexsort_to_indices as used by the
+    reference's SortedMerge (query-distributed/src/operators.rs:180-193).
+    """
+    capacity = key_datas[0].shape[0]
+    pad = ~live_mask(capacity, num_rows)
+    operands = [pad.astype(jnp.int32)]  # pad rows last
+    for data, valid, asc, nf in zip(key_datas, key_valids, ascs, nulls_firsts):
+        key, null = normalize_key(data, valid)
+        null_rank = jnp.where(null, jnp.int32(0 if nf else 1), jnp.int32(1 if nf else 0))
+        if not asc:
+            key = -key  # safe: orderable_i64 never produces INT64_MIN for live data
+        operands.append(null_rank)
+        operands.append(key)
+    perm = jnp.arange(capacity, dtype=jnp.int64)
+    out = jax.lax.sort(
+        operands + [perm], num_keys=len(operands), is_stable=True
+    )
+    return out[-1]
+
+
+# ---------------------------------------------------------------------------
+# filter / compaction
+# ---------------------------------------------------------------------------
+
+
+def filter_count(mask: jnp.ndarray, num_rows) -> jnp.ndarray:
+    m = mask & live_mask(mask.shape[0], num_rows)
+    return jnp.sum(m.astype(jnp.int64))
+
+
+def compaction_indices(mask: jnp.ndarray, num_rows, out_capacity: int):
+    """Indices of mask-true live rows, compacted to the front of an
+    out_capacity-sized index plane (vectorized Arrow filter_record_batch
+    analog, reference executor.rs:131-155)."""
+    capacity = mask.shape[0]
+    m = mask & live_mask(capacity, num_rows)
+    idx = jnp.nonzero(m, size=out_capacity, fill_value=0)[0]
+    return idx
+
+
+def gather_columns(
+    datas: Sequence[jnp.ndarray],
+    valids: Sequence[jnp.ndarray],
+    indices: jnp.ndarray,
+    row_valid: Optional[jnp.ndarray] = None,
+):
+    """Gather rows by index across columns; optional row_valid plane ANDs
+    into every column's validity (outer-join null padding)."""
+    out_d, out_v = [], []
+    for d, v in zip(datas, valids):
+        out_d.append(d[indices])
+        vv = v[indices]
+        if row_valid is not None:
+            vv = vv & row_valid
+        out_v.append(vv)
+    return out_d, out_v
+
+
+# ---------------------------------------------------------------------------
+# grouping: dense ranks via joint sort
+# ---------------------------------------------------------------------------
+
+
+def _segment_ids_from_sorted(
+    sorted_keys: Sequence[jnp.ndarray], pad_sorted: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Boundary flags + segment ids over rows already in sorted order.
+    Pad rows are all assigned to a trailing dummy segment."""
+    capacity = pad_sorted.shape[0]
+    idx = jnp.arange(capacity)
+    change = jnp.zeros(capacity, dtype=bool).at[0].set(True)
+    for k in sorted_keys:
+        prev = jnp.roll(k, 1)
+        change = change | (idx > 0) & (k != prev)
+    change = change | (pad_sorted & ~jnp.roll(pad_sorted, 1))
+    seg = jnp.cumsum(change.astype(jnp.int64)) - 1
+    return change, seg
+
+
+def group_ids(
+    key_datas: Sequence[jnp.ndarray],
+    key_valids: Sequence[jnp.ndarray],
+    num_rows,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense group ids for GROUP BY keys (NULLs group together).
+
+    Returns (group_id per row [capacity], num_groups scalar, representative
+    row index per group [capacity, padded]). Group ids are dense in sorted
+    key order -> deterministic output order across shards.
+    """
+    capacity = key_datas[0].shape[0]
+    pad = ~live_mask(capacity, num_rows)
+    operands: List[jnp.ndarray] = [pad.astype(jnp.int32)]
+    eq_keys: List[jnp.ndarray] = []
+    for data, valid in zip(key_datas, key_valids):
+        key, null = normalize_key(data, valid)
+        operands.append(null.astype(jnp.int32))
+        operands.append(key)
+        eq_keys.append(null.astype(jnp.int32))
+        eq_keys.append(key)
+    perm = jnp.arange(capacity, dtype=jnp.int64)
+    sorted_all = jax.lax.sort(
+        operands + [perm], num_keys=len(operands), is_stable=True
+    )
+    sorted_pad = sorted_all[0].astype(bool)
+    sorted_keys = sorted_all[1:-1]
+    sperm = sorted_all[-1]
+    change, seg = _segment_ids_from_sorted(sorted_keys, sorted_pad)
+    num_groups = jnp.sum((change & ~sorted_pad).astype(jnp.int64))
+    # scatter group id back to original row order
+    gid = jnp.zeros(capacity, dtype=jnp.int64).at[sperm].set(seg)
+    # representative row (first in sorted order) for each group; non-boundary
+    # rows scatter out of bounds and are dropped
+    rep = jnp.zeros(capacity, dtype=jnp.int64).at[
+        jnp.where(change & ~sorted_pad, seg, capacity)
+    ].set(sperm, mode="drop")
+    return gid, num_groups, rep
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+_INT_MIN = np.int64(np.iinfo(np.int64).min)
+_INT_MAX = np.int64(np.iinfo(np.int64).max)
+
+
+def segment_aggregate(
+    func: str,
+    data: Optional[jnp.ndarray],
+    validity: Optional[jnp.ndarray],
+    gid: jnp.ndarray,
+    num_rows,
+    num_segments: int,
+    distinct_first: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One aggregate over segments. Returns (values[num_segments],
+    valid[num_segments]).
+
+    func: count_star | count | sum | avg | min | max
+    Semantics parity (reference operators.rs:745-848): COUNT ignores nulls
+    (COUNT(*) counts rows), SUM/AVG/MIN/MAX ignore nulls and are NULL for
+    empty/all-null groups; SUM(int) accumulates in int64, AVG in float64.
+    """
+    capacity = gid.shape[0]
+    lm = live_mask(capacity, num_rows)
+    if func == "count_star":
+        ones = lm.astype(jnp.int64)
+        if distinct_first is not None:
+            ones = ones * distinct_first.astype(jnp.int64)
+        cnt = jax.ops.segment_sum(ones, gid, num_segments=num_segments)
+        return cnt, jnp.ones(num_segments, dtype=bool)
+    assert data is not None and validity is not None
+    ok = lm & validity
+    if distinct_first is not None:
+        ok = ok & distinct_first
+    okf = ok.astype(jnp.int64)
+    cnt = jax.ops.segment_sum(okf, gid, num_segments=num_segments)
+    if func == "count":
+        return cnt, jnp.ones(num_segments, dtype=bool)
+    has = cnt > 0
+    if func == "sum" or func == "avg":
+        if func == "avg" or jnp.issubdtype(data.dtype, jnp.floating):
+            x = jnp.where(ok, data.astype(jnp.float64), 0.0)
+            s = jax.ops.segment_sum(x, gid, num_segments=num_segments)
+        else:
+            x = jnp.where(ok, data.astype(jnp.int64), 0)
+            s = jax.ops.segment_sum(x, gid, num_segments=num_segments)
+        if func == "avg":
+            return s / jnp.maximum(cnt, 1).astype(jnp.float64), has
+        return s, has
+    if func == "min" or func == "max":
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            fill = jnp.float64(np.inf if func == "min" else -np.inf)
+            x = jnp.where(ok, data.astype(jnp.float64), fill)
+        else:
+            fill = _INT_MAX if func == "min" else _INT_MIN
+            x = jnp.where(ok, data.astype(jnp.int64), fill)
+        red = jax.ops.segment_min if func == "min" else jax.ops.segment_max
+        out = red(x, gid, num_segments=num_segments)
+        return out, has
+    raise ValueError(f"unknown aggregate {func}")
+
+
+def distinct_first_flags(
+    key_datas: Sequence[jnp.ndarray],
+    key_valids: Sequence[jnp.ndarray],
+    gid: jnp.ndarray,
+    num_rows,
+) -> jnp.ndarray:
+    """True for the first occurrence of each (group, value) pair — the
+    dedup plane for DISTINCT aggregates."""
+    capacity = gid.shape[0]
+    pad = ~live_mask(capacity, num_rows)
+    operands: List[jnp.ndarray] = [pad.astype(jnp.int32), gid]
+    for data, valid in zip(key_datas, key_valids):
+        key, null = normalize_key(data, valid)
+        operands.append(null.astype(jnp.int32))
+        operands.append(key)
+    perm = jnp.arange(capacity, dtype=jnp.int64)
+    sorted_all = jax.lax.sort(
+        operands + [perm], num_keys=len(operands), is_stable=True
+    )
+    sorted_keys = sorted_all[:-1]
+    sperm = sorted_all[-1]
+    idx = jnp.arange(capacity)
+    change = jnp.zeros(capacity, dtype=bool).at[0].set(True)
+    for k in sorted_keys[1:]:  # skip pad plane for equality, include gid
+        prev = jnp.roll(k, 1)
+        change = change | (idx > 0) & (k != prev)
+    change = change | (idx == 0)
+    first = jnp.zeros(capacity, dtype=bool).at[sperm].set(change)
+    return first
+
+
+# ---------------------------------------------------------------------------
+# joins (sort-merge, exact; two-pass count-then-emit)
+# ---------------------------------------------------------------------------
+
+
+def join_ranks(
+    left_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    right_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    n_left,
+    n_right,
+    null_equal: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint dense ranks: rank equality <=> key-tuple equality.
+
+    By default rows with any NULL key get unique negative ranks so NULL never
+    matches NULL (SQL equi-join). With null_equal=True, NULLs compare equal
+    (IS NOT DISTINCT semantics — used by INTERSECT/EXCEPT and DISTINCT).
+
+    left_keys/right_keys: per-key (data, validity); capacities may differ.
+    Returns (left_ranks[cap_l], right_ranks[cap_r]) int64.
+    """
+    cap_l = left_keys[0][0].shape[0]
+    cap_r = right_keys[0][0].shape[0]
+    cap = cap_l + cap_r
+    pad = jnp.concatenate(
+        [~live_mask(cap_l, n_left), ~live_mask(cap_r, n_right)]
+    )
+    operands: List[jnp.ndarray] = [pad.astype(jnp.int32)]
+    any_null = jnp.zeros(cap, dtype=bool)
+    for (ld, lv), (rd, rv) in zip(left_keys, right_keys):
+        data = jnp.concatenate([orderable_i64(ld), orderable_i64(rd)])
+        valid = jnp.concatenate([lv, rv])
+        any_null = any_null | ~valid
+        if null_equal:
+            operands.append((~valid).astype(jnp.int32))
+        operands.append(jnp.where(valid, data, jnp.int64(0)))
+    perm = jnp.arange(cap, dtype=jnp.int64)
+    sorted_all = jax.lax.sort(
+        operands + [perm], num_keys=len(operands), is_stable=True
+    )
+    sorted_pad = sorted_all[0].astype(bool)
+    change, seg = _segment_ids_from_sorted(sorted_all[1:-1], sorted_pad)
+    sperm = sorted_all[-1]
+    ranks = jnp.zeros(cap, dtype=jnp.int64).at[sperm].set(seg)
+    if not null_equal:
+        # null keys never match: unique negative rank per row
+        ranks = jnp.where(any_null, -(perm + 2), ranks)
+    return ranks[:cap_l], ranks[cap_l:]
+
+
+def join_counts(
+    left_ranks: jnp.ndarray,
+    right_ranks: jnp.ndarray,
+    n_left,
+    n_right,
+):
+    """Pass 1: per-left-row match counts against the (sorted) right side.
+
+    Returns (total_matches, counts[cap_l], offsets[cap_l] exclusive-cumsum,
+    sorted_right_ranks, right_perm, left_matched, right_matched).
+    """
+    cap_l = left_ranks.shape[0]
+    cap_r = right_ranks.shape[0]
+    lm_l = live_mask(cap_l, n_left)
+    lm_r = live_mask(cap_r, n_right)
+    # sort right ranks (pad rows to +inf so they never match)
+    r = jnp.where(lm_r, right_ranks, _INT_MAX)
+    rperm = jnp.arange(cap_r, dtype=jnp.int64)
+    r_sorted, rperm_sorted = jax.lax.sort([r, rperm], num_keys=1, is_stable=True)
+    lo = jnp.searchsorted(r_sorted, left_ranks, side="left")
+    hi = jnp.searchsorted(r_sorted, left_ranks, side="right")
+    counts = jnp.where(lm_l, (hi - lo).astype(jnp.int64), 0)
+    offsets = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    left_matched = counts > 0
+    # right matched: does each right rank appear among left ranks?
+    l = jnp.where(lm_l, left_ranks, _INT_MAX)
+    l_sorted = jax.lax.sort([l], num_keys=1, is_stable=True)[0]
+    rlo = jnp.searchsorted(l_sorted, right_ranks, side="left")
+    rhi = jnp.searchsorted(l_sorted, right_ranks, side="right")
+    right_matched = lm_r & (rhi > rlo)
+    return total, counts, offsets, lo, r_sorted, rperm_sorted, left_matched, right_matched
+
+
+def join_emit_inner(
+    counts: jnp.ndarray,
+    lo: jnp.ndarray,
+    rperm_sorted: jnp.ndarray,
+    total,
+    out_capacity: int,
+):
+    """Pass 2: emit (left_idx, right_idx) pairs for all matches, compacted.
+
+    out_capacity is a static bucket >= total (host chose it after pass 1).
+    Output slot t belongs to the left row whose [offset, offset+count) range
+    covers t; searching the inclusive cumsum with side='right' skips
+    zero-count rows correctly.
+    """
+    csum = jnp.cumsum(counts)
+    t = jnp.arange(out_capacity, dtype=jnp.int64)
+    li = jnp.searchsorted(csum, t, side="right")
+    li = jnp.clip(li, 0, counts.shape[0] - 1)
+    offset = csum[li] - counts[li]
+    j = t - offset
+    rpos = lo[li] + j
+    ri = rperm_sorted[jnp.clip(rpos, 0, rperm_sorted.shape[0] - 1)]
+    valid = t < total
+    return (
+        jnp.where(valid, li, 0),
+        jnp.where(valid, ri, 0),
+        valid,
+    )
+
+
+def unmatched_indices(matched: jnp.ndarray, num_rows, out_capacity: int):
+    """Rows with no match (for outer joins): compacted indices + count."""
+    um = ~matched & live_mask(matched.shape[0], num_rows)
+    count = jnp.sum(um.astype(jnp.int64))
+    idx = jnp.nonzero(um, size=out_capacity, fill_value=0)[0]
+    return idx, count
+
+
+def cross_join_indices(n_left, n_right, out_capacity: int):
+    """CROSS join index planes (left-major order, matching the reference's
+    take-based repetition executor.rs:437-498)."""
+    t = jnp.arange(out_capacity, dtype=jnp.int64)
+    total = n_left * n_right
+    li = t // jnp.maximum(n_right, 1)
+    ri = t % jnp.maximum(n_right, 1)
+    valid = t < total
+    return jnp.where(valid, li, 0), jnp.where(valid, ri, 0), valid
+
+
+# ---------------------------------------------------------------------------
+# window functions (over sorted rows; results scattered back by caller)
+# ---------------------------------------------------------------------------
+
+
+def window_segments(
+    part_sorted: Sequence[jnp.ndarray],
+    order_sorted: Sequence[jnp.ndarray],
+    pad_sorted: jnp.ndarray,
+):
+    """Given partition/order key planes already in window order, compute:
+    seg_start flag, peer_start flag (order-key change), segment id."""
+    capacity = pad_sorted.shape[0]
+    idx = jnp.arange(capacity)
+    seg_change = jnp.zeros(capacity, dtype=bool).at[0].set(True)
+    for k in part_sorted:
+        seg_change = seg_change | (idx > 0) & (k != jnp.roll(k, 1))
+    seg_change = seg_change | (pad_sorted & ~jnp.roll(pad_sorted, 1))
+    peer_change = seg_change
+    for k in order_sorted:
+        peer_change = peer_change | (idx > 0) & (k != jnp.roll(k, 1))
+    seg = jnp.cumsum(seg_change.astype(jnp.int64)) - 1
+    return seg_change, peer_change, seg
+
+
+def _seg_start_pos(seg_change: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.arange(seg_change.shape[0])
+    return jax.lax.cummax(jnp.where(seg_change, idx, 0))
+
+
+def _seg_end_pos(seg_change: jnp.ndarray) -> jnp.ndarray:
+    """Index of last row of each row's segment."""
+    capacity = seg_change.shape[0]
+    idx = jnp.arange(capacity)
+    nxt = jnp.roll(seg_change, -1).at[capacity - 1].set(True)
+    ends = jnp.where(nxt, idx, capacity - 1)
+    return jnp.flip(jax.lax.cummin(jnp.flip(ends)))
+
+
+def row_number_sorted(seg_change: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int64)
+    return idx - _seg_start_pos(seg_change) + 1
+
+
+def rank_sorted(seg_change: jnp.ndarray, peer_change: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int64)
+    run_start = jax.lax.cummax(jnp.where(peer_change, idx, 0))
+    return run_start - _seg_start_pos(seg_change) + 1
+
+
+def dense_rank_sorted(seg_change, peer_change) -> jnp.ndarray:
+    peers = jnp.cumsum(peer_change.astype(jnp.int64))
+    at_seg_start = jax.lax.cummax(jnp.where(seg_change, peers, 0))
+    return peers - at_seg_start + 1
+
+
+def ntile_sorted(seg_change: jnp.ndarray, n_tiles, pad_sorted) -> jnp.ndarray:
+    """PG NTILE: q=count//n, r=count%n; first r buckets get q+1 rows."""
+    rn = row_number_sorted(seg_change) - 1  # 0-based
+    start = _seg_start_pos(seg_change)
+    end = _seg_end_pos(seg_change)
+    count = (end - start + 1).astype(jnp.int64)
+    count = jnp.where(pad_sorted, 1, count)
+    n = jnp.maximum(n_tiles, 1)
+    q = count // n
+    r = count % n
+    big = r * (q + 1)
+    in_big = rn < big
+    bucket = jnp.where(
+        in_big,
+        rn // jnp.maximum(q + 1, 1),
+        r + jnp.where(q > 0, (rn - big) // jnp.maximum(q, 1), 0),
+    )
+    return bucket + 1
+
+
+def shift_in_segment(
+    values: jnp.ndarray,
+    valid: jnp.ndarray,
+    seg: jnp.ndarray,
+    offset: int,
+):
+    """LAG(offset>0)/LEAD(offset<0) within segments; out-of-segment -> null."""
+    capacity = values.shape[0]
+    idx = jnp.arange(capacity)
+    src = idx - offset
+    in_range = (src >= 0) & (src < capacity)
+    src_c = jnp.clip(src, 0, capacity - 1)
+    same_seg = in_range & (seg[src_c] == seg)
+    out = jnp.where(same_seg, values[src_c], values[0] * 0)
+    out_v = same_seg & valid[src_c]
+    return out, out_v
+
+
+def value_at(values, valid, pos):
+    pos_c = jnp.clip(pos, 0, values.shape[0] - 1)
+    return values[pos_c], valid[pos_c]

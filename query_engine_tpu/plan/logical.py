@@ -1,0 +1,755 @@
+"""Logical plan + typed logical expressions.
+
+Parity surface: reference crates/query-planner/src/logical_plan.rs:8-161 —
+LogicalPlan (TableScan, Projection, Filter, Join, Aggregate, Sort, Limit,
+EmptyRelation, SubqueryScan, Window, IndexScan), LogicalExpr (column-by-index,
+literals, binary/unary, aggregate, Cast, Alias, subqueries, window fns,
+scalar fns), ScalarValue.
+
+Superset nodes: Distinct (DISTINCT / DISTINCT ON), SetOp (UNION/INTERSECT/
+EXCEPT), Values (INSERT planning) — claimed by the reference's grammar but
+absent from its plan enum.
+
+Typing follows the reference *executor's* actual behavior, which is the
+parity oracle (operators.rs:745-848): COUNT->Int64, SUM(int)->Int64,
+SUM(float)->Float64, AVG->Float64, MIN/MAX->input type; arithmetic coerces
+int+float->Float64, int+int->Int64 (operators.rs:616-675).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from query_engine_tpu.core.errors import PlanError
+from query_engine_tpu.core.schema import Field, Schema
+from query_engine_tpu.core.types import DataType, TypeKind
+from query_engine_tpu.sql import ast
+
+
+# ---------------------------------------------------------------------------
+# Scalar values
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class ScalarValue:
+    """A typed literal (reference logical_plan.rs:146-161)."""
+
+    dtype: DataType
+    value: object  # python int/float/str/bool/None
+
+    @staticmethod
+    def int64(v: int) -> "ScalarValue":
+        return ScalarValue(DataType.int64(), int(v))
+
+    @staticmethod
+    def float64(v: float) -> "ScalarValue":
+        return ScalarValue(DataType.float64(), float(v))
+
+    @staticmethod
+    def utf8(v: str) -> "ScalarValue":
+        return ScalarValue(DataType.utf8(), v)
+
+    @staticmethod
+    def boolean(v: bool) -> "ScalarValue":
+        return ScalarValue(DataType.boolean(), bool(v))
+
+    @staticmethod
+    def null() -> "ScalarValue":
+        return ScalarValue(DataType.null(), None)
+
+    @property
+    def is_null(self) -> bool:
+        return self.value is None
+
+
+# ---------------------------------------------------------------------------
+# Logical expressions (typed, columns resolved by index)
+# ---------------------------------------------------------------------------
+class LogicalExpr:
+    """Base class; every expr knows its output type and nullability."""
+
+    dtype: DataType
+    nullable: bool = True
+
+    def name(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass
+class ColumnRef(LogicalExpr):
+    index: int
+    col_name: str
+    dtype: DataType
+    nullable: bool = True
+
+    def name(self) -> str:
+        return self.col_name
+
+
+@dataclass
+class Literal(LogicalExpr):
+    value: ScalarValue
+
+    def __post_init__(self):
+        self.dtype = self.value.dtype
+        self.nullable = self.value.is_null
+
+    def name(self) -> str:
+        v = self.value.value
+        return "NULL" if v is None else str(v)
+
+
+class BinOp(enum.Enum):
+    ADD = "+"
+    SUB = "-"
+    MUL = "*"
+    DIV = "/"
+    MOD = "%"
+    EQ = "="
+    NEQ = "!="
+    LT = "<"
+    LTE = "<="
+    GT = ">"
+    GTE = ">="
+    AND = "AND"
+    OR = "OR"
+    TS_MATCH = "@@"
+    LIKE = "LIKE"
+    ILIKE = "ILIKE"
+    NOT_LIKE = "NOT LIKE"
+    NOT_ILIKE = "NOT ILIKE"
+    CONCAT = "||"
+
+
+_CMP_OPS = {BinOp.EQ, BinOp.NEQ, BinOp.LT, BinOp.LTE, BinOp.GT, BinOp.GTE}
+_BOOL_OPS = {BinOp.AND, BinOp.OR}
+_PRED_OPS = _CMP_OPS | _BOOL_OPS | {
+    BinOp.TS_MATCH, BinOp.LIKE, BinOp.ILIKE, BinOp.NOT_LIKE, BinOp.NOT_ILIKE
+}
+
+
+def coerce_numeric(l: DataType, r: DataType) -> DataType:
+    """Numeric coercion parity: any float -> Float64 else Int64
+    (reference operators.rs:616-675, planner.rs:831-848)."""
+    if l.is_float or r.is_float:
+        return DataType.float64()
+    return DataType.int64()
+
+
+@dataclass
+class BinaryExpr(LogicalExpr):
+    left: LogicalExpr
+    op: BinOp
+    right: LogicalExpr
+
+    def __post_init__(self):
+        if self.op in _PRED_OPS:
+            self.dtype = DataType.boolean()
+        elif self.op is BinOp.CONCAT:
+            self.dtype = DataType.utf8()
+        else:
+            lt, rt = self.left.dtype, self.right.dtype
+            if lt.is_dictionary or rt.is_dictionary:
+                self.dtype = DataType.utf8()
+            else:
+                self.dtype = coerce_numeric(lt, rt)
+        self.nullable = self.left.nullable or self.right.nullable
+
+    def name(self) -> str:
+        return f"{self.left.name()} {self.op.value} {self.right.name()}"
+
+
+class UnOp(enum.Enum):
+    NOT = "NOT"
+    NEG = "-"
+
+
+@dataclass
+class UnaryExpr(LogicalExpr):
+    op: UnOp
+    expr: LogicalExpr
+
+    def __post_init__(self):
+        self.dtype = (
+            DataType.boolean() if self.op is UnOp.NOT else self.expr.dtype
+        )
+        self.nullable = self.expr.nullable
+
+    def name(self) -> str:
+        return f"{self.op.value} {self.expr.name()}"
+
+
+class AggFunc(enum.Enum):
+    COUNT = "COUNT"
+    SUM = "SUM"
+    AVG = "AVG"
+    MIN = "MIN"
+    MAX = "MAX"
+
+
+@dataclass
+class AggregateExpr(LogicalExpr):
+    func: AggFunc
+    expr: Optional[LogicalExpr]  # None for COUNT(*)
+    distinct: bool = False
+
+    def __post_init__(self):
+        f = self.func
+        if f is AggFunc.COUNT:
+            self.dtype = DataType.int64()
+            self.nullable = False
+        elif f is AggFunc.AVG:
+            self.dtype = DataType.float64()
+        elif f is AggFunc.SUM:
+            t = self.expr.dtype
+            self.dtype = DataType.float64() if t.is_float else DataType.int64()
+        else:  # MIN/MAX keep input type
+            self.dtype = self.expr.dtype
+        if f is not AggFunc.COUNT:
+            self.nullable = True
+
+    def name(self) -> str:
+        inner = "*" if self.expr is None else self.expr.name()
+        d = "DISTINCT " if self.distinct else ""
+        return f"{self.func.value}({d}{inner})"
+
+
+@dataclass
+class CastExpr(LogicalExpr):
+    expr: LogicalExpr
+    target: DataType
+
+    def __post_init__(self):
+        self.dtype = self.target
+        self.nullable = self.expr.nullable
+
+    def name(self) -> str:
+        return f"CAST({self.expr.name()} AS {self.target})"
+
+
+@dataclass
+class AliasExpr(LogicalExpr):
+    expr: LogicalExpr
+    alias: str
+
+    def __post_init__(self):
+        self.dtype = self.expr.dtype
+        self.nullable = self.expr.nullable
+
+    def name(self) -> str:
+        return self.alias
+
+
+class ScalarFn(enum.Enum):
+    UPPER = "UPPER"
+    LOWER = "LOWER"
+    LENGTH = "LENGTH"
+    CONCAT = "CONCAT"
+    SUBSTRING = "SUBSTRING"
+    TRIM = "TRIM"
+    REPLACE = "REPLACE"
+    ABS = "ABS"
+    CEIL = "CEIL"
+    FLOOR = "FLOOR"
+    ROUND = "ROUND"
+    SQRT = "SQRT"
+    POWER = "POWER"
+    COALESCE = "COALESCE"
+    NULLIF = "NULLIF"
+    TO_TSVECTOR = "TO_TSVECTOR"
+    TO_TSQUERY = "TO_TSQUERY"
+
+
+_STRING_FNS = {ScalarFn.UPPER, ScalarFn.LOWER, ScalarFn.CONCAT,
+               ScalarFn.SUBSTRING, ScalarFn.TRIM, ScalarFn.REPLACE}
+
+
+@dataclass
+class ScalarFnExpr(LogicalExpr):
+    func: ScalarFn
+    args: List[LogicalExpr]
+
+    def __post_init__(self):
+        f = self.func
+        if f in _STRING_FNS:
+            self.dtype = DataType.utf8()
+        elif f is ScalarFn.LENGTH:
+            self.dtype = DataType.int64()
+        elif f in (ScalarFn.CEIL, ScalarFn.FLOOR, ScalarFn.ROUND,
+                   ScalarFn.SQRT, ScalarFn.POWER):
+            self.dtype = DataType.float64()
+        elif f is ScalarFn.ABS:
+            self.dtype = self.args[0].dtype
+        elif f in (ScalarFn.COALESCE, ScalarFn.NULLIF):
+            self.dtype = next(
+                (a.dtype for a in self.args if a.dtype.kind is not TypeKind.NULL),
+                DataType.null(),
+            )
+        elif f is ScalarFn.TO_TSVECTOR:
+            self.dtype = DataType(TypeKind.TSVECTOR)
+        elif f is ScalarFn.TO_TSQUERY:
+            self.dtype = DataType(TypeKind.TSQUERY)
+        else:
+            self.dtype = DataType.float64()
+        self.nullable = any(a.nullable for a in self.args) or f is ScalarFn.NULLIF
+
+    def name(self) -> str:
+        return f"{self.func.value}({', '.join(a.name() for a in self.args)})"
+
+
+@dataclass
+class UdfExpr(LogicalExpr):
+    fn_name: str
+    args: List[LogicalExpr]
+    dtype: DataType = field(default_factory=DataType.float64)
+    nullable: bool = True
+
+    def name(self) -> str:
+        return f"{self.fn_name}({', '.join(a.name() for a in self.args)})"
+
+
+class WindowFn(enum.Enum):
+    ROW_NUMBER = "ROW_NUMBER"
+    RANK = "RANK"
+    DENSE_RANK = "DENSE_RANK"
+    NTILE = "NTILE"
+    LAG = "LAG"
+    LEAD = "LEAD"
+    FIRST_VALUE = "FIRST_VALUE"
+    LAST_VALUE = "LAST_VALUE"
+
+
+@dataclass
+class SortKey:
+    expr: LogicalExpr
+    asc: bool = True
+    nulls_first: Optional[bool] = None  # None => PG default (LAST if asc)
+
+    def resolved_nulls_first(self) -> bool:
+        if self.nulls_first is None:
+            return not self.asc
+        return self.nulls_first
+
+
+@dataclass
+class WindowExpr(LogicalExpr):
+    func: WindowFn
+    args: List[LogicalExpr]
+    partition_by: List[LogicalExpr] = field(default_factory=list)
+    order_by: List[SortKey] = field(default_factory=list)
+    frame: Optional[ast.WindowFrame] = None
+
+    def __post_init__(self):
+        if self.func in (WindowFn.ROW_NUMBER, WindowFn.RANK,
+                         WindowFn.DENSE_RANK, WindowFn.NTILE):
+            self.dtype = DataType.int64()
+            self.nullable = False
+        else:  # LAG/LEAD/FIRST_VALUE/LAST_VALUE track arg type
+            self.dtype = self.args[0].dtype if self.args else DataType.int64()
+            self.nullable = True
+
+    def name(self) -> str:
+        return f"{self.func.value}({', '.join(a.name() for a in self.args)})"
+
+
+@dataclass
+class CaseExpr(LogicalExpr):
+    branches: List[Tuple[LogicalExpr, LogicalExpr]]  # (bool cond, value)
+    else_expr: Optional[LogicalExpr]
+
+    def __post_init__(self):
+        self.dtype = self.branches[0][1].dtype
+        self.nullable = True
+
+    def name(self) -> str:
+        return "CASE"
+
+
+@dataclass
+class InListExpr(LogicalExpr):
+    expr: LogicalExpr
+    items: List[LogicalExpr]
+    negated: bool = False
+
+    def __post_init__(self):
+        self.dtype = DataType.boolean()
+        self.nullable = self.expr.nullable
+
+    def name(self) -> str:
+        return f"{self.expr.name()} IN (...)"
+
+
+@dataclass
+class IsNullExpr(LogicalExpr):
+    expr: LogicalExpr
+    negated: bool = False
+
+    def __post_init__(self):
+        self.dtype = DataType.boolean()
+        self.nullable = False
+
+    def name(self) -> str:
+        neg = " NOT" if self.negated else ""
+        return f"{self.expr.name()} IS{neg} NULL"
+
+
+@dataclass
+class ScalarSubqueryExpr(LogicalExpr):
+    plan: "LogicalPlan"
+
+    def __post_init__(self):
+        self.dtype = self.plan.schema().field(0).data_type
+        self.nullable = True
+
+    def name(self) -> str:
+        return "(subquery)"
+
+
+@dataclass
+class InSubqueryExpr(LogicalExpr):
+    expr: LogicalExpr
+    plan: "LogicalPlan"
+    negated: bool = False
+
+    def __post_init__(self):
+        self.dtype = DataType.boolean()
+        self.nullable = self.expr.nullable
+
+    def name(self) -> str:
+        return f"{self.expr.name()} IN (subquery)"
+
+
+@dataclass
+class ExistsExpr(LogicalExpr):
+    plan: "LogicalPlan"
+    negated: bool = False
+
+    def __post_init__(self):
+        self.dtype = DataType.boolean()
+        self.nullable = False
+
+    def name(self) -> str:
+        return "EXISTS (subquery)"
+
+
+# ---------------------------------------------------------------------------
+# Plan nodes
+# ---------------------------------------------------------------------------
+class LogicalPlan:
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def children(self) -> List["LogicalPlan"]:
+        return []
+
+    def pretty(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        lines = [pad + self._label()]
+        for c in self.children():
+            lines.append(c.pretty(indent + 1))
+        return "\n".join(lines)
+
+    def _label(self) -> str:
+        return type(self).__name__
+
+
+@dataclass
+class TableScan(LogicalPlan):
+    table_name: str
+    table_schema: Schema  # already alias-prefixed
+    projection: Optional[List[int]] = None
+
+    def schema(self) -> Schema:
+        if self.projection is None:
+            return self.table_schema
+        return self.table_schema.project(self.projection)
+
+    def _label(self) -> str:
+        proj = "" if self.projection is None else f" projection={self.projection}"
+        return f"TableScan: {self.table_name}{proj}"
+
+
+@dataclass
+class Projection(LogicalPlan):
+    input: LogicalPlan
+    exprs: List[LogicalExpr]
+
+    def schema(self) -> Schema:
+        return Schema(
+            [Field(e.name(), e.dtype, e.nullable) for e in self.exprs]
+        )
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        return f"Projection: {', '.join(e.name() for e in self.exprs)}"
+
+
+@dataclass
+class Filter(LogicalPlan):
+    input: LogicalPlan
+    predicate: LogicalExpr
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        return f"Filter: {self.predicate.name()}"
+
+
+class JoinType(enum.Enum):
+    INNER = "INNER"
+    LEFT = "LEFT"
+    RIGHT = "RIGHT"
+    FULL = "FULL"
+    CROSS = "CROSS"
+
+
+@dataclass
+class Join(LogicalPlan):
+    left: LogicalPlan
+    right: LogicalPlan
+    join_type: JoinType
+    on: Optional[LogicalExpr]  # predicate over merged schema (equi-keys
+    # extracted at physical planning)
+
+    def schema(self) -> Schema:
+        merged = self.left.schema().merge(self.right.schema())
+        if self.join_type in (JoinType.LEFT, JoinType.FULL):
+            # right side columns become nullable
+            nl = len(self.left.schema())
+            fields = list(merged.fields)
+            fields = fields[:nl] + [
+                Field(f.name, f.data_type, True) for f in fields[nl:]
+            ]
+            merged = Schema(fields)
+        if self.join_type in (JoinType.RIGHT, JoinType.FULL):
+            nl = len(self.left.schema())
+            fields = list(merged.fields)
+            fields = [
+                Field(f.name, f.data_type, True) for f in fields[:nl]
+            ] + fields[nl:]
+            merged = Schema(fields)
+        return merged
+
+    def children(self):
+        return [self.left, self.right]
+
+    def _label(self) -> str:
+        on = f" on {self.on.name()}" if self.on is not None else ""
+        return f"Join: {self.join_type.value}{on}"
+
+
+@dataclass
+class Aggregate(LogicalPlan):
+    input: LogicalPlan
+    group_exprs: List[LogicalExpr]
+    agg_exprs: List[AggregateExpr]
+
+    def schema(self) -> Schema:
+        fields = [Field(e.name(), e.dtype, e.nullable) for e in self.group_exprs]
+        fields += [Field(e.name(), e.dtype, e.nullable) for e in self.agg_exprs]
+        return Schema(fields)
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        g = ", ".join(e.name() for e in self.group_exprs)
+        a = ", ".join(e.name() for e in self.agg_exprs)
+        return f"Aggregate: group=[{g}] aggr=[{a}]"
+
+
+@dataclass
+class Sort(LogicalPlan):
+    input: LogicalPlan
+    keys: List[SortKey]
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        ks = ", ".join(
+            f"{k.expr.name()} {'ASC' if k.asc else 'DESC'}" for k in self.keys
+        )
+        return f"Sort: {ks}"
+
+
+@dataclass
+class Limit(LogicalPlan):
+    input: LogicalPlan
+    skip: int = 0
+    fetch: Optional[int] = None
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        return f"Limit: skip={self.skip} fetch={self.fetch}"
+
+
+@dataclass
+class EmptyRelation(LogicalPlan):
+    rel_schema: Schema
+    produce_one_row: bool = False
+
+    def schema(self) -> Schema:
+        return self.rel_schema
+
+
+@dataclass
+class SubqueryScan(LogicalPlan):
+    input: LogicalPlan
+    alias: str
+    sub_schema: Schema  # alias-prefixed
+
+    def schema(self) -> Schema:
+        return self.sub_schema
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        return f"SubqueryScan: {self.alias}"
+
+
+@dataclass
+class Window(LogicalPlan):
+    input: LogicalPlan
+    window_exprs: List[WindowExpr]
+    names: List[str]
+
+    def schema(self) -> Schema:
+        fields = list(self.input.schema().fields)
+        fields += [
+            Field(n, e.dtype, e.nullable)
+            for n, e in zip(self.names, self.window_exprs)
+        ]
+        return Schema(fields)
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        return f"Window: {', '.join(self.names)}"
+
+
+@dataclass
+class IndexScan(LogicalPlan):
+    table_name: str
+    table_schema: Schema
+    index_name: str
+    index_predicates: List[LogicalExpr]
+    residual: Optional[LogicalExpr] = None
+
+    def schema(self) -> Schema:
+        return self.table_schema
+
+    def _label(self) -> str:
+        return f"IndexScan: {self.table_name} via {self.index_name}"
+
+
+@dataclass
+class Distinct(LogicalPlan):
+    input: LogicalPlan
+    on: Optional[List[LogicalExpr]] = None  # DISTINCT ON (...) keys
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+
+class SetOpKind(enum.Enum):
+    UNION = "UNION"
+    UNION_ALL = "UNION ALL"
+    INTERSECT = "INTERSECT"
+    EXCEPT = "EXCEPT"
+
+
+@dataclass
+class SetOp(LogicalPlan):
+    left: LogicalPlan
+    right: LogicalPlan
+    kind: SetOpKind
+
+    def schema(self) -> Schema:
+        return self.left.schema()
+
+    def children(self):
+        return [self.left, self.right]
+
+    def _label(self) -> str:
+        return f"SetOp: {self.kind.value}"
+
+
+@dataclass
+class Values(LogicalPlan):
+    rows: List[List[LogicalExpr]]
+    rel_schema: Schema
+
+    def schema(self) -> Schema:
+        return self.rel_schema
+
+
+def walk_exprs(expr: LogicalExpr, visit) -> None:
+    """Pre-order traversal over an expression tree."""
+    visit(expr)
+    children: Sequence[LogicalExpr] = ()
+    if isinstance(expr, BinaryExpr):
+        children = (expr.left, expr.right)
+    elif isinstance(expr, (UnaryExpr, CastExpr, AliasExpr, IsNullExpr)):
+        children = (expr.expr,)
+    elif isinstance(expr, AggregateExpr):
+        children = (expr.expr,) if expr.expr is not None else ()
+    elif isinstance(expr, (ScalarFnExpr, UdfExpr)):
+        children = tuple(expr.args)
+    elif isinstance(expr, WindowExpr):
+        children = tuple(expr.args) + tuple(expr.partition_by) + tuple(
+            k.expr for k in expr.order_by
+        )
+    elif isinstance(expr, CaseExpr):
+        children = tuple(x for b in expr.branches for x in b) + (
+            (expr.else_expr,) if expr.else_expr is not None else ()
+        )
+    elif isinstance(expr, InListExpr):
+        children = (expr.expr,) + tuple(expr.items)
+    elif isinstance(expr, (InSubqueryExpr,)):
+        children = (expr.expr,)
+    for c in children:
+        walk_exprs(c, visit)
+
+
+def contains_aggregate(expr: LogicalExpr) -> bool:
+    found = []
+    walk_exprs(expr, lambda e: found.append(e) if isinstance(e, AggregateExpr) else None)
+    return bool(found)
+
+
+def collect_aggregates(expr: LogicalExpr) -> List[AggregateExpr]:
+    found: List[AggregateExpr] = []
+
+    def visit(e):
+        if isinstance(e, AggregateExpr):
+            found.append(e)
+
+    walk_exprs(expr, visit)
+    return found
+
+
+def contains_window(expr: LogicalExpr) -> bool:
+    found = []
+    walk_exprs(expr, lambda e: found.append(e) if isinstance(e, WindowExpr) else None)
+    return bool(found)

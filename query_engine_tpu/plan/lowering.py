@@ -1,0 +1,251 @@
+"""Logical -> physical plan lowering.
+
+The reference duplicates this lowering three times (pgwire backend.rs:614-724,
+extended.rs:419-560, cli/commands.rs:275-397); SURVEY.md §7 "What NOT to
+rebuild" calls for exactly one module — this is it.
+
+Join lowering extracts equi-key pairs from the ON predicate (an AND-tree of
+equality comparisons between one-side column expressions); anything else
+becomes a residual predicate applied after the join (INNER only — the
+reference ignores ON entirely, executor.rs:363-435, which we do not copy).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+from query_engine_tpu.core.errors import PlanError
+from query_engine_tpu.plan import logical as lp
+from query_engine_tpu.plan import physical as pp
+
+
+class Lowering:
+    """Lower LogicalPlan trees given a table-name -> DataSource registry."""
+
+    def __init__(self, sources: Dict[str, object]):
+        self.sources = {k.lower(): v for k, v in sources.items()}
+
+    def lower(self, plan: lp.LogicalPlan) -> pp.PhysicalPlan:
+        if isinstance(plan, lp.TableScan):
+            src = self.sources.get(plan.table_name.lower())
+            if src is None:
+                raise PlanError(f"no data source for table '{plan.table_name}'")
+            return pp.PScan(plan.table_name, src, plan.schema(), plan.projection)
+        if isinstance(plan, lp.Projection):
+            return pp.PProjection(self.lower(plan.input), [
+                self._lower_expr(e) for e in plan.exprs
+            ])
+        if isinstance(plan, lp.Filter):
+            return pp.PFilter(
+                self.lower(plan.input), self._lower_expr(plan.predicate)
+            )
+        if isinstance(plan, lp.Join):
+            return self._lower_join(plan)
+        if isinstance(plan, lp.Aggregate):
+            return pp.PHashAggregate(
+                self.lower(plan.input),
+                [self._lower_expr(e) for e in plan.group_exprs],
+                [self._lower_expr(e) for e in plan.agg_exprs],
+            )
+        if isinstance(plan, lp.Sort):
+            return pp.PSort(
+                self.lower(plan.input),
+                [
+                    lp.SortKey(self._lower_expr(k.expr), k.asc, k.nulls_first)
+                    for k in plan.keys
+                ],
+            )
+        if isinstance(plan, lp.Limit):
+            return pp.PLimit(self.lower(plan.input), plan.skip, plan.fetch)
+        if isinstance(plan, lp.Window):
+            return pp.PWindow(
+                self.lower(plan.input),
+                [self._lower_expr(e) for e in plan.window_exprs],
+                plan.names,
+            )
+        if isinstance(plan, lp.Distinct):
+            on = (
+                [self._lower_expr(e) for e in plan.on]
+                if plan.on is not None
+                else None
+            )
+            return pp.PDistinct(self.lower(plan.input), on)
+        if isinstance(plan, lp.SetOp):
+            return pp.PSetOp(
+                self.lower(plan.left), self.lower(plan.right), plan.kind
+            )
+        if isinstance(plan, lp.SubqueryScan):
+            return pp.PSubquery(self.lower(plan.input), plan.schema(), plan.alias)
+        if isinstance(plan, lp.EmptyRelation):
+            return pp.PEmpty(plan.schema(), plan.produce_one_row)
+        if isinstance(plan, lp.Values):
+            return pp.PValues(
+                [[self._lower_expr(e) for e in row] for row in plan.rows],
+                plan.schema(),
+            )
+        if isinstance(plan, lp.IndexScan):
+            raise PlanError("IndexScan lowering requires Session index manager")
+        raise PlanError(f"cannot lower plan node {type(plan).__name__}")
+
+    # ---- joins ---------------------------------------------------------
+    def _lower_join(self, plan: lp.Join) -> pp.PhysicalPlan:
+        left = self.lower(plan.left)
+        right = self.lower(plan.right)
+        n_left = len(plan.left.schema())
+        key_pairs: List[Tuple[lp.LogicalExpr, lp.LogicalExpr]] = []
+        residual: Optional[lp.LogicalExpr] = None
+        if plan.on is not None:
+            conjuncts = self._split_and(self._lower_expr(plan.on))
+            res: List[lp.LogicalExpr] = []
+            for c in conjuncts:
+                pair = self._as_equi_pair(c, n_left)
+                if pair is not None:
+                    key_pairs.append(pair)
+                else:
+                    res.append(c)
+            for r in res:
+                residual = (
+                    r if residual is None
+                    else lp.BinaryExpr(residual, lp.BinOp.AND, r)
+                )
+        if plan.join_type is not lp.JoinType.CROSS and not key_pairs:
+            if plan.on is None:
+                raise PlanError("non-cross join requires an ON condition")
+            if plan.join_type is not lp.JoinType.INNER:
+                raise PlanError(
+                    "outer join requires at least one equi-key in ON"
+                )
+        if residual is not None and plan.join_type not in (
+            lp.JoinType.INNER, lp.JoinType.CROSS
+        ):
+            raise PlanError(
+                "non-equi residual ON conditions are only supported for "
+                "INNER joins"
+            )
+        return pp.PHashJoin(
+            left, right, plan.join_type, key_pairs, residual, plan.schema()
+        )
+
+    @staticmethod
+    def _split_and(e: lp.LogicalExpr) -> List[lp.LogicalExpr]:
+        if isinstance(e, lp.BinaryExpr) and e.op is lp.BinOp.AND:
+            return Lowering._split_and(e.left) + Lowering._split_and(e.right)
+        return [e]
+
+    @staticmethod
+    def _side_of(e: lp.LogicalExpr, n_left: int) -> Optional[str]:
+        """'l' if e references only left columns, 'r' only right, None mixed."""
+        sides = set()
+
+        def visit(x):
+            if isinstance(x, lp.ColumnRef):
+                sides.add("l" if x.index < n_left else "r")
+
+        lp.walk_exprs(e, visit)
+        if sides == {"l"}:
+            return "l"
+        if sides == {"r"}:
+            return "r"
+        return None
+
+    @classmethod
+    def _as_equi_pair(
+        cls, e: lp.LogicalExpr, n_left: int
+    ) -> Optional[Tuple[lp.LogicalExpr, lp.LogicalExpr]]:
+        if not (isinstance(e, lp.BinaryExpr) and e.op is lp.BinOp.EQ):
+            return None
+        ls, rs = cls._side_of(e.left, n_left), cls._side_of(e.right, n_left)
+        if ls == "l" and rs == "r":
+            lexpr, rexpr = e.left, e.right
+        elif ls == "r" and rs == "l":
+            lexpr, rexpr = e.right, e.left
+        else:
+            return None
+        return lexpr, cls._rebase(rexpr, n_left)
+
+    @classmethod
+    def _rebase(cls, e: lp.LogicalExpr, n_left: int) -> lp.LogicalExpr:
+        """Shift merged-schema column indices into right-input coordinates."""
+        import copy
+
+        e = copy.deepcopy(e)
+
+        def fix(x):
+            if isinstance(x, lp.ColumnRef):
+                x.index -= n_left
+
+        lp.walk_exprs(e, fix)
+        return e
+
+    # ---- expressions ---------------------------------------------------
+    def _lower_expr(self, e: lp.LogicalExpr) -> lp.LogicalExpr:
+        """Rewrite subquery expressions to carry physical subplans."""
+        if isinstance(e, lp.ScalarSubqueryExpr):
+            e2 = lp.ScalarSubqueryExpr.__new__(lp.ScalarSubqueryExpr)
+            e2.plan = self.lower(e.plan)
+            e2.dtype = e.dtype
+            e2.nullable = e.nullable
+            return e2
+        if isinstance(e, lp.InSubqueryExpr):
+            e2 = lp.InSubqueryExpr.__new__(lp.InSubqueryExpr)
+            e2.expr = self._lower_expr(e.expr)
+            e2.plan = self.lower(e.plan)
+            e2.negated = e.negated
+            e2.dtype = e.dtype
+            e2.nullable = e.nullable
+            return e2
+        if isinstance(e, lp.ExistsExpr):
+            e2 = lp.ExistsExpr.__new__(lp.ExistsExpr)
+            e2.plan = self.lower(e.plan)
+            e2.negated = e.negated
+            e2.dtype = e.dtype
+            e2.nullable = e.nullable
+            return e2
+        if isinstance(e, lp.BinaryExpr):
+            return lp.BinaryExpr(
+                self._lower_expr(e.left), e.op, self._lower_expr(e.right)
+            )
+        if isinstance(e, lp.UnaryExpr):
+            return lp.UnaryExpr(e.op, self._lower_expr(e.expr))
+        if isinstance(e, lp.CastExpr):
+            return lp.CastExpr(self._lower_expr(e.expr), e.target)
+        if isinstance(e, lp.AliasExpr):
+            return lp.AliasExpr(self._lower_expr(e.expr), e.alias)
+        if isinstance(e, lp.AggregateExpr):
+            inner = self._lower_expr(e.expr) if e.expr is not None else None
+            return lp.AggregateExpr(e.func, inner, e.distinct)
+        if isinstance(e, lp.ScalarFnExpr):
+            return lp.ScalarFnExpr(e.func, [self._lower_expr(a) for a in e.args])
+        if isinstance(e, lp.UdfExpr):
+            return lp.UdfExpr(
+                e.fn_name, [self._lower_expr(a) for a in e.args],
+                dtype=e.dtype, nullable=e.nullable,
+            )
+        if isinstance(e, lp.WindowExpr):
+            return lp.WindowExpr(
+                e.func,
+                [self._lower_expr(a) for a in e.args],
+                [self._lower_expr(p) for p in e.partition_by],
+                [
+                    lp.SortKey(self._lower_expr(k.expr), k.asc, k.nulls_first)
+                    for k in e.order_by
+                ],
+                e.frame,
+            )
+        if isinstance(e, lp.CaseExpr):
+            return lp.CaseExpr(
+                [
+                    (self._lower_expr(c), self._lower_expr(v))
+                    for c, v in e.branches
+                ],
+                self._lower_expr(e.else_expr) if e.else_expr is not None else None,
+            )
+        if isinstance(e, lp.InListExpr):
+            return lp.InListExpr(
+                self._lower_expr(e.expr),
+                [self._lower_expr(i) for i in e.items],
+                e.negated,
+            )
+        if isinstance(e, lp.IsNullExpr):
+            return lp.IsNullExpr(self._lower_expr(e.expr), e.negated)
+        return e

@@ -1,0 +1,690 @@
+"""Planner: AST -> LogicalPlan.
+
+Parity surface: reference crates/query-planner/src/planner.rs:7-311 —
+register_table, create_logical_plan, table-alias resolution by name prefixing
+("table.column" field names, prefix_schema_with_table planner.rs:313-327),
+CTE planning via schema map (:25-35), JOIN schema merging (:113-166,329-343),
+aggregate detection + output schema construction (:180-277), suffix-match
+column resolution fallback (:352-404), numeric coercion (:831-848).
+
+Unlike the reference, aggregate outputs are typed accurately (its planner
+types every aggregate Float64, planner.rs:239 — a looseness SURVEY.md flags);
+we type them the way its *executor* actually computes (operators.rs:745-848),
+which is what result parity is measured against.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from query_engine_tpu.core.errors import PlanError
+from query_engine_tpu.core.schema import Field, Schema
+from query_engine_tpu.core.types import DataType, TypeKind
+from query_engine_tpu.core.udf import UdfRegistry
+from query_engine_tpu.sql import ast
+from query_engine_tpu.plan import logical as lp
+
+
+_BINOP_MAP = {
+    ast.BinaryOperator.PLUS: lp.BinOp.ADD,
+    ast.BinaryOperator.MINUS: lp.BinOp.SUB,
+    ast.BinaryOperator.MULTIPLY: lp.BinOp.MUL,
+    ast.BinaryOperator.DIVIDE: lp.BinOp.DIV,
+    ast.BinaryOperator.MODULO: lp.BinOp.MOD,
+    ast.BinaryOperator.EQ: lp.BinOp.EQ,
+    ast.BinaryOperator.NEQ: lp.BinOp.NEQ,
+    ast.BinaryOperator.LT: lp.BinOp.LT,
+    ast.BinaryOperator.LTE: lp.BinOp.LTE,
+    ast.BinaryOperator.GT: lp.BinOp.GT,
+    ast.BinaryOperator.GTE: lp.BinOp.GTE,
+    ast.BinaryOperator.AND: lp.BinOp.AND,
+    ast.BinaryOperator.OR: lp.BinOp.OR,
+    ast.BinaryOperator.TS_MATCH: lp.BinOp.TS_MATCH,
+    ast.BinaryOperator.LIKE: lp.BinOp.LIKE,
+    ast.BinaryOperator.ILIKE: lp.BinOp.ILIKE,
+    ast.BinaryOperator.NOT_LIKE: lp.BinOp.NOT_LIKE,
+    ast.BinaryOperator.NOT_ILIKE: lp.BinOp.NOT_ILIKE,
+    ast.BinaryOperator.CONCAT_OP: lp.BinOp.CONCAT,
+}
+
+
+def prefix_schema(schema: Schema, prefix: str) -> Schema:
+    """Qualify every bare field name with `prefix.` (planner.rs:313-327)."""
+    fields = []
+    for f in schema:
+        name = f.name if "." in f.name else f"{prefix}.{f.name}"
+        fields.append(Field(name, f.data_type, f.nullable))
+    return Schema(fields)
+
+
+def unqualified(name: str) -> str:
+    return name.rsplit(".", 1)[-1]
+
+
+class Resolver:
+    """Column resolution over a (possibly prefixed) schema: exact match first,
+    then unique suffix match (planner.rs:352-404)."""
+
+    def __init__(self, schema: Schema):
+        self.schema = schema
+
+    def resolve(self, name: str) -> lp.ColumnRef:
+        idx = self.schema.try_index_of(name)
+        if idx is None:
+            suffix = "." + name
+            matches = [
+                i for i, f in enumerate(self.schema.fields)
+                if f.name.endswith(suffix) or f.name == name
+            ]
+            if not matches:
+                # bare-name match against unqualified field names
+                matches = [
+                    i for i, f in enumerate(self.schema.fields)
+                    if unqualified(f.name) == name
+                ]
+            if len(matches) > 1:
+                raise PlanError(f"ambiguous column '{name}'")
+            if not matches:
+                raise PlanError(
+                    f"column '{name}' not found in {self.schema.names()}"
+                )
+            idx = matches[0]
+        f = self.schema.field(idx)
+        return lp.ColumnRef(idx, f.name, f.data_type, f.nullable)
+
+
+class Planner:
+    """AST -> LogicalPlan over a registry of table schemas."""
+
+    def __init__(self, udfs: Optional[UdfRegistry] = None):
+        self.tables: Dict[str, Schema] = {}
+        self.udfs = udfs or UdfRegistry()
+
+    def register_table(self, name: str, schema: Schema) -> None:
+        self.tables[name.lower()] = schema
+
+    def deregister_table(self, name: str) -> None:
+        self.tables.pop(name.lower(), None)
+
+    # ---- entry ---------------------------------------------------------
+    def create_logical_plan(self, stmt: ast.Statement) -> lp.LogicalPlan:
+        if isinstance(stmt, ast.Select):
+            return self.plan_select(stmt.select, {})
+        if isinstance(stmt, ast.WithSelect):
+            return self.plan_with_select(stmt)
+        raise PlanError(
+            f"statement {type(stmt).__name__} is handled by the session layer"
+        )
+
+    def plan_with_select(self, stmt: ast.WithSelect) -> lp.LogicalPlan:
+        ctes: Dict[str, lp.LogicalPlan] = {}
+        for cte in stmt.ctes:
+            if stmt.recursive and self._references_table(cte.query, cte.name):
+                raise PlanError(
+                    "recursive CTE requires iterative execution; "
+                    "use Session which implements fixed-point recursion"
+                )
+            plan = self.plan_select(cte.query, dict(ctes))
+            if cte.columns:
+                plan = self._rename_plan(plan, list(cte.columns))
+            ctes[cte.name.lower()] = plan
+        return self.plan_select(stmt.select, ctes)
+
+    @staticmethod
+    def _references_table(sel: ast.SelectStatement, name: str) -> bool:
+        refs: List[str] = []
+
+        def visit_tr(tr):
+            if isinstance(tr, ast.TableName):
+                refs.append(tr.name.lower())
+            elif isinstance(tr, ast.SubqueryRef):
+                visit_sel(tr.query)
+
+        def visit_sel(s):
+            if s.from_ is not None:
+                visit_tr(s.from_)
+            for j in s.joins:
+                visit_tr(j.right)
+            if s.union_clause:
+                visit_sel(s.union_clause.select)
+
+        visit_sel(sel)
+        return name.lower() in refs
+
+    @staticmethod
+    def _rename_plan(plan: lp.LogicalPlan, names: List[str]) -> lp.LogicalPlan:
+        schema = plan.schema()
+        if len(names) != len(schema):
+            raise PlanError(
+                f"CTE column list has {len(names)} names for {len(schema)} columns"
+            )
+        exprs = [
+            lp.AliasExpr(
+                lp.ColumnRef(i, f.name, f.data_type, f.nullable), n
+            )
+            for i, (f, n) in enumerate(zip(schema, names))
+        ]
+        return lp.Projection(plan, exprs)
+
+    # ---- SELECT --------------------------------------------------------
+    def plan_select(
+        self, sel: ast.SelectStatement, ctes: Dict[str, lp.LogicalPlan]
+    ) -> lp.LogicalPlan:
+        plan = self._plan_from(sel, ctes)
+        scope = Resolver(plan.schema())
+
+        if sel.selection is not None:
+            pred = self.plan_expr(sel.selection, scope, ctes)
+            plan = lp.Filter(plan, pred)
+            scope = Resolver(plan.schema())
+
+        # ---- aggregate detection (planner.rs:180-277) ----
+        proj_exprs_ast = [
+            it.expr for it in sel.projection if isinstance(it, ast.ExprItem)
+        ]
+        has_agg = bool(sel.group_by) or any(
+            self._ast_has_aggregate(e) for e in proj_exprs_ast
+        ) or (sel.having is not None and self._ast_has_aggregate(sel.having))
+
+        group_lexprs: List[lp.LogicalExpr] = []
+        agg_map: Dict[str, int] = {}
+        agg_exprs: List[lp.AggregateExpr] = []
+        pre_agg_scope = scope
+
+        if has_agg:
+            group_lexprs = [
+                self.plan_expr(g, scope, ctes) for g in sel.group_by
+            ]
+
+            def collect(e: ast.Expr):
+                for a in self._ast_collect_aggregates(e):
+                    le = self._plan_aggregate(a, pre_agg_scope, ctes)
+                    key = le.name() + ("|d" if le.distinct else "")
+                    if key not in agg_map:
+                        agg_map[key] = len(agg_exprs)
+                        agg_exprs.append(le)
+
+            for e in proj_exprs_ast:
+                collect(e)
+            if sel.having is not None:
+                collect(sel.having)
+            for ob in sel.order_by:
+                collect(ob.expr)
+
+            plan = lp.Aggregate(plan, group_lexprs, agg_exprs)
+            scope = Resolver(plan.schema())
+
+        def plan_post_agg(e: ast.Expr) -> lp.LogicalExpr:
+            """Plan an expression over aggregate output: aggregate calls map
+            to agg columns, group exprs map to group columns."""
+            if has_agg:
+                return self._plan_expr_agg(
+                    e, scope, pre_agg_scope, group_lexprs, agg_map,
+                    len(group_lexprs), agg_exprs, ctes,
+                )
+            return self.plan_expr(e, scope, ctes)
+
+        if sel.having is not None:
+            if not has_agg:
+                raise PlanError("HAVING requires GROUP BY or aggregates")
+            plan = lp.Filter(plan, plan_post_agg(sel.having))
+            scope = Resolver(plan.schema())
+
+        # ---- window functions ----
+        win_asts: List[ast.Expr] = []
+        for e in proj_exprs_ast:
+            self._ast_collect_windows(e, win_asts)
+        if win_asts:
+            wexprs: List[lp.WindowExpr] = []
+            names: List[str] = []
+            for i, w in enumerate(win_asts):
+                wexprs.append(self._plan_window(w, scope, ctes, plan_post_agg))
+                names.append(f"__win{i}")
+            plan = lp.Window(plan, wexprs, names)
+            scope = Resolver(plan.schema())
+            win_map = {
+                id(a): lp.ColumnRef(
+                    len(plan.input.schema()) + i, names[i],
+                    wexprs[i].dtype, wexprs[i].nullable,
+                )
+                for i, a in enumerate(win_asts)
+            }
+        else:
+            win_map = {}
+
+        # ---- projection ----
+        proj: List[lp.LogicalExpr] = []
+        input_schema = plan.schema()
+        for item in sel.projection:
+            if isinstance(item, ast.WildcardItem):
+                base = pre_agg_scope.schema if not has_agg else input_schema
+                for i, f in enumerate(input_schema if has_agg else base):
+                    proj.append(
+                        lp.AliasExpr(
+                            lp.ColumnRef(i, f.name, f.data_type, f.nullable),
+                            unqualified(f.name),
+                        )
+                    )
+            elif isinstance(item, ast.QualifiedWildcard):
+                prefix = item.table + "."
+                found = False
+                for i, f in enumerate(input_schema):
+                    if f.name.startswith(prefix):
+                        proj.append(
+                            lp.AliasExpr(
+                                lp.ColumnRef(i, f.name, f.data_type, f.nullable),
+                                unqualified(f.name),
+                            )
+                        )
+                        found = True
+                if not found:
+                    raise PlanError(f"unknown table alias '{item.table}'")
+            else:
+                e = self._plan_projection_item(
+                    item.expr, plan_post_agg, win_map
+                )
+                name = item.alias or self._output_name(item.expr, e)
+                proj.append(lp.AliasExpr(e, name))
+        # ---- ORDER BY resolution (before projection is final: keys not
+        # visible in the projection become hidden sort columns) ----
+        proj_schema = Schema(
+            [Field(e.name(), e.dtype, e.nullable) for e in proj]
+        )
+        proj_scope = Resolver(proj_schema)
+        sort_keys: List[lp.SortKey] = []
+        extra_exprs: List[lp.LogicalExpr] = []
+        for ob in sel.order_by:
+            e = ob.expr
+            key_expr = None
+            if isinstance(e, ast.NumberLit) and "." not in e.value:
+                i = int(e.value) - 1
+                f = proj_schema.field(i)
+                key_expr = lp.ColumnRef(i, f.name, f.data_type, f.nullable)
+            else:
+                try:
+                    key_expr = self.plan_expr(e, proj_scope, ctes)
+                except PlanError:
+                    hidden = plan_post_agg(e)
+                    idx = len(proj) + len(extra_exprs)
+                    name = f"__sort{len(extra_exprs)}"
+                    extra_exprs.append(lp.AliasExpr(hidden, name))
+                    key_expr = lp.ColumnRef(
+                        idx, name, hidden.dtype, hidden.nullable
+                    )
+            sort_keys.append(lp.SortKey(key_expr, ob.asc, ob.nulls_first))
+
+        if extra_exprs and (sel.distinct or sel.distinct_on is not None):
+            raise PlanError(
+                "for SELECT DISTINCT, ORDER BY expressions must appear in "
+                "the select list"
+            )
+
+        plan = lp.Projection(plan, proj + extra_exprs)
+        proj_scope = Resolver(plan.schema())
+
+        # ---- DISTINCT ----
+        if sel.distinct:
+            plan = lp.Distinct(plan)
+        elif sel.distinct_on is not None:
+            keys = [self.plan_expr(e, proj_scope, ctes) for e in sel.distinct_on]
+            plan = lp.Distinct(plan, on=keys)
+
+        # ---- ORDER BY ----
+        if sort_keys:
+            plan = lp.Sort(plan, sort_keys)
+        if extra_exprs:
+            # strip the hidden sort columns
+            plan = lp.Projection(
+                plan,
+                [
+                    lp.ColumnRef(i, e.name(), e.dtype, e.nullable)
+                    for i, e in enumerate(proj)
+                ],
+            )
+
+        # ---- LIMIT/OFFSET ----
+        if sel.limit is not None or sel.offset is not None:
+            plan = lp.Limit(plan, skip=sel.offset or 0, fetch=sel.limit)
+
+        # ---- set operations ----
+        if sel.union_clause is not None:
+            right = self.plan_select(sel.union_clause.select, ctes)
+            if len(right.schema()) != len(plan.schema()):
+                raise PlanError("UNION inputs have different column counts")
+            kind = {
+                ast.SetOperation.UNION: lp.SetOpKind.UNION,
+                ast.SetOperation.UNION_ALL: lp.SetOpKind.UNION_ALL,
+                ast.SetOperation.INTERSECT: lp.SetOpKind.INTERSECT,
+                ast.SetOperation.EXCEPT: lp.SetOpKind.EXCEPT,
+            }[sel.union_clause.set_op]
+            plan = lp.SetOp(plan, right, kind)
+            if kind is lp.SetOpKind.UNION:
+                plan = lp.Distinct(plan)
+        return plan
+
+    def _plan_order_expr(self, e, proj_scope, plan_post_agg):
+        # ordinals: ORDER BY 1
+        if isinstance(e, ast.NumberLit) and "." not in e.value:
+            i = int(e.value) - 1
+            f = proj_scope.schema.field(i)
+            return lp.ColumnRef(i, f.name, f.data_type, f.nullable)
+        try:
+            return self.plan_expr(e, proj_scope, {})
+        except PlanError:
+            # Not visible in projection output: resolve against the
+            # pre-projection scope; the executor sorts before projecting
+            # in that case (physical planning handles the swap).
+            return plan_post_agg(e)
+
+    def _plan_projection_item(self, e, plan_post_agg, win_map):
+        return self._rewrite_with_windows(e, plan_post_agg, win_map)
+
+    def _rewrite_with_windows(self, e, plan_post_agg, win_map):
+        if id(e) in win_map:
+            return win_map[id(e)]
+        if isinstance(e, ast.BinaryOp):
+            left = self._rewrite_with_windows(e.left, plan_post_agg, win_map)
+            right = self._rewrite_with_windows(e.right, plan_post_agg, win_map)
+            return lp.BinaryExpr(left, _BINOP_MAP[e.op], right)
+        return plan_post_agg(e)
+
+    @staticmethod
+    def _output_name(e: ast.Expr, planned: lp.LogicalExpr) -> str:
+        if isinstance(e, ast.Column):
+            return e.name
+        if isinstance(e, ast.QualifiedColumn):
+            return e.column
+        return planned.name()
+
+    # ---- FROM / joins --------------------------------------------------
+    def _plan_from(
+        self, sel: ast.SelectStatement, ctes: Dict[str, lp.LogicalPlan]
+    ) -> lp.LogicalPlan:
+        if sel.from_ is None:
+            return lp.EmptyRelation(Schema([]), produce_one_row=True)
+        plan = self._plan_table_ref(sel.from_, ctes)
+        for join in sel.joins:
+            right = self._plan_table_ref(join.right, ctes)
+            jt = lp.JoinType[join.join_type.name]
+            merged = Resolver(plan.schema().merge(right.schema()))
+            on = (
+                self.plan_expr(join.on, merged, ctes)
+                if join.on is not None
+                else None
+            )
+            plan = lp.Join(plan, right, jt, on)
+        return plan
+
+    def _plan_table_ref(
+        self, tr: ast.TableReference, ctes: Dict[str, lp.LogicalPlan]
+    ) -> lp.LogicalPlan:
+        if isinstance(tr, ast.SubqueryRef):
+            sub = self.plan_select(tr.query, ctes)
+            schema = prefix_schema(
+                Schema(
+                    [Field(unqualified(f.name), f.data_type, f.nullable)
+                     for f in sub.schema()]
+                ),
+                tr.alias,
+            )
+            return lp.SubqueryScan(sub, tr.alias, schema)
+        assert isinstance(tr, ast.TableName)
+        key = tr.name.lower()
+        prefix = tr.alias or tr.name
+        if key in ctes:
+            cte_plan = ctes[key]
+            schema = prefix_schema(
+                Schema(
+                    [Field(unqualified(f.name), f.data_type, f.nullable)
+                     for f in cte_plan.schema()]
+                ),
+                prefix,
+            )
+            return lp.SubqueryScan(cte_plan, prefix, schema)
+        if key not in self.tables:
+            raise PlanError(f"table '{tr.name}' not found")
+        schema = prefix_schema(self.tables[key], prefix)
+        return lp.TableScan(tr.name, schema)
+
+    # ---- expressions ---------------------------------------------------
+    def plan_expr(
+        self,
+        e: ast.Expr,
+        scope: Resolver,
+        ctes: Dict[str, lp.LogicalPlan],
+    ) -> lp.LogicalExpr:
+        if isinstance(e, ast.Column):
+            return scope.resolve(e.name)
+        if isinstance(e, ast.QualifiedColumn):
+            return scope.resolve(f"{e.table}.{e.column}")
+        if isinstance(e, ast.NumberLit):
+            text = e.value
+            if any(c in text for c in ".eE") and not text.isdigit():
+                return lp.Literal(lp.ScalarValue.float64(float(text)))
+            return lp.Literal(lp.ScalarValue.int64(int(text)))
+        if isinstance(e, ast.StringLit):
+            return lp.Literal(lp.ScalarValue.utf8(e.value))
+        if isinstance(e, ast.BoolLit):
+            return lp.Literal(lp.ScalarValue.boolean(e.value))
+        if isinstance(e, ast.NullLit):
+            return lp.Literal(lp.ScalarValue.null())
+        if isinstance(e, ast.Param):
+            raise PlanError(
+                f"unbound parameter ${e.index} (bind parameters before planning)"
+            )
+        if isinstance(e, ast.BinaryOp):
+            left = self.plan_expr(e.left, scope, ctes)
+            right = self.plan_expr(e.right, scope, ctes)
+            return lp.BinaryExpr(left, _BINOP_MAP[e.op], right)
+        if isinstance(e, ast.UnaryOp):
+            inner = self.plan_expr(e.expr, scope, ctes)
+            op = lp.UnOp.NOT if e.op is ast.UnaryOperator.NOT else lp.UnOp.NEG
+            return lp.UnaryExpr(op, inner)
+        if isinstance(e, ast.Aggregate):
+            return self._plan_aggregate(e, scope, ctes)
+        if isinstance(e, ast.Cast):
+            return lp.CastExpr(self.plan_expr(e.expr, scope, ctes), e.data_type)
+        if isinstance(e, ast.ScalarFunctionCall):
+            args = [self.plan_expr(a, scope, ctes) for a in e.args]
+            return lp.ScalarFnExpr(lp.ScalarFn[e.func.name], args)
+        if isinstance(e, ast.UdfCall):
+            udf = self.udfs.get(e.name)
+            if udf is None:
+                raise PlanError(f"unknown function '{e.name}'")
+            args = [self.plan_expr(a, scope, ctes) for a in e.args]
+            return lp.UdfExpr(
+                e.name, args, dtype=udf.signature.return_type
+            )
+        if isinstance(e, ast.Case):
+            return self._plan_case(e, scope, ctes)
+        if isinstance(e, ast.InList):
+            inner = self.plan_expr(e.expr, scope, ctes)
+            items = [self.plan_expr(i, scope, ctes) for i in e.items]
+            return lp.InListExpr(inner, items, e.negated)
+        if isinstance(e, ast.IsNull):
+            return lp.IsNullExpr(self.plan_expr(e.expr, scope, ctes), e.negated)
+        if isinstance(e, ast.Between):
+            inner = self.plan_expr(e.expr, scope, ctes)
+            low = self.plan_expr(e.low, scope, ctes)
+            high = self.plan_expr(e.high, scope, ctes)
+            rng = lp.BinaryExpr(
+                lp.BinaryExpr(inner, lp.BinOp.GTE, low),
+                lp.BinOp.AND,
+                lp.BinaryExpr(inner, lp.BinOp.LTE, high),
+            )
+            return lp.UnaryExpr(lp.UnOp.NOT, rng) if e.negated else rng
+        if isinstance(e, ast.ScalarSubquery):
+            return lp.ScalarSubqueryExpr(self.plan_select(e.query, ctes))
+        if isinstance(e, ast.InSubquery):
+            inner = self.plan_expr(e.expr, scope, ctes)
+            return lp.InSubqueryExpr(inner, self.plan_select(e.query, ctes), e.negated)
+        if isinstance(e, ast.Exists):
+            return lp.ExistsExpr(self.plan_select(e.query, ctes), e.negated)
+        if isinstance(e, ast.WindowFunction):
+            raise PlanError("window function not allowed in this context")
+        if isinstance(e, ast.Wildcard):
+            raise PlanError("* only allowed inside COUNT(*)")
+        raise PlanError(f"cannot plan expression {type(e).__name__}")
+
+    def _plan_case(self, e: ast.Case, scope, ctes) -> lp.LogicalExpr:
+        branches = []
+        for when, then in e.branches:
+            cond = self.plan_expr(when, scope, ctes)
+            if e.operand is not None:
+                operand = self.plan_expr(e.operand, scope, ctes)
+                cond = lp.BinaryExpr(operand, lp.BinOp.EQ, cond)
+            branches.append((cond, self.plan_expr(then, scope, ctes)))
+        else_e = (
+            self.plan_expr(e.else_expr, scope, ctes)
+            if e.else_expr is not None
+            else None
+        )
+        return lp.CaseExpr(branches, else_e)
+
+    def _plan_aggregate(self, e: ast.Aggregate, scope, ctes) -> lp.AggregateExpr:
+        func = lp.AggFunc[e.func.name]
+        if isinstance(e.expr, ast.Wildcard):
+            if func is not lp.AggFunc.COUNT:
+                raise PlanError(f"{func.value}(*) is not valid")
+            return lp.AggregateExpr(func, None, e.distinct)
+        inner = self.plan_expr(e.expr, scope, ctes)
+        return lp.AggregateExpr(func, inner, e.distinct)
+
+    def _plan_window(self, e: ast.WindowFunction, scope, ctes, plan_post_agg):
+        args = [plan_post_agg(a) for a in e.args]
+        partition_by = [plan_post_agg(p) for p in e.over.partition_by]
+        order_by = [
+            lp.SortKey(plan_post_agg(ob.expr), ob.asc, ob.nulls_first)
+            for ob in e.over.order_by
+        ]
+        return lp.WindowExpr(
+            lp.WindowFn[e.func.name], args, partition_by, order_by, e.over.frame
+        )
+
+    # ---- aggregate rewriting -------------------------------------------
+    def _plan_expr_agg(
+        self,
+        e: ast.Expr,
+        agg_scope: Resolver,
+        pre_scope: Resolver,
+        group_lexprs: List[lp.LogicalExpr],
+        agg_map: Dict[str, int],
+        num_groups: int,
+        agg_exprs: List[lp.AggregateExpr],
+        ctes,
+    ) -> lp.LogicalExpr:
+        """Plan an expr over Aggregate output: aggregates become column refs
+        into the agg schema; group-key exprs become their group columns."""
+        if isinstance(e, ast.Aggregate):
+            le = self._plan_aggregate(e, pre_scope, ctes)
+            key = le.name() + ("|d" if le.distinct else "")
+            idx = num_groups + agg_map[key]
+            return lp.ColumnRef(idx, le.name(), le.dtype, le.nullable)
+        # group expr structural match
+        try:
+            candidate = self.plan_expr(e, pre_scope, ctes)
+            for gi, g in enumerate(group_lexprs):
+                if self._expr_eq(candidate, g):
+                    f = agg_scope.schema.field(gi)
+                    return lp.ColumnRef(gi, f.name, f.data_type, f.nullable)
+        except PlanError:
+            pass
+        # recurse
+        if isinstance(e, ast.BinaryOp):
+            left = self._plan_expr_agg(
+                e.left, agg_scope, pre_scope, group_lexprs, agg_map,
+                num_groups, agg_exprs, ctes,
+            )
+            right = self._plan_expr_agg(
+                e.right, agg_scope, pre_scope, group_lexprs, agg_map,
+                num_groups, agg_exprs, ctes,
+            )
+            return lp.BinaryExpr(left, _BINOP_MAP[e.op], right)
+        if isinstance(e, ast.UnaryOp):
+            inner = self._plan_expr_agg(
+                e.expr, agg_scope, pre_scope, group_lexprs, agg_map,
+                num_groups, agg_exprs, ctes,
+            )
+            op = lp.UnOp.NOT if e.op is ast.UnaryOperator.NOT else lp.UnOp.NEG
+            return lp.UnaryExpr(op, inner)
+        if isinstance(e, ast.Cast):
+            inner = self._plan_expr_agg(
+                e.expr, agg_scope, pre_scope, group_lexprs, agg_map,
+                num_groups, agg_exprs, ctes,
+            )
+            return lp.CastExpr(inner, e.data_type)
+        if isinstance(e, (ast.NumberLit, ast.StringLit, ast.BoolLit, ast.NullLit)):
+            return self.plan_expr(e, agg_scope, ctes)
+        # plain columns: must be group keys (checked above) — or resolvable
+        # in the aggregate output schema directly
+        return self.plan_expr(e, agg_scope, ctes)
+
+    @staticmethod
+    def _expr_eq(a: lp.LogicalExpr, b: lp.LogicalExpr) -> bool:
+        if type(a) is not type(b):
+            return False
+        if isinstance(a, lp.ColumnRef):
+            return a.index == b.index
+        return a == b
+
+    # ---- AST aggregate/window scanning ---------------------------------
+    @classmethod
+    def _ast_has_aggregate(cls, e: ast.Expr) -> bool:
+        return bool(cls._ast_collect_aggregates(e))
+
+    @classmethod
+    def _ast_collect_aggregates(cls, e: ast.Expr) -> List[ast.Aggregate]:
+        out: List[ast.Aggregate] = []
+
+        def visit(x):
+            if isinstance(x, ast.Aggregate):
+                out.append(x)
+                return  # don't descend into aggregate args
+            for c in cls._ast_children(x):
+                visit(c)
+
+        visit(e)
+        return out
+
+    @classmethod
+    def _ast_collect_windows(cls, e: ast.Expr, out: List[ast.Expr]) -> None:
+        if isinstance(e, ast.WindowFunction):
+            out.append(e)
+            return
+        for c in cls._ast_children(e):
+            cls._ast_collect_windows(c, out)
+
+    @staticmethod
+    def _ast_children(e: ast.Expr) -> Sequence[ast.Expr]:
+        if isinstance(e, ast.BinaryOp):
+            return (e.left, e.right)
+        if isinstance(e, ast.UnaryOp):
+            return (e.expr,)
+        if isinstance(e, ast.Cast):
+            return (e.expr,)
+        if isinstance(e, ast.Aggregate):
+            return (e.expr,)
+        if isinstance(e, (ast.ScalarFunctionCall, ast.UdfCall)):
+            return tuple(e.args)
+        if isinstance(e, ast.Case):
+            kids = []
+            if e.operand is not None:
+                kids.append(e.operand)
+            for w, t in e.branches:
+                kids += [w, t]
+            if e.else_expr is not None:
+                kids.append(e.else_expr)
+            return tuple(kids)
+        if isinstance(e, ast.InList):
+            return (e.expr,) + tuple(e.items)
+        if isinstance(e, (ast.IsNull,)):
+            return (e.expr,)
+        if isinstance(e, ast.Between):
+            return (e.expr, e.low, e.high)
+        if isinstance(e, (ast.InSubquery,)):
+            return (e.expr,)
+        if isinstance(e, ast.WindowFunction):
+            return tuple(e.args) + tuple(e.over.partition_by) + tuple(
+                ob.expr for ob in e.over.order_by
+            )
+        return ()

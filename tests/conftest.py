@@ -2,15 +2,23 @@
 
 Multi-chip sharding is validated without TPU hardware per SURVEY.md §4:
 JAX CPU backend + xla_force_host_platform_device_count=8.
+
+Note: the image's sitecustomize imports jax and registers the `axon` TPU
+backend before pytest starts, so JAX_PLATFORMS env tweaks are too late —
+we must go through jax.config before any backend is initialized.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,154 @@
+"""Operator kernel tests (sort, group, aggregate, join, window) on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import query_engine_tpu  # noqa: F401  (enables x64)
+from query_engine_tpu.ops import kernels as K
+
+
+def pad(arr, cap, fill=0):
+    out = np.full(cap, fill, dtype=np.asarray(arr).dtype)
+    out[: len(arr)] = arr
+    return jnp.asarray(out)
+
+
+def test_f64_orderable_bits():
+    xs = np.array([-np.inf, -1e300, -2.5, -1.0, -0.0, 0.0, 1e-300, 1.0, 2.5, np.inf])
+    ys = np.asarray(K._f64_orderable_bits(jnp.asarray(xs)))
+    assert all(ys[i] <= ys[i + 1] for i in range(len(ys) - 1))
+    assert ys[4] == ys[5]  # -0.0 == +0.0
+
+
+def test_sort_permutation_multikey_desc_nulls():
+    cap = 8
+    a = pad([3, 1, 3, 2, 1], cap)
+    av = pad([True, True, True, True, False], cap, fill=False)
+    b = pad([10.0, 20.0, 5.0, 7.0, 9.0], cap, fill=0.0)
+    bv = pad([True] * 5, cap, fill=False)
+    # ORDER BY a ASC NULLS LAST, b DESC
+    perm = K.sort_permutation([a, b], [av, bv], [True, False], [False, False], 5)
+    order = np.asarray(perm)[:5].tolist()
+    # a=1 rows: row1 (b=20); a=2: row3; a=3: rows 0 (b=10) then 2 (b=5); null a last: row4
+    assert order == [1, 3, 0, 2, 4]
+
+
+def test_group_ids_nulls_group_together():
+    cap = 8
+    k = pad([101, 102, 101, 103, 102, 0], cap)
+    kv = pad([True, True, True, True, True, False], cap, fill=False)
+    gid, ng, rep = K.group_ids([k], [kv], 6)
+    gid = np.asarray(gid)[:6]
+    assert int(ng) == 4  # {101, 102, 103, NULL}
+    # same key -> same gid
+    assert gid[0] == gid[2] and gid[1] == gid[4]
+    assert len({gid[0], gid[1], gid[3], gid[5]}) == 4
+
+
+def test_segment_aggregate_semantics():
+    cap = 8
+    # groups: [0,0,1,1,1], values [1, null, 3, 4, null]
+    gid = pad([0, 0, 1, 1, 1], cap)
+    x = pad([1, 999, 3, 4, 999], cap)
+    xv = pad([True, False, True, True, False], cap, fill=False)
+    cnt_star, _ = K.segment_aggregate("count_star", None, None, gid, 5, cap)
+    assert np.asarray(cnt_star)[:2].tolist() == [2, 3]
+    cnt, _ = K.segment_aggregate("count", x, xv, gid, 5, cap)
+    assert np.asarray(cnt)[:2].tolist() == [1, 2]
+    s, sv = K.segment_aggregate("sum", x, xv, gid, 5, cap)
+    assert np.asarray(s)[:2].tolist() == [1, 7]
+    assert np.asarray(sv)[:2].tolist() == [True, True]
+    a, _ = K.segment_aggregate("avg", x, xv, gid, 5, cap)
+    assert np.asarray(a)[:2].tolist() == [1.0, 3.5]
+    mn, _ = K.segment_aggregate("min", x, xv, gid, 5, cap)
+    mx, _ = K.segment_aggregate("max", x, xv, gid, 5, cap)
+    assert np.asarray(mn)[:2].tolist() == [1, 3]
+    assert np.asarray(mx)[:2].tolist() == [1, 4]
+    # all-null group -> invalid
+    gid2 = pad([0, 0], cap)
+    x2 = pad([5, 6], cap)
+    x2v = pad([False, False], cap, fill=False)
+    s2, s2v = K.segment_aggregate("sum", x2, x2v, gid2, 2, cap)
+    assert not bool(np.asarray(s2v)[0])
+
+
+def _run_inner_join(lkeys, lvalid, rkeys, rvalid):
+    cap_l, cap_r = 8, 8
+    ld = pad(lkeys, cap_l)
+    lv = pad(lvalid, cap_l, fill=False)
+    rd = pad(rkeys, cap_r)
+    rv = pad(rvalid, cap_r, fill=False)
+    nl, nr = len(lkeys), len(rkeys)
+    lr, rr = K.join_ranks([(ld, lv)], [(rd, rv)], nl, nr)
+    total, counts, offsets, lo, rs, rperm, lm, rm = K.join_counts(lr, rr, nl, nr)
+    T = int(total)
+    out_cap = max(8, T)
+    li, ri, valid = K.join_emit_inner(counts, lo, rperm, total, out_cap)
+    pairs = [
+        (int(l), int(r))
+        for l, r, v in zip(np.asarray(li), np.asarray(ri), np.asarray(valid))
+        if v
+    ]
+    return pairs, np.asarray(lm), np.asarray(rm)
+
+
+def test_inner_join_with_duplicates_and_nulls():
+    # left keys: [101, 102, 101, None], right keys: [101, 103, 101, None]
+    pairs, lm, rm = _run_inner_join(
+        [101, 102, 101, 0], [True, True, True, False],
+        [101, 103, 101, 0], [True, True, True, False],
+    )
+    # 2 left 101-rows x 2 right 101-rows = 4 pairs; nulls never match
+    assert sorted(pairs) == [(0, 0), (0, 2), (2, 0), (2, 2)]
+    assert lm[:4].tolist() == [True, False, True, False]
+    assert rm[:4].tolist() == [True, False, True, False]
+
+
+def test_unmatched_and_cross():
+    matched = pad([True, False, True, False], 8, fill=False)
+    # note: pad fill False would count as unmatched without live mask
+    idx, cnt = K.unmatched_indices(jnp.asarray(matched), 4, 8)
+    assert int(cnt) == 2
+    assert np.asarray(idx)[:2].tolist() == [1, 3]
+    li, ri, v = K.cross_join_indices(2, 3, 8)
+    got = [(int(a), int(b)) for a, b, ok in zip(*map(np.asarray, (li, ri, v))) if ok]
+    assert got == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+
+
+def test_window_primitives():
+    cap = 8
+    # partitions (sorted): [A A A | B B], order values [10 10 20 | 5 7]
+    part = pad([1, 1, 1, 2, 2], cap)
+    order = pad([10, 10, 20, 5, 7], cap)
+    pad_mask = ~K.live_mask(cap, 5)
+    seg_change, peer_change, seg = K.window_segments([part], [order], pad_mask)
+    rn = np.asarray(K.row_number_sorted(seg_change))[:5].tolist()
+    assert rn == [1, 2, 3, 1, 2]
+    rk = np.asarray(K.rank_sorted(seg_change, peer_change))[:5].tolist()
+    assert rk == [1, 1, 3, 1, 2]
+    dr = np.asarray(K.dense_rank_sorted(seg_change, peer_change))[:5].tolist()
+    assert dr == [1, 1, 2, 1, 2]
+    # LAG 1 within segment
+    vals = pad([10, 10, 20, 5, 7], cap)
+    vv = pad([True] * 5, cap, fill=False)
+    lag, lagv = K.shift_in_segment(vals, vv, seg, 1)
+    assert np.asarray(lagv)[:5].tolist() == [False, True, True, False, True]
+    assert np.asarray(lag)[1:3].tolist() == [10, 10]
+    # NTILE(2) over first segment of 3: buckets 1,1,2
+    nt = np.asarray(K.ntile_sorted(seg_change, 2, pad_mask))[:5].tolist()
+    assert nt == [1, 1, 2, 1, 2]
+    # FIRST/LAST via seg start/end
+    st = np.asarray(K._seg_start_pos(seg_change))[:5].tolist()
+    en = np.asarray(K._seg_end_pos(seg_change))[:5].tolist()
+    assert st == [0, 0, 0, 3, 3]
+    assert en == [2, 2, 2, 4, 4]
+
+
+def test_compaction():
+    cap = 8
+    mask = pad([True, False, True, True, False], cap, fill=True)  # pad True on purpose
+    cnt = int(K.filter_count(jnp.asarray(mask), 5))
+    assert cnt == 3
+    idx = np.asarray(K.compaction_indices(jnp.asarray(mask), 5, 8))
+    assert idx[:3].tolist() == [0, 2, 3]
