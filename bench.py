@@ -1,0 +1,155 @@
+"""Engine benchmark — prints ONE JSON line on stdout.
+
+Measures the BASELINE.json operator set (filter, hash aggregate, hash join
+build+probe+emit, sort) as one fused jitted pipeline on synthetic tables,
+on whatever device JAX picks (the real TPU chip under the driver; CPU when
+JAX_PLATFORMS=cpu).
+
+Headline metric: pipeline rows/sec/chip. vs_baseline compares against the
+reference's only published join throughput — 813.01 QPS on the 6x4-row
+employees/departments join (README.md:693), i.e. 813 * 24 = 19,512 joined
+rows/sec (and that join is a Cartesian stub; see BASELINE.md caveat).
+
+Env knobs: QE_BENCH_ROWS (default 2^20), QE_BENCH_ITERS (default 5),
+QE_BENCH_OPS=1 to also print per-operator numbers on stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import query_engine_tpu  # noqa: F401  (enables x64)
+import jax
+import jax.numpy as jnp
+
+from query_engine_tpu.ops import kernels as K
+
+REFERENCE_JOIN_ROWS_PER_SEC = 813.01 * 24  # README.md:678-694 sample output
+
+
+def build_pipeline(cap: int, bcap: int):
+    def pipeline(age, age_v, salary, salary_v, dept, dept_v,
+                 bdept, bdept_v, bval, bval_v, n_rows, n_build):
+        # --- filter: age > 25 ---
+        live = K.live_mask(cap, n_rows)
+        keep = (age > 25) & age_v & live
+
+        # --- hash aggregate: GROUP BY dept -> COUNT/SUM/AVG ---
+        gid, ng, rep = K.group_ids([dept], [dept_v & keep], n_rows)
+        s, sv = K.segment_aggregate("sum", salary, salary_v & keep, gid,
+                                    n_rows, cap)
+        c, _ = K.segment_aggregate("count_star", None, None, gid, n_rows, cap)
+        avg = s.astype(jnp.float64) / jnp.maximum(c, 1)
+
+        # --- hash join: probe (filtered fact) x build (dim) + emit ---
+        lr, rr = K.join_ranks([(dept, dept_v & keep)], [(bdept, bdept_v)],
+                              n_rows, n_build)
+        total, counts, _off, lo, _rs, rperm, _lm, _rm = K.join_counts(
+            lr, rr, n_rows, n_build
+        )
+        li, ri, jvalid = K.join_emit_inner(counts, lo, rperm, total, cap)
+        joined_val = jnp.where(jvalid, bval[ri] + salary[li], 0)
+
+        # --- sort: ORDER BY salary DESC ---
+        perm = K.sort_permutation([salary], [salary_v], [False], [False],
+                                  n_rows)
+        top = salary[perm][:128]
+
+        return s, c, avg, total, jnp.sum(joined_val), top, ng
+
+    return jax.jit(pipeline)
+
+
+def main():
+    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 20))
+    iters = int(os.environ.get("QE_BENCH_ITERS", 5))
+    bcap = max(cap >> 4, 128)
+    rng = np.random.default_rng(42)
+    n_rows = cap - 17
+    n_build = bcap - 3
+    n_keys = bcap  # every probe row matches ~1 build row
+
+    args = (
+        jnp.asarray(rng.integers(18, 65, cap), jnp.int64),
+        jnp.ones(cap, bool),
+        jnp.asarray(rng.integers(50_000, 150_000, cap), jnp.int64),
+        jnp.ones(cap, bool),
+        jnp.asarray(rng.integers(0, n_keys, cap), jnp.int64),
+        jnp.asarray(rng.random(cap) > 0.02),
+        jnp.asarray(rng.permutation(n_keys)[:bcap], jnp.int64),
+        jnp.ones(bcap, bool),
+        jnp.asarray(rng.integers(0, 1000, bcap), jnp.int64),
+        jnp.ones(bcap, bool),
+        np.int64(n_rows),
+        np.int64(n_build),
+    )
+
+    pipeline = build_pipeline(cap, bcap)
+
+    t0 = time.time()
+    out = pipeline(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    print(f"compile: {compile_s:.1f}s device={jax.devices()[0]}",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = pipeline(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rows_per_sec = n_rows / best
+
+    if os.environ.get("QE_BENCH_OPS") == "1":
+        _per_op(cap, bcap, args, iters)
+
+    print(json.dumps({
+        "metric": "fused_filter_agg_join_sort_pipeline",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/sec/chip",
+        "vs_baseline": round(rows_per_sec / REFERENCE_JOIN_ROWS_PER_SEC, 2),
+    }))
+
+
+def _per_op(cap, bcap, args, iters):
+    (age, age_v, salary, salary_v, dept, dept_v,
+     bdept, bdept_v, bval, bval_v, n_rows, n_build) = args
+
+    def timed(name, fn, *a):
+        f = jax.jit(fn)
+        jax.block_until_ready(f(*a))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*a))
+            ts.append(time.perf_counter() - t0)
+        print(f"{name}: {int(n_rows) / min(ts):,.0f} rows/s", file=sys.stderr)
+
+    timed("filter", lambda a, av, n: K.filter_count((a > 25) & av, n),
+          age, age_v, n_rows)
+    timed(
+        "hash_aggregate",
+        lambda d, dv, s, sv, n: K.segment_aggregate(
+            "sum", s, sv, K.group_ids([d], [dv], n)[0], n, cap
+        ),
+        dept, dept_v, salary, salary_v, n_rows,
+    )
+
+    def join_op(d, dv, bd, bdv, n, nb):
+        lr, rr = K.join_ranks([(d, dv)], [(bd, bdv)], n, nb)
+        return K.join_counts(lr, rr, n, nb)[0]
+
+    timed("hash_join_count", join_op, dept, dept_v, bdept, bdept_v,
+          n_rows, n_build)
+    timed("sort", lambda s, sv, n: K.sort_permutation([s], [sv], [False],
+                                                      [False], n),
+          salary, salary_v, n_rows)
+
+
+if __name__ == "__main__":
+    main()

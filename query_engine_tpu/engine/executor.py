@@ -267,8 +267,51 @@ class QueryExecutor:
             vd = v.validity[rep][:out_cap]
             cols.append(Column(d, vd, f.data_type, v.dictionary))
 
-        for i, agg in enumerate(plan.agg_exprs):
-            f = schema.field(len(gvals) + i)
+        fi = len(gvals)
+        if plan.mode == "final":
+            # input columns after the group keys are partial-aggregate planes
+            # in agg order (avg contributes a sum + count pair)
+            ci = len(plan.group_exprs)
+            for agg in plan.agg_exprs:
+                f = schema.field(fi)
+                fi += 1
+                if agg.func is lp.AggFunc.AVG:
+                    s_col = batch.columns[ci]
+                    c_col = batch.columns[ci + 1]
+                    ci += 2
+                    s, sv = K.segment_aggregate(
+                        "sum", jnp.asarray(s_col.data),
+                        jnp.asarray(s_col.validity), gid, batch.num_rows, cap,
+                    )
+                    c, _ = K.segment_aggregate(
+                        "sum", jnp.asarray(c_col.data),
+                        jnp.asarray(c_col.validity), gid, batch.num_rows, cap,
+                    )
+                    out_d = (s / jnp.maximum(c, 1).astype(jnp.float64))[:out_cap]
+                    out_v = (sv & (c > 0))[:out_cap]
+                    cols.append(Column(out_d, out_v, f.data_type, None))
+                    continue
+                col = batch.columns[ci]
+                ci += 1
+                combine = {
+                    lp.AggFunc.COUNT: "sum",
+                    lp.AggFunc.SUM: "sum",
+                    lp.AggFunc.MIN: "min",
+                    lp.AggFunc.MAX: "max",
+                }[agg.func]
+                vals, valid = K.segment_aggregate(
+                    combine, jnp.asarray(col.data), jnp.asarray(col.validity),
+                    gid, batch.num_rows, cap,
+                )
+                if agg.func is lp.AggFunc.COUNT:
+                    valid = jnp.ones_like(valid)
+                cols.append(
+                    Column(vals[:out_cap], valid[:out_cap], f.data_type,
+                           col.dictionary)
+                )
+            return ColumnBatch(schema, cols, num_groups)
+
+        for agg in plan.agg_exprs:
             func = agg.func
             if agg.expr is None:
                 fname = "count_star"
@@ -283,13 +326,36 @@ class QueryExecutor:
                 distinct_first = K.distinct_first_flags(
                     [data], [validity], gid, batch.num_rows
                 )
+            if plan.mode == "partial" and func is lp.AggFunc.AVG:
+                s, sv = K.segment_aggregate(
+                    "sum", data.astype(jnp.float64), validity, gid,
+                    batch.num_rows, cap, distinct_first=distinct_first,
+                )
+                c, _ = K.segment_aggregate(
+                    "count", data, validity, gid, batch.num_rows, cap,
+                    distinct_first=distinct_first,
+                )
+                f_s = schema.field(fi)
+                f_c = schema.field(fi + 1)
+                fi += 2
+                cols.append(Column(s[:out_cap], sv[:out_cap], f_s.data_type, None))
+                cols.append(
+                    Column(c[:out_cap], jnp.ones(out_cap, bool), f_c.data_type, None)
+                )
+                continue
+            f = schema.field(fi)
+            fi += 1
             vals, valid = K.segment_aggregate(
                 fname, data, validity, gid, batch.num_rows, cap,
                 distinct_first=distinct_first,
             )
             out_d = vals[:out_cap]
             out_v = valid[:out_cap]
-            out_dict = arg_dict if func in (lp.AggFunc.MIN, lp.AggFunc.MAX) and arg_dict is not None else None
+            out_dict = (
+                arg_dict
+                if func in (lp.AggFunc.MIN, lp.AggFunc.MAX) and arg_dict is not None
+                else None
+            )
             if out_dict is not None:
                 out_d = out_d.astype(jnp.int32)
             cols.append(Column(out_d, out_v, f.data_type, out_dict))

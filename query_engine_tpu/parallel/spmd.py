@@ -1,0 +1,369 @@
+"""SPMD distributed query kernels: shard_map pipelines over the mesh.
+
+This is the TPU-native replacement for the reference's distributed shuffle
+(query-distributed: Partitioner partition.rs:151-212 per-row hash + take,
+Exchange/Merge operators.rs:17-294, two-stage partial/final aggregates
+planner.rs:200-226): rows live sharded across chips, the hash shuffle is a
+single `lax.all_to_all` over ICI inside a jitted shard_map program, and
+partial/final aggregation happens on both sides of that collective — no
+serialization, no RPC (SURVEY.md §5 "Distributed communication backend").
+
+All shapes are static: each device buckets its rows into an [n_devices,
+shard_capacity] send buffer (worst-case skew bound), all_to_all swaps the
+leading axis, and local kernels mask by live-row counts that travel with
+the data.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, mesh, in_specs, out_specs, **kw):
+    """Version-compat shard_map: replication checking is off (our kernels
+    mix per-shard scalars and collectives freely)."""
+    for flag in ("check_vma", "check_rep"):
+        try:
+            return _shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                **{flag: False}, **kw,
+            )
+        except TypeError:
+            continue
+    return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+from query_engine_tpu.ops import kernels as K
+
+
+# ---------------------------------------------------------------------------
+# hashing (splitmix64 finalizer — good avalanche, 64-bit lanes)
+# ---------------------------------------------------------------------------
+
+
+def splitmix64(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.uint64)
+    x = (x ^ (x >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> 31)
+    return x
+
+
+def partition_ids(
+    key: jnp.ndarray, valid: jnp.ndarray, n_parts: int
+) -> jnp.ndarray:
+    """Row -> partition id by key hash; NULL keys all route to partition 0
+    (they form one group / never match in joins, so co-location is all that
+    matters). Mirrors reference hash partitioning partition.rs:151-212."""
+    h = splitmix64(K.orderable_i64(key).astype(jnp.int64))
+    pid = (h % jnp.uint64(n_parts)).astype(jnp.int32)
+    return jnp.where(valid, pid, 0)
+
+
+# ---------------------------------------------------------------------------
+# the exchange: bucket locally, all_to_all over ICI
+# ---------------------------------------------------------------------------
+
+
+def bucket_rows(
+    pid: jnp.ndarray, live: jnp.ndarray, n_parts: int, per: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather row indices per destination partition.
+
+    Returns (idx[n_parts, per] local row index planes, counts[n_parts]).
+    Rows beyond a destination's count are padding (index 0).
+    """
+    rows = pid.shape[0]
+    idxs = []
+    counts = []
+    for d in range(n_parts):
+        m = live & (pid == d)
+        idxs.append(jnp.nonzero(m, size=per, fill_value=0)[0])
+        counts.append(jnp.sum(m.astype(jnp.int64)))
+    return jnp.stack(idxs), jnp.stack(counts)
+
+
+def exchange_columns(
+    axis: str,
+    idx: jnp.ndarray,          # [n, per] send row indices
+    counts: jnp.ndarray,       # [n] send counts
+    datas: Sequence[jnp.ndarray],
+    valids: Sequence[jnp.ndarray],
+):
+    """Shuffle rows to their destination shards. Runs inside shard_map.
+
+    Returns (recv_datas [n*per], recv_valids, recv_live [n*per] bool).
+    recv_live marks which received slots hold real rows.
+    """
+    n, per = idx.shape
+    # slot mask for send buffers
+    slot = jax.lax.broadcasted_iota(jnp.int64, (n, per), 1)
+    send_live = slot < counts[:, None]
+    recv_counts = jax.lax.all_to_all(counts, axis, 0, 0, tiled=True)
+    recv_live = (
+        jax.lax.broadcasted_iota(jnp.int64, (n, per), 1)
+        < recv_counts.reshape(n, 1)
+    ).reshape(-1)
+    out_d, out_v = [], []
+    for d, v in zip(datas, valids):
+        send = d[idx]  # [n, per]
+        send_valid = v[idx] & send_live
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        recv_v = jax.lax.all_to_all(send_valid, axis, 0, 0, tiled=True)
+        out_d.append(recv.reshape(-1))
+        out_v.append(recv_v.reshape(-1) )
+    return out_d, out_v, recv_live
+
+
+def compact_received(recv_live, datas, valids):
+    """Compact received rows to the front of the local planes."""
+    cap = recv_live.shape[0]
+    count = jnp.sum(recv_live.astype(jnp.int64))
+    idx = jnp.nonzero(recv_live, size=cap, fill_value=0)[0]
+    out_d = [d[idx] for d in datas]
+    out_v = [v[idx] & (jnp.arange(cap) < count) for v in valids]
+    return out_d, out_v, count
+
+
+# ---------------------------------------------------------------------------
+# distributed hash aggregate (partial -> shuffle -> final)
+# ---------------------------------------------------------------------------
+
+_AGG_PARTIAL = {
+    # final-combine function for each aggregate's partial columns
+    "count_star": ("sum",),
+    "count": ("sum",),
+    "sum": ("sum",),
+    "min": ("min",),
+    "max": ("max",),
+    "avg": ("sum", "sum"),  # (sum, count)
+}
+
+
+def local_partial_aggregate(
+    key, key_valid, n_rows, aggs: Sequence[Tuple[str, int]],
+    arg_datas: Sequence, arg_valids: Sequence,
+):
+    """Per-shard grouped partial aggregation.
+
+    aggs: list of (func, arg_index or -1). Returns (group_key, group_valid,
+    partial planes list, num_groups) at local capacity.
+    """
+    cap = key.shape[0]
+    gid, ng, rep = K.group_ids([key], [key_valid], n_rows)
+    out_key = key[rep]
+    out_kv = key_valid[rep]
+    partials = []
+    for func, ai in aggs:
+        data = arg_datas[ai] if ai >= 0 else None
+        valid = arg_valids[ai] if ai >= 0 else None
+        if func == "avg":
+            s, sv = K.segment_aggregate("sum", data, valid, gid, n_rows, cap)
+            c, _ = K.segment_aggregate("count", data, valid, gid, n_rows, cap)
+            partials.append((s, sv))
+            partials.append((c.astype(jnp.float64), jnp.ones(cap, bool)))
+        else:
+            v, vv = K.segment_aggregate(func, data, valid, gid, n_rows, cap)
+            partials.append((v, vv))
+    return out_key, out_kv, partials, ng
+
+
+def local_final_aggregate(
+    key, key_valid, n_rows, combine_funcs: Sequence[str],
+    partial_datas: Sequence, partial_valids: Sequence,
+):
+    """Combine partial rows that landed on this shard after the exchange."""
+    cap = key.shape[0]
+    gid, ng, rep = K.group_ids([key], [key_valid], n_rows)
+    out_key = key[rep]
+    out_kv = key_valid[rep]
+    outs = []
+    for cf, d, v in zip(combine_funcs, partial_datas, partial_valids):
+        val, vv = K.segment_aggregate(cf, d, v, gid, n_rows, cap)
+        outs.append((val, vv))
+    return out_key, out_kv, outs, ng
+
+
+def make_distributed_aggregate(
+    mesh: Mesh, aggs: Sequence[Tuple[str, int]], n_args: int, axis: str = "data"
+):
+    """Build a jitted SPMD grouped-aggregate: rows sharded on `axis` ->
+    per-group results sharded by group-key hash.
+
+    Input (per call): key plane, key validity, shard row counts, arg planes.
+    Output: group key / validity / per-agg (value, valid) planes + per-shard
+    group counts — all still sharded.
+    """
+    n = mesh.devices.size
+
+    combine: List[str] = []
+    for func, _ in aggs:
+        combine.extend(_AGG_PARTIAL[func])
+
+    def step(key, kv, shard_rows, *args):
+        my = jax.lax.axis_index(axis)
+        n_rows = shard_rows[my]
+        cap = key.shape[0]
+        arg_datas = list(args[:n_args])
+        arg_valids = list(args[n_args:])
+
+        # 1) local partial aggregate
+        gkey, gkv, partials, ng = local_partial_aggregate(
+            key, kv, n_rows, aggs, arg_datas, arg_valids
+        )
+        # 2) shuffle partial groups by key hash
+        pid = partition_ids(gkey, gkv, n)
+        live = jnp.arange(cap) < ng
+        idx, counts = bucket_rows(pid, live, n, cap)
+        datas = [gkey] + [p[0] for p in partials]
+        valids = [gkv] + [p[1] for p in partials]
+        rdatas, rvalids, rlive = exchange_columns(axis, idx, counts, datas, valids)
+        cdatas, cvalids, ccount = compact_received(rlive, rdatas, rvalids)
+        # 3) local final aggregate (received key validity carries null-ness;
+        # padding rows are masked by ccount inside the grouping kernels)
+        fkey, fkv, outs, fng = local_final_aggregate(
+            cdatas[0], cvalids[0], ccount, combine, cdatas[1:], cvalids[1:],
+        )
+        flat = [fkey, fkv]
+        for v, vv in outs:
+            flat += [v, vv]
+        flat.append(fng.reshape(1))
+        return tuple(flat)
+
+    in_specs = tuple([P(axis), P(axis), P()] + [P(axis)] * (2 * n_args))
+    n_out = 2 + 2 * len(combine) + 1
+    out_specs = tuple([P(axis)] * (n_out - 1) + [P(axis)])
+    return jax.jit(
+        shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+
+
+def _recv_key_valid(key_validity, rlive, ccount):
+    # key validity of received rows already carries null-ness; padding rows
+    # are masked by ccount inside the grouping kernels
+    return key_validity
+
+
+# ---------------------------------------------------------------------------
+# distributed hash join (repartition both sides -> local sort-merge join)
+# ---------------------------------------------------------------------------
+
+
+def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
+                                 n_right_cols: int, axis: str = "data"):
+    """Build the SPMD 'repartition + local join count' program.
+
+    Returns per-shard: exchanged left/right planes (compacted) + local
+    match counts — the host then sizes emit buffers per shard (count-then-
+    emit across the mesh).
+    """
+    n = mesh.devices.size
+
+    def step(lkey, lkv, l_rows, rkey, rkv, r_rows, *cols):
+        my = jax.lax.axis_index(axis)
+        nl = l_rows[my]
+        nr = r_rows[my]
+        lcap = lkey.shape[0]
+        rcap = rkey.shape[0]
+        ldatas = list(cols[:n_left_cols])
+        lvalids = list(cols[n_left_cols: 2 * n_left_cols])
+        rdatas = list(cols[2 * n_left_cols: 2 * n_left_cols + n_right_cols])
+        rvalids = list(cols[2 * n_left_cols + n_right_cols:])
+
+        # repartition left by key hash
+        lpid = partition_ids(lkey, lkv, n)
+        llive = jnp.arange(lcap) < nl
+        lidx, lcounts = bucket_rows(lpid, llive, n, lcap)
+        ld, lv, llive_r = exchange_columns(
+            axis, lidx, lcounts, [lkey] + ldatas, [lkv] + lvalids
+        )
+        lcd, lcv, lcount = compact_received(llive_r, ld, lv)
+        # repartition right
+        rpid = partition_ids(rkey, rkv, n)
+        rlive = jnp.arange(rcap) < nr
+        ridx, rcounts = bucket_rows(rpid, rlive, n, rcap)
+        rd, rv, rlive_r = exchange_columns(
+            axis, ridx, rcounts, [rkey] + rdatas, [rkv] + rvalids
+        )
+        rcd, rcv, rcount = compact_received(rlive_r, rd, rv)
+
+        # local join ranks + counts
+        lr, rr = K.join_ranks(
+            [(lcd[0], lcv[0])], [(rcd[0], rcv[0])], lcount, rcount
+        )
+        total, counts, offsets, lo, rs, rperm, lm, rm = K.join_counts(
+            lr, rr, lcount, rcount
+        )
+        out = [total.reshape(1), lcount.reshape(1), rcount.reshape(1)]
+        out += [counts, lo, rperm]
+        out += lcd + lcv + rcd + rcv
+        return tuple(out)
+
+    n_cols = 2 * (n_left_cols + n_right_cols)
+    in_specs = tuple([P(axis), P(axis), P(), P(axis), P(axis), P()]
+                     + [P(axis)] * n_cols)
+    n_out = 3 + 3 + (n_left_cols + 1 + n_right_cols + 1) * 2
+    out_specs = tuple([P(axis)] * n_out)
+    return jax.jit(
+        shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed sort (local sort -> sampled range partition -> local sort)
+# ---------------------------------------------------------------------------
+
+
+def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
+                          axis: str = "data"):
+    """Build the SPMD global sort: after it runs, shard i holds keys <=
+    shard i+1's keys and each shard is locally sorted — the concatenation in
+    shard order is the global ORDER BY (sorted-merge parity,
+    reference operators.rs:141-194, without the single-node concat)."""
+    n = mesh.devices.size
+
+    def step(key, kv, shard_rows, *cols):
+        my = jax.lax.axis_index(axis)
+        n_rows = shard_rows[my]
+        cap = key.shape[0]
+        datas = list(cols[:n_cols])
+        valids = list(cols[n_cols:])
+        okey = K.orderable_i64(key)
+        live = jnp.arange(cap) < n_rows
+        # sample local keys uniformly (nulls sort last: +inf surrogate)
+        skey = jnp.where(live & kv, okey, jnp.int64(np.iinfo(np.int64).max))
+        skey_sorted = jnp.sort(skey)
+        take = jnp.linspace(0, cap - 1, n_samples).astype(jnp.int64)
+        samples = skey_sorted[take]
+        all_samples = jax.lax.all_gather(samples, axis).reshape(-1)
+        all_sorted = jnp.sort(all_samples)
+        # n-1 boundary pivots
+        bidx = (jnp.arange(1, n) * (all_sorted.shape[0] // n)).astype(jnp.int64)
+        pivots = all_sorted[bidx]
+        pid = jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
+        idx, counts = bucket_rows(pid, live, n, cap)
+        rd, rv, rlive = exchange_columns(
+            axis, idx, counts, [key] + datas, [kv] + valids
+        )
+        cd, cv, ccount = compact_received(rlive, rd, rv)
+        # local sort of received rows
+        perm = K.sort_permutation([cd[0]], [cv[0]], [True], [False], ccount)
+        out = [d[perm] for d in cd] + [v[perm] for v in cv]
+        out.append(ccount.reshape(1))
+        return tuple(out)
+
+    in_specs = tuple([P(axis), P(axis), P()] + [P(axis)] * (2 * n_cols))
+    n_out = (n_cols + 1) * 2 + 1
+    out_specs = tuple([P(axis)] * n_out)
+    return jax.jit(
+        shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )

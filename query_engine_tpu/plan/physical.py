@@ -135,13 +135,23 @@ class PHashAggregate(PhysicalPlan):
     input: PhysicalPlan
     group_exprs: List[lp.LogicalExpr]
     agg_exprs: List[lp.AggregateExpr]
-    mode: str = "single"  # single | partial | final (distributed two-phase)
+    mode: str = "single"  # single | partial | final (distributed two-phase,
+    # the reference's partial+final stage split planner.rs:200-226)
 
     def schema(self) -> Schema:
         from query_engine_tpu.core.schema import Field
+        from query_engine_tpu.core.types import DataType
 
         fields = [Field(e.name(), e.dtype, e.nullable) for e in self.group_exprs]
-        fields += [Field(e.name(), e.dtype, e.nullable) for e in self.agg_exprs]
+        if self.mode == "partial":
+            for e in self.agg_exprs:
+                if e.func is lp.AggFunc.AVG:
+                    fields.append(Field(e.name() + "__sum", DataType.float64(), True))
+                    fields.append(Field(e.name() + "__cnt", DataType.int64(), False))
+                else:
+                    fields.append(Field(e.name(), e.dtype, e.nullable))
+        else:
+            fields += [Field(e.name(), e.dtype, e.nullable) for e in self.agg_exprs]
         return Schema(fields)
 
     def children(self):

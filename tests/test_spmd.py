@@ -1,0 +1,145 @@
+"""SPMD distributed kernels on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import query_engine_tpu  # noqa: F401
+from query_engine_tpu.columnar.batch import ColumnBatch
+from query_engine_tpu.parallel.mesh import ShardedTable, make_mesh
+from query_engine_tpu.parallel import spmd
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_table_roundtrip(mesh):
+    rng = np.random.default_rng(0)
+    n = 1000
+    batch = ColumnBatch.from_pydict(
+        {"k": rng.integers(0, 50, n).tolist(), "v": rng.integers(0, 100, n).tolist()}
+    )
+    st = ShardedTable(batch, mesh)
+    back = st.to_batch()
+    assert back.num_rows == n
+    assert back.to_pydict() == batch.to_pydict()
+
+
+def test_distributed_aggregate_matches_local(mesh):
+    rng = np.random.default_rng(1)
+    n = 2000
+    keys = rng.integers(0, 37, n)
+    vals = rng.integers(-50, 50, n)
+    # some nulls in both key and value
+    kv = rng.random(n) > 0.05
+    vv = rng.random(n) > 0.1
+    batch = ColumnBatch.from_pydict(
+        {
+            "k": [int(k) if ok else None for k, ok in zip(keys, kv)],
+            "v": [int(v) if ok else None for v, ok in zip(vals, vv)],
+        }
+    )
+    st = ShardedTable(batch, mesh)
+    agg = spmd.make_distributed_aggregate(
+        mesh, aggs=[("count_star", -1), ("sum", 0), ("min", 0), ("max", 0), ("avg", 0)],
+        n_args=1,
+    )
+    out = agg(
+        st.datas[0], st.valids[0], st.shard_rows, st.datas[1], st.valids[1]
+    )
+    # unpack: key, kv, then (val, valid) per combined column, then ng per shard
+    fkey, fkv = np.asarray(out[0]), np.asarray(out[1])
+    planes = [np.asarray(o) for o in out[2:-1]]
+    ngs = np.asarray(out[-1])
+    per = fkey.shape[0] // 8
+
+    results = {}
+    for s in range(8):
+        ng = ngs[s]
+        for i in range(ng):
+            j = s * per + i
+            key = fkey[j] if fkv[j] else None
+            cnt = planes[0][j]
+            sm = planes[2][j] if planes[3][j] else None
+            mn = planes[4][j] if planes[5][j] else None
+            mx = planes[6][j] if planes[7][j] else None
+            avs = planes[8][j] if planes[9][j] else None
+            avc = planes[10][j]
+            avg = (avs / avc) if avs is not None and avc > 0 else None
+            assert key not in results, "group split across shards!"
+            results[key] = (cnt, sm, mn, mx, avg)
+
+    # expected via pure python
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, None, None, None, [0.0, 0]])
+    for k, ok, v, okv in zip(keys, kv, vals, vv):
+        key = int(k) if ok else None
+        e = exp[key]
+        e[0] += 1
+        if okv:
+            e[1] = int(v) if e[1] is None else e[1] + int(v)
+            e[2] = int(v) if e[2] is None else min(e[2], int(v))
+            e[3] = int(v) if e[3] is None else max(e[3], int(v))
+            e[4][0] += float(v)
+            e[4][1] += 1
+    assert set(results) == set(exp)
+    for key, (cnt, sm, mn, mx, avg) in results.items():
+        e = exp[key]
+        assert cnt == e[0], key
+        assert sm == e[1], key
+        assert mn == e[2] and mx == e[3], key
+        eavg = e[4][0] / e[4][1] if e[4][1] else None
+        if eavg is None:
+            assert avg is None
+        else:
+            assert avg == pytest.approx(eavg)
+
+
+def test_distributed_sort_global_order(mesh):
+    rng = np.random.default_rng(2)
+    n = 1500
+    keys = rng.integers(-1000, 1000, n)
+    batch = ColumnBatch.from_pydict(
+        {"k": keys.tolist(), "payload": list(range(n))}
+    )
+    st = ShardedTable(batch, mesh)
+    dsort = spmd.make_distributed_sort(mesh, n_cols=1)
+    out = dsort(st.datas[0], st.valids[0], st.shard_rows, st.datas[1], st.valids[1])
+    key_plane = np.asarray(out[0])
+    counts = np.asarray(out[-1])
+    per = key_plane.shape[0] // 8
+    collected = []
+    for s in range(8):
+        collected.extend(key_plane[s * per: s * per + counts[s]].tolist())
+    assert len(collected) == n
+    assert collected == sorted(keys.tolist())
+
+
+def test_distributed_join_counts(mesh):
+    rng = np.random.default_rng(3)
+    nl, nr = 800, 600
+    lk = rng.integers(0, 100, nl)
+    rk = rng.integers(0, 100, nr)
+    lb = ColumnBatch.from_pydict({"k": lk.tolist(), "lv": list(range(nl))})
+    rb = ColumnBatch.from_pydict({"k": rk.tolist(), "rv": list(range(nr))})
+    stl = ShardedTable(lb, mesh)
+    strr = ShardedTable(rb, mesh)
+    djoin = spmd.make_distributed_join_counts(mesh, 1, 1)
+    out = djoin(
+        stl.datas[0], stl.valids[0], stl.shard_rows,
+        strr.datas[0], strr.valids[0], strr.shard_rows,
+        stl.datas[1], stl.valids[1], strr.datas[1], strr.valids[1],
+    )
+    totals = np.asarray(out[0])
+    total = int(totals.sum())
+    # expected: sum over keys of count_l * count_r
+    import collections
+
+    cl = collections.Counter(lk.tolist())
+    cr = collections.Counter(rk.tolist())
+    expected = sum(cl[k] * cr.get(k, 0) for k in cl)
+    assert total == expected
