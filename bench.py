@@ -89,9 +89,17 @@ def main():
 
     pipeline = build_pipeline(cap, bcap)
 
+    def run_once():
+        out = pipeline(*args)
+        # force full completion: materialize a scalar that depends on every
+        # heavy op (block_until_ready alone can return early on remote/
+        # tunneled platforms)
+        return float(np.asarray(out[4])) + float(np.asarray(out[3])) + float(
+            np.asarray(out[5])[0]
+        )
+
     t0 = time.time()
-    out = pipeline(*args)
-    jax.block_until_ready(out)
+    run_once()
     compile_s = time.time() - t0
     print(f"compile: {compile_s:.1f}s device={jax.devices()[0]}",
           file=sys.stderr)
@@ -99,8 +107,7 @@ def main():
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = pipeline(*args)
-        jax.block_until_ready(out)
+        run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
     rows_per_sec = n_rows / best
@@ -122,11 +129,18 @@ def _per_op(cap, bcap, args, iters):
 
     def timed(name, fn, *a):
         f = jax.jit(fn)
-        jax.block_until_ready(f(*a))
+
+        def materialize():
+            out = f(*a)
+            leaves = jax.tree_util.tree_leaves(out)
+            # touch one element of each leaf on host to force completion
+            return sum(float(np.asarray(l.ravel()[0])) for l in leaves)
+
+        materialize()
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*a))
+            materialize()
             ts.append(time.perf_counter() - t0)
         print(f"{name}: {int(n_rows) / min(ts):,.0f} rows/s", file=sys.stderr)
 

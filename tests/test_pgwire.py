@@ -1,0 +1,175 @@
+"""pgwire server end-to-end tests over a real TCP socket."""
+
+import asyncio
+import os
+import threading
+import time
+
+import pytest
+
+import query_engine_tpu  # noqa: F401
+from query_engine_tpu.engine.session import Session
+from query_engine_tpu.pgwire.auth import AuthConfig
+from query_engine_tpu.pgwire.server import PgServer, split_statements
+
+from tests.pg_client import PgTestClient
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+class ServerThread:
+    def __init__(self, auth=None):
+        self.session = Session()
+        self.session.register_csv("employees", os.path.join(DATA, "employees.csv"))
+        self.session.register_csv("departments", os.path.join(DATA, "departments.csv"))
+        self.server = PgServer(self.session, host="127.0.0.1", port=0, auth=auth)
+        self.port = None
+        self._loop = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = threading.Event()
+
+    def _run(self):
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+
+        async def boot():
+            s = await self.server.start()
+            self.port = s.sockets[0].getsockname()[1]
+            self._started.set()
+
+        self._loop.run_until_complete(boot())
+        self._loop.run_forever()
+
+    def start(self):
+        self._thread.start()
+        assert self._started.wait(10)
+        return self
+
+    def stop(self):
+        self._loop.call_soon_threadsafe(self._loop.stop)
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = ServerThread().start()
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = PgTestClient("127.0.0.1", server.port)
+    yield c
+    c.close()
+
+
+def test_split_statements():
+    assert split_statements("SELECT 1; SELECT ';'; SELECT 2") == [
+        "SELECT 1", "SELECT ';'", "SELECT 2",
+    ]
+
+
+def test_simple_select(client):
+    cols, rows, tags = client.query(
+        "SELECT name, age FROM employees WHERE age > 25 ORDER BY id"
+    )
+    assert cols == ["name", "age"]
+    assert rows == [
+        ("Bob", "30"), ("Charlie", "35"), ("Diana", "28"),
+        ("Eve", "32"), ("Frank", "29"),
+    ]
+    assert tags == ["SELECT 5"]
+
+
+def test_join_and_null_encoding(client):
+    cols, rows, _ = client.query(
+        "SELECT e.name, d.dept_name FROM employees e "
+        "LEFT JOIN departments d ON e.dept_id = d.dept_id ORDER BY e.id"
+    )
+    assert rows[-1] == ("Frank", None)
+
+
+def test_multi_statement_and_tx_noops(client):
+    _, _, tags = client.query("BEGIN; SELECT 1; COMMIT")
+    assert tags == ["BEGIN", "SELECT 1", "COMMIT"]
+
+
+def test_show_tables_and_describe(client):
+    _, rows, _ = client.query("SHOW TABLES")
+    names = {r[0] for r in rows}
+    assert {"employees", "departments"} <= names
+    cols, rows, _ = client.query("DESCRIBE employees")
+    assert cols == ["column_name", "data_type", "nullable"]
+    assert ("name", "text", "YES") in rows
+
+
+def test_catalog_queries(client):
+    _, rows, _ = client.query("SELECT version()")
+    assert "PostgreSQL" in rows[0][0]
+    _, rows, _ = client.query(
+        "SELECT * FROM information_schema.columns WHERE table_name = 'employees'"
+    )
+    assert any(r[2] == "salary" for r in rows)
+
+
+def test_ddl_dml_roundtrip(client):
+    _, _, tags = client.query("CREATE TABLE pets (id INT, name TEXT)")
+    assert tags == ["CREATE TABLE"]
+    _, _, tags = client.query(
+        "INSERT INTO pets (id, name) VALUES (1, 'rex'), (2, 'milo')"
+    )
+    assert tags == ["INSERT 0 2"]
+    _, rows, _ = client.query("SELECT name FROM pets ORDER BY id")
+    assert rows == [("rex",), ("milo",)]
+    _, _, tags = client.query("UPDATE pets SET name = 'max' WHERE id = 1")
+    assert tags == ["UPDATE 1"]
+    _, _, tags = client.query("DELETE FROM pets WHERE id = 2")
+    assert tags == ["DELETE 1"]
+
+
+def test_error_response(client):
+    with pytest.raises(RuntimeError, match="not found"):
+        client.query("SELECT * FROM no_such_table")
+    # connection still usable after error
+    _, rows, _ = client.query("SELECT 1")
+    assert rows == [("1",)]
+
+
+def test_cursors(client):
+    client.query("DECLARE c1 CURSOR FOR SELECT id FROM employees ORDER BY id")
+    _, rows, tags = client.query("FETCH 2 FROM c1")
+    assert rows == [("1",), ("2",)] and tags == ["FETCH 2"]
+    _, rows, _ = client.query("FETCH ALL FROM c1")
+    assert [r[0] for r in rows] == ["3", "4", "5", "6"]
+    _, _, tags = client.query("CLOSE c1")
+    assert tags == ["CLOSE CURSOR"]
+
+
+def test_copy_in_and_out(client):
+    client.query("CREATE TABLE cp (id INT, label TEXT)")
+    tag = client.copy_in("COPY cp FROM STDIN", ["1\talpha", "2\t\\N"])
+    assert tag == "COPY 2"
+    _, rows, _ = client.query("SELECT id, label FROM cp ORDER BY id")
+    assert rows == [("1", "alpha"), ("2", None)]
+
+
+def test_extended_protocol_params(client):
+    cols, rows, tags = client.prepared(
+        "SELECT name FROM employees WHERE age > $1 ORDER BY id", ["30"]
+    )
+    assert cols == ["name"]
+    assert rows == [("Charlie",), ("Eve",)]
+    assert tags[-1].startswith("SELECT")
+
+
+def test_md5_auth():
+    s = ServerThread(auth=AuthConfig.md5({"admin": "secret"})).start()
+    try:
+        c = PgTestClient("127.0.0.1", s.port, user="admin", password="secret")
+        _, rows, _ = c.query("SELECT 1")
+        assert rows == [("1",)]
+        c.close()
+        with pytest.raises(Exception):
+            PgTestClient("127.0.0.1", s.port, user="admin", password="wrong")
+    finally:
+        s.stop()
