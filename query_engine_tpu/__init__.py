@@ -23,6 +23,8 @@ Layer map (mirrors the reference's crate DAG, SURVEY.md §1):
   cli/        `qe` command-line interface and REPL
 """
 
+import os as _os
+
 import jax as _jax
 
 # The reference engine computes in Arrow Int64/Float64 (reference
@@ -30,6 +32,15 @@ import jax as _jax
 # Bit-exact parity therefore requires 64-bit lanes; hot kernels downcast
 # explicitly where it is safe.
 _jax.config.update("jax_enable_x64", True)
+
+# Honor JAX_PLATFORMS even when a site hook imported jax first and pinned a
+# platform (the TPU image's sitecustomize registers the `axon` backend at
+# interpreter start, which otherwise ignores a user's JAX_PLATFORMS=cpu).
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001 - backends already initialized
+        pass
 
 __version__ = "0.1.0"
 

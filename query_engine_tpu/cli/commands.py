@@ -1,0 +1,189 @@
+"""CLI subcommand implementations.
+
+Parity surface: reference crates/query-cli/src/commands.rs — with the
+stubbed paths made real: `query` executes (the reference prints the plan
+only, commands.rs:19-76), `bench` times actual end-to-end execution with
+avg/median/p95/p99/QPS stats (the reference times parsing only,
+commands.rs:140-201), `export` runs the full pipeline and writes
+csv/parquet/json (:203-272), CSV type inference (:399-500) comes from
+pyarrow's reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from typing import Dict, List, Optional
+
+from query_engine_tpu.cli.config import CliConfig
+from query_engine_tpu.cli.format import render
+from query_engine_tpu.columnar.batch import ColumnBatch
+from query_engine_tpu.engine.session import Session
+
+
+def build_session(config: CliConfig, extra_tables: Optional[List[str]] = None) -> Session:
+    """Session with the registry's tables + any name=path CLI args."""
+    s = Session()
+    for name, path in config.tables.items():
+        if os.path.exists(path):
+            _register_path(s, name, path)
+    for spec in extra_tables or []:
+        if "=" not in spec:
+            raise SystemExit(f"--table expects name=path, got {spec!r}")
+        name, path = spec.split("=", 1)
+        _register_path(s, name, path)
+    return s
+
+
+def _register_path(s: Session, name: str, path: str):
+    if path.endswith(".parquet"):
+        s.register_parquet(name, path)
+    else:
+        s.register_csv(name, path)
+
+
+def cmd_query(args, config: CliConfig) -> int:
+    s = build_session(config, args.table)
+    t0 = time.perf_counter()
+    if args.plan:
+        print(s.explain(args.sql))
+        return 0
+    result = s.sql(args.sql)
+    elapsed = time.perf_counter() - t0
+    print(render(result, args.format or config.output_format, config.max_rows))
+    if args.timing or config.show_timing:
+        print(f"Time: {elapsed * 1000:.2f} ms")
+    return 0
+
+
+def cmd_register(args, config: CliConfig) -> int:
+    s = Session()
+    _register_path(s, args.name, args.path)
+    schema = s.table_schema(args.name)
+    config.tables[args.name] = os.path.abspath(args.path)
+    config.save()
+    print(f"Registered table '{args.name}' from {args.path}")
+    for f in schema:
+        print(f"  {f.name.rsplit('.', 1)[-1]}: {f.data_type}")
+    return 0
+
+
+def cmd_tables(args, config: CliConfig) -> int:
+    if not config.tables:
+        print("No tables registered. Use: qe register <name> <path>")
+        return 0
+    for name, path in sorted(config.tables.items()):
+        print(f"{name}\t{path}")
+    return 0
+
+
+def cmd_describe(args, config: CliConfig) -> int:
+    s = build_session(config)
+    schema = s.table_schema(args.name)
+    batch = ColumnBatch.from_pydict(
+        {
+            "column": [f.name.rsplit(".", 1)[-1] for f in schema],
+            "type": [str(f.data_type) for f in schema],
+            "nullable": ["YES" if f.nullable else "NO" for f in schema],
+        }
+    )
+    print(render(batch, "table"))
+    return 0
+
+
+def cmd_bench(args, config: CliConfig) -> int:
+    """REAL execution benchmark (vs parse-only commands.rs:140-201), same
+    stat block shape as the reference README.md:678-694."""
+    s = build_session(config, args.table)
+    iters = args.iterations
+    s.sql(args.sql)  # warmup + compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        s.sql(args.sql)
+        times.append((time.perf_counter() - t0) * 1000)
+    times.sort()
+    avg = statistics.mean(times)
+    med = statistics.median(times)
+    p95 = times[min(int(len(times) * 0.95), len(times) - 1)]
+    p99 = times[min(int(len(times) * 0.99), len(times) - 1)]
+    print(f"Benchmark Results ({iters} iterations)")
+    print("========================================")
+    print(f"  Average:    {avg:.2f} ms")
+    print(f"  Median:     {med:.2f} ms")
+    print(f"  Min:        {times[0]:.2f} ms")
+    print(f"  Max:        {times[-1]:.2f} ms")
+    print(f"  P95:        {p95:.2f} ms")
+    print(f"  P99:        {p99:.2f} ms")
+    print(f"  Throughput: {1000.0 / avg:.2f} QPS")
+    return 0
+
+
+def cmd_export(args, config: CliConfig) -> int:
+    s = build_session(config, args.table)
+    if args.input:
+        _register_path(s, args.input_name, args.input)
+    result = s.sql(args.sql)
+    out = args.output
+    if out.endswith(".parquet"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_batches([result.to_arrow()]), out)
+    elif out.endswith(".json"):
+        from query_engine_tpu.cli.format import format_json
+
+        with open(out, "w") as f:
+            f.write(format_json(result))
+    else:
+        from query_engine_tpu.cli.format import format_csv
+
+        with open(out, "w") as f:
+            f.write(format_csv(result) + "\n")
+    print(f"Exported {result.num_rows} rows to {out}")
+    return 0
+
+
+def cmd_flight_server(args, config: CliConfig) -> int:
+    from query_engine_tpu.core.config import FlightConfig
+    from query_engine_tpu.flight.server import FlightServer
+
+    fc = FlightConfig(host=args.host, port=args.port)
+    server = FlightServer(fc)
+    for name, path in config.tables.items():
+        if os.path.exists(path):
+            _register_path(server.session, name, path)
+    for spec in args.table or []:
+        name, path = spec.split("=", 1)
+        _register_path(server.session, name, path)
+    print(f"Flight server listening on grpc://{args.host}:{server.port}")
+    server.serve_blocking()
+    return 0
+
+
+def cmd_flight_query(args, config: CliConfig) -> int:
+    from query_engine_tpu.flight.client import FlightClient
+
+    client = FlightClient(args.connect)
+    result = client.execute_sql(args.sql)
+    print(render(result, args.format or config.output_format, config.max_rows))
+    client.close()
+    return 0
+
+
+def cmd_pg_server(args, config: CliConfig) -> int:
+    from query_engine_tpu.pgwire.auth import AuthConfig
+    from query_engine_tpu.pgwire.server import PgServer
+
+    session = build_session(config, args.table)
+    auth = AuthConfig.trust()
+    if args.user and args.password:
+        auth = AuthConfig.md5({args.user: args.password})
+    server = PgServer(session, host=args.host, port=args.port, auth=auth)
+    print(f"pgwire server listening on {args.host}:{args.port}")
+    print(f"  connect: psql -h {args.host} -p {args.port} -U qe")
+    server.run()
+    return 0

@@ -1,0 +1,205 @@
+"""Streaming query: pull loop with windowed SQL execution.
+
+Parity surface: reference crates/query-streaming/src/stream.rs:14-243 —
+StreamingQuery pull loop with status (Running/Paused/Completed/Failed),
+StreamStats, window buffer, flush-on-end; StreamConfig (batch_size, window,
+watermark_interval, max_lateness, checkpointing).
+
+Claimed-semantics upgrade: on window trigger the reference emits only
+buffer[0] ("simplified — no real windowed aggregation", stream.rs:163-180);
+here the whole buffered window runs through the engine's real SQL pipeline
+(any query over the stream's table name), producing per-window results.
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+from query_engine_tpu.core.errors import StreamError
+from query_engine_tpu.columnar.batch import ColumnBatch
+from query_engine_tpu.streaming.source import StreamSource
+from query_engine_tpu.streaming.watermark import LateEventPolicy, Watermark
+from query_engine_tpu.streaming.window import WindowSpec, WindowType
+
+
+class StreamStatus(enum.Enum):
+    CREATED = "Created"
+    RUNNING = "Running"
+    PAUSED = "Paused"
+    COMPLETED = "Completed"
+    FAILED = "Failed"
+
+
+@dataclass
+class StreamConfig:
+    """stream.rs:29-40 defaults."""
+
+    batch_size: int = 1024
+    window: Optional[WindowSpec] = None
+    watermark_interval_secs: float = 1.0
+    max_lateness_secs: float = 0.0
+    enable_checkpointing: bool = False
+    event_time_column: Optional[str] = None
+
+
+@dataclass
+class StreamStats:
+    batches_processed: int = 0
+    rows_processed: int = 0
+    windows_emitted: int = 0
+    late_events_dropped: int = 0
+    started_at: float = 0.0
+
+
+class StreamingQuery:
+    """Pulls from a source, buffers into windows, runs a SQL query per
+    window emission."""
+
+    def __init__(
+        self,
+        source: StreamSource,
+        config: Optional[StreamConfig] = None,
+        query: Optional[str] = None,
+        table_name: str = "stream",
+        clock: Callable[[], float] = time.monotonic,
+        on_result: Optional[Callable[[ColumnBatch], None]] = None,
+    ):
+        self.source = source
+        self.config = config or StreamConfig()
+        self.query = query
+        self.table_name = table_name
+        self.clock = clock
+        self.on_result = on_result
+        self.status = StreamStatus.CREATED
+        self.stats = StreamStats()
+        self.error: Optional[str] = None
+        self._buffer: List[ColumnBatch] = []
+        self._window = (
+            self.config.window.create_window(clock)
+            if self.config.window is not None else None
+        )
+        self._watermark = Watermark()
+        self._late_policy = (
+            LateEventPolicy.allow(int(self.config.max_lateness_secs * 1000))
+            if self.config.max_lateness_secs > 0
+            else LateEventPolicy.drop()
+        )
+        self._results: List[ColumnBatch] = []
+        self._pause = threading.Event()
+        self._stop = threading.Event()
+
+    # ---- control (stream.rs status transitions) -------------------------
+    def pause(self) -> None:
+        self._pause.set()
+        self.status = StreamStatus.PAUSED
+
+    def resume(self) -> None:
+        self._pause.clear()
+        self.status = StreamStatus.RUNNING
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    # ---- the pull loop ---------------------------------------------------
+    def run(self, max_batches: Optional[int] = None) -> List[ColumnBatch]:
+        """Pull until the source is exhausted (or max_batches); returns the
+        emitted window results."""
+        self.status = StreamStatus.RUNNING
+        self.stats.started_at = self.clock()
+        pulled = 0
+        try:
+            while not self._stop.is_set():
+                if self._pause.is_set():
+                    time.sleep(0.005)
+                    continue
+                if max_batches is not None and pulled >= max_batches:
+                    break
+                batch = self.source.next_batch(timeout=0.01)
+                if batch is None:
+                    if self.source.is_exhausted():
+                        break
+                    if max_batches is not None:
+                        break
+                    continue
+                pulled += 1
+                self._ingest(batch)
+                if self._window is not None and self._window.should_trigger():
+                    self._emit_window()
+                    self._window.reset()
+            # flush-on-end (stream.rs flush)
+            if self._buffer:
+                self._emit_window()
+            self.status = StreamStatus.COMPLETED
+        except Exception as e:  # noqa: BLE001 stream isolation boundary
+            self.status = StreamStatus.FAILED
+            self.error = str(e)
+            raise StreamError(str(e)) from e
+        return self._results
+
+    def _ingest(self, batch: ColumnBatch) -> None:
+        if self.config.event_time_column is not None:
+            batch = self._apply_watermark(batch)
+            if batch is None or batch.num_rows == 0:
+                return
+        if self._window is not None and hasattr(self._window, "on_event"):
+            self._window.on_event()
+        self._buffer.append(batch)
+        self.stats.batches_processed += 1
+        self.stats.rows_processed += batch.num_rows
+
+    def _apply_watermark(self, batch: ColumnBatch) -> Optional[ColumnBatch]:
+        col = batch.column(self.config.event_time_column)
+        times = col.to_pylist(batch.num_rows)
+        keep = []
+        max_ts = None
+        for i, t in enumerate(times):
+            if t is None:
+                continue
+            ts = int(t)
+            if self._late_policy.should_allow_late(ts, self._watermark):
+                keep.append(i)
+            else:
+                self.stats.late_events_dropped += 1
+            if max_ts is None or ts > max_ts:
+                max_ts = ts
+        if max_ts is not None:
+            self._watermark.advance(max_ts)
+        if len(keep) == batch.num_rows:
+            return batch
+        import numpy as np
+
+        return batch.take_host(np.asarray(keep, dtype=np.int64))
+
+    def _emit_window(self) -> None:
+        if not self._buffer:
+            return
+        window_batch = (
+            ColumnBatch.concat(self._buffer)
+            if len(self._buffer) > 1 else self._buffer[0]
+        )
+        if self.query is not None:
+            from query_engine_tpu.engine.session import Session
+
+            s = Session()
+            s.register_table(self.table_name, window_batch)
+            result = s.sql(self.query)
+        else:
+            result = window_batch
+        self._results.append(result)
+        self.stats.windows_emitted += 1
+        if self.on_result is not None:
+            self.on_result(result)
+        if self._window is not None and self._window.keeps_rows_after_trigger():
+            # sliding windows retain rows still inside the window span;
+            # retention is time-based, approximate by keeping the last batch
+            self._buffer = self._buffer[-1:]
+        else:
+            self._buffer = []
+
+    @property
+    def results(self) -> List[ColumnBatch]:
+        return list(self._results)
