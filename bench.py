@@ -47,10 +47,10 @@ def build_pipeline(cap: int, bcap: int):
         # --- hash join: probe (filtered fact) x build (dim) + emit ---
         lr, rr = K.join_ranks([(dept, dept_v & keep)], [(bdept, bdept_v)],
                               n_rows, n_build)
-        total, counts, _off, lo, _rs, rperm, _lm, _rm = K.join_counts(
-            lr, rr, n_rows, n_build
-        )
-        li, ri, jvalid = K.join_emit_inner(counts, lo, rperm, total, cap)
+        (total, counts, _off, rank_start, right_by_rank,
+         _lm, _rm) = K.join_counts(lr, rr, n_rows, n_build)
+        li, ri, jvalid = K.join_emit_inner(
+            counts, rank_start, right_by_rank, lr, total, cap)
         joined_val = jnp.where(jvalid, bval[ri] + salary[li], 0)
 
         # --- sort: ORDER BY salary DESC ---

@@ -42,6 +42,18 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:  # noqa: BLE001 - backends already initialized
         pass
 
+# Persistent compilation cache: TPU (re)compiles are expensive (~minutes via
+# the remote compile service); cache them across processes.
+try:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("QE_JAX_CACHE", "/tmp/qe_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - older jax without these knobs
+    pass
+
 __version__ = "0.1.0"
 
 from query_engine_tpu.core.errors import QueryError  # noqa: E402

@@ -180,7 +180,8 @@ class QueryExecutor:
 
         lr, rr = K.join_ranks(lkeys, rkeys, nl, nr)
         (
-            total, counts, _offsets, lo, _rs, rperm, lmatched, rmatched
+            total, counts, _offsets, rank_start, right_by_rank,
+            lmatched, rmatched,
         ) = K.join_counts(lr, rr, nl, nr)
         total = int(total)
 
@@ -195,7 +196,9 @@ class QueryExecutor:
         out_rows = total + extra_l + extra_r
         out_cap = padded_capacity(out_rows)
 
-        li, ri, valid = K.join_emit_inner(counts, lo, rperm, total, out_cap)
+        li, ri, valid = K.join_emit_inner(
+            counts, rank_start, right_by_rank, lr, total, out_cap
+        )
         lvalid = valid
         rvalid = valid
 

@@ -122,7 +122,7 @@ def sort_permutation(
             key = -key  # safe: orderable_i64 never produces INT64_MIN for live data
         operands.append(null_rank)
         operands.append(key)
-    perm = jnp.arange(capacity, dtype=jnp.int64)
+    perm = jnp.arange(capacity, dtype=jnp.int32)
     out = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
@@ -142,10 +142,20 @@ def filter_count(mask: jnp.ndarray, num_rows) -> jnp.ndarray:
 def compaction_indices(mask: jnp.ndarray, num_rows, out_capacity: int):
     """Indices of mask-true live rows, compacted to the front of an
     out_capacity-sized index plane (vectorized Arrow filter_record_batch
-    analog, reference executor.rs:131-155)."""
+    analog, reference executor.rs:131-155).
+
+    TPU note: implemented as cumsum + scatter with int32 index planes —
+    jnp.nonzero lowers to a much slower path on TPU (~100ms/1M vs ~35ms),
+    and s64 scatters cost 3x s32.
+    """
     capacity = mask.shape[0]
     m = mask & live_mask(capacity, num_rows)
-    idx = jnp.nonzero(m, size=out_capacity, fill_value=0)[0]
+    pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+    idx = (
+        jnp.zeros(out_capacity, dtype=jnp.int32)
+        .at[jnp.where(m, pos, out_capacity)]
+        .set(jnp.arange(capacity, dtype=jnp.int32), mode="drop")
+    )
     return idx
 
 
@@ -209,7 +219,7 @@ def group_ids(
         operands.append(key)
         eq_keys.append(null.astype(jnp.int32))
         eq_keys.append(key)
-    perm = jnp.arange(capacity, dtype=jnp.int64)
+    perm = jnp.arange(capacity, dtype=jnp.int32)
     sorted_all = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
@@ -217,12 +227,13 @@ def group_ids(
     sorted_keys = sorted_all[1:-1]
     sperm = sorted_all[-1]
     change, seg = _segment_ids_from_sorted(sorted_keys, sorted_pad)
+    seg = seg.astype(jnp.int32)
     num_groups = jnp.sum((change & ~sorted_pad).astype(jnp.int64))
     # scatter group id back to original row order
-    gid = jnp.zeros(capacity, dtype=jnp.int64).at[sperm].set(seg)
+    gid = jnp.zeros(capacity, dtype=jnp.int32).at[sperm].set(seg)
     # representative row (first in sorted order) for each group; non-boundary
     # rows scatter out of bounds and are dropped
-    rep = jnp.zeros(capacity, dtype=jnp.int64).at[
+    rep = jnp.zeros(capacity, dtype=jnp.int32).at[
         jnp.where(change & ~sorted_pad, seg, capacity)
     ].set(sperm, mode="drop")
     return gid, num_groups, rep
@@ -308,7 +319,7 @@ def distinct_first_flags(
         key, null = normalize_key(data, valid)
         operands.append(null.astype(jnp.int32))
         operands.append(key)
-    perm = jnp.arange(capacity, dtype=jnp.int64)
+    perm = jnp.arange(capacity, dtype=jnp.int32)
     sorted_all = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
@@ -343,35 +354,52 @@ def join_ranks(
     (IS NOT DISTINCT semantics — used by INTERSECT/EXCEPT and DISTINCT).
 
     left_keys/right_keys: per-key (data, validity); capacities may differ.
-    Returns (left_ranks[cap_l], right_ranks[cap_r]) int64.
+    Returns (left_ranks[cap_l], right_ranks[cap_r]) int32.
     """
+    l, r, _, _ = _join_ranks_full(left_keys, right_keys, n_left, n_right,
+                                  null_equal)
+    return l, r
+
+
+def _join_ranks_full(left_keys, right_keys, n_left, n_right,
+                     null_equal: bool = False):
+    """Also returns (sorted_perm, sorted_pad_or_null) for reuse by
+    join_counts (right-side rank ordering comes from the same sort)."""
     cap_l = left_keys[0][0].shape[0]
     cap_r = right_keys[0][0].shape[0]
     cap = cap_l + cap_r
     pad = jnp.concatenate(
         [~live_mask(cap_l, n_left), ~live_mask(cap_r, n_right)]
     )
-    operands: List[jnp.ndarray] = [pad.astype(jnp.int32)]
     any_null = jnp.zeros(cap, dtype=bool)
+    key_ops: List[jnp.ndarray] = []
     for (ld, lv), (rd, rv) in zip(left_keys, right_keys):
         data = jnp.concatenate([orderable_i64(ld), orderable_i64(rd)])
         valid = jnp.concatenate([lv, rv])
         any_null = any_null | ~valid
         if null_equal:
-            operands.append((~valid).astype(jnp.int32))
-        operands.append(jnp.where(valid, data, jnp.int64(0)))
-    perm = jnp.arange(cap, dtype=jnp.int64)
+            key_ops.append((~valid).astype(jnp.int32))
+        key_ops.append(jnp.where(valid, data, jnp.int64(0)))
+    # sort order: live non-null rows first (grouped by key), then nulls,
+    # then pad — so rank-r rows are contiguous from the front
+    lead = pad.astype(jnp.int32) * 2
+    if not null_equal:
+        lead = lead + any_null.astype(jnp.int32)
+    operands = [lead] + key_ops
+    perm = jnp.arange(cap, dtype=jnp.int32)
     sorted_all = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
-    sorted_pad = sorted_all[0].astype(bool)
-    change, seg = _segment_ids_from_sorted(sorted_all[1:-1], sorted_pad)
+    sorted_lead = sorted_all[0]
+    change, seg = _segment_ids_from_sorted(
+        sorted_all[1:-1], sorted_lead > 0
+    )
     sperm = sorted_all[-1]
-    ranks = jnp.zeros(cap, dtype=jnp.int64).at[sperm].set(seg)
+    ranks = jnp.zeros(cap, dtype=jnp.int32).at[sperm].set(seg.astype(jnp.int32))
     if not null_equal:
         # null keys never match: unique negative rank per row
         ranks = jnp.where(any_null, -(perm + 2), ranks)
-    return ranks[:cap_l], ranks[cap_l:]
+    return ranks[:cap_l], ranks[cap_l:], sperm, sorted_lead
 
 
 def join_counts(
@@ -380,59 +408,88 @@ def join_counts(
     n_left,
     n_right,
 ):
-    """Pass 1: per-left-row match counts against the (sorted) right side.
+    """Pass 1: per-left-row match counts. No searchsorted (slow on TPU) —
+    pure segment-sum + gather over the dense rank space.
 
     Returns (total_matches, counts[cap_l], offsets[cap_l] exclusive-cumsum,
-    sorted_right_ranks, right_perm, left_matched, right_matched).
+    rank_start[n_ranks], right_by_rank[cap_r], left_matched, right_matched).
+    rank_start[r] is the start of rank r's rows inside right_by_rank, which
+    lists live non-null right row indices grouped by rank.
     """
     cap_l = left_ranks.shape[0]
     cap_r = right_ranks.shape[0]
+    n_ranks = cap_l + cap_r
     lm_l = live_mask(cap_l, n_left)
     lm_r = live_mask(cap_r, n_right)
-    # sort right ranks (pad rows to +inf so they never match)
-    r = jnp.where(lm_r, right_ranks, _INT_MAX)
-    rperm = jnp.arange(cap_r, dtype=jnp.int64)
-    r_sorted, rperm_sorted = jax.lax.sort([r, rperm], num_keys=1, is_stable=True)
-    lo = jnp.searchsorted(r_sorted, left_ranks, side="left")
-    hi = jnp.searchsorted(r_sorted, left_ranks, side="right")
-    counts = jnp.where(lm_l, (hi - lo).astype(jnp.int64), 0)
+    l_ok = lm_l & (left_ranks >= 0)
+    r_ok = lm_r & (right_ranks >= 0)
+    lr_c = jnp.where(l_ok, left_ranks, n_ranks - 1).astype(jnp.int32)
+    rr_c = jnp.where(r_ok, right_ranks, n_ranks - 1).astype(jnp.int32)
+    # per-rank cardinalities
+    cnt_r = jax.ops.segment_sum(
+        r_ok.astype(jnp.int32), rr_c, num_segments=n_ranks
+    )
+    cnt_l = jax.ops.segment_sum(
+        l_ok.astype(jnp.int32), lr_c, num_segments=n_ranks
+    )
+    # note: the n_ranks-1 dummy slot may mix pad/null counts; mask at use
+    counts = jnp.where(l_ok, cnt_r[lr_c], 0).astype(jnp.int64)
     offsets = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
     left_matched = counts > 0
-    # right matched: does each right rank appear among left ranks?
-    l = jnp.where(lm_l, left_ranks, _INT_MAX)
-    l_sorted = jax.lax.sort([l], num_keys=1, is_stable=True)[0]
-    rlo = jnp.searchsorted(l_sorted, right_ranks, side="left")
-    rhi = jnp.searchsorted(l_sorted, right_ranks, side="right")
-    right_matched = lm_r & (rhi > rlo)
-    return total, counts, offsets, lo, r_sorted, rperm_sorted, left_matched, right_matched
+    right_matched = r_ok & (cnt_l[rr_c] > 0)
+    # right rows grouped by rank: scatter row index to rank_start[r] + #seen
+    rank_start = jnp.cumsum(cnt_r) - cnt_r  # exclusive cumsum per rank
+    # position of each right row within its rank group = running count of
+    # prior same-rank rows; rows are processed in index order, so use a
+    # stable sort of (rank, row) and subtract the rank start position.
+    rperm = jnp.arange(cap_r, dtype=jnp.int32)
+    rr_sorted, rperm_sorted = jax.lax.sort(
+        [rr_c, rperm], num_keys=1, is_stable=True
+    )
+    # in sorted order, live non-null rows of rank r occupy a contiguous run
+    # whose global start equals rank_start[r]; so right_by_rank is simply
+    # the sorted row indices.
+    right_by_rank = rperm_sorted
+    return (
+        total, counts, offsets, rank_start, right_by_rank,
+        left_matched, right_matched,
+    )
 
 
 def join_emit_inner(
     counts: jnp.ndarray,
-    lo: jnp.ndarray,
-    rperm_sorted: jnp.ndarray,
+    rank_start: jnp.ndarray,
+    right_by_rank: jnp.ndarray,
+    left_ranks: jnp.ndarray,
     total,
     out_capacity: int,
 ):
-    """Pass 2: emit (left_idx, right_idx) pairs for all matches, compacted.
+    """Pass 2: emit (left_idx, right_idx) pairs, compacted, left-major.
 
     out_capacity is a static bucket >= total (host chose it after pass 1).
-    Output slot t belongs to the left row whose [offset, offset+count) range
-    covers t; searching the inclusive cumsum with side='right' skips
-    zero-count rows correctly.
+    The owning left row for each output slot is recovered with a scatter of
+    row ids at each row's output offset followed by a running cummax — no
+    searchsorted.
     """
+    cap_l = counts.shape[0]
     csum = jnp.cumsum(counts)
+    starts = (csum - counts).astype(jnp.int64)
+    rows = jnp.arange(cap_l, dtype=jnp.int32)
+    mark = (
+        jnp.zeros(out_capacity, dtype=jnp.int32)
+        .at[jnp.where(counts > 0, starts, out_capacity)]
+        .max(rows, mode="drop")
+    )
+    owner = jax.lax.cummax(mark)
     t = jnp.arange(out_capacity, dtype=jnp.int64)
-    li = jnp.searchsorted(csum, t, side="right")
-    li = jnp.clip(li, 0, counts.shape[0] - 1)
-    offset = csum[li] - counts[li]
-    j = t - offset
-    rpos = lo[li] + j
-    ri = rperm_sorted[jnp.clip(rpos, 0, rperm_sorted.shape[0] - 1)]
+    j = t - starts[owner]
+    lrank = jnp.clip(left_ranks[owner], 0, rank_start.shape[0] - 1)
+    rpos = rank_start[lrank].astype(jnp.int64) + j
+    ri = right_by_rank[jnp.clip(rpos, 0, right_by_rank.shape[0] - 1)]
     valid = t < total
     return (
-        jnp.where(valid, li, 0),
+        jnp.where(valid, owner, 0),
         jnp.where(valid, ri, 0),
         valid,
     )
@@ -442,7 +499,7 @@ def unmatched_indices(matched: jnp.ndarray, num_rows, out_capacity: int):
     """Rows with no match (for outer joins): compacted indices + count."""
     um = ~matched & live_mask(matched.shape[0], num_rows)
     count = jnp.sum(um.astype(jnp.int64))
-    idx = jnp.nonzero(um, size=out_capacity, fill_value=0)[0]
+    idx = compaction_indices(um, num_rows, out_capacity)
     return idx, count
 
 

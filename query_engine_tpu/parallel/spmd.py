@@ -300,18 +300,17 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
         lr, rr = K.join_ranks(
             [(lcd[0], lcv[0])], [(rcd[0], rcv[0])], lcount, rcount
         )
-        total, counts, offsets, lo, rs, rperm, lm, rm = K.join_counts(
-            lr, rr, lcount, rcount
-        )
+        (total, counts, _offsets, rank_start, right_by_rank,
+         lm, rm) = K.join_counts(lr, rr, lcount, rcount)
         out = [total.reshape(1), lcount.reshape(1), rcount.reshape(1)]
-        out += [counts, lo, rperm]
+        out += [counts, lr, rank_start, right_by_rank]
         out += lcd + lcv + rcd + rcv
         return tuple(out)
 
     n_cols = 2 * (n_left_cols + n_right_cols)
     in_specs = tuple([P(axis), P(axis), P(), P(axis), P(axis), P()]
                      + [P(axis)] * n_cols)
-    n_out = 3 + 3 + (n_left_cols + 1 + n_right_cols + 1) * 2
+    n_out = 3 + 4 + (n_left_cols + 1 + n_right_cols + 1) * 2
     out_specs = tuple([P(axis)] * n_out)
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)

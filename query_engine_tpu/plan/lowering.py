@@ -36,6 +36,9 @@ class Lowering:
                 self._lower_expr(e) for e in plan.exprs
             ])
         if isinstance(plan, lp.Filter):
+            accelerated = self._try_index_scan(plan)
+            if accelerated is not None:
+                return accelerated
             return pp.PFilter(
                 self.lower(plan.input), self._lower_expr(plan.predicate)
             )
@@ -86,6 +89,129 @@ class Lowering:
         if isinstance(plan, lp.IndexScan):
             raise PlanError("IndexScan lowering requires Session index manager")
         raise PlanError(f"cannot lower plan node {type(plan).__name__}")
+
+    # ---- index acceleration --------------------------------------------
+    def _try_index_scan(self, plan: lp.Filter) -> Optional[pp.PhysicalPlan]:
+        """Filter(TableScan) -> PIndexScan when a matching index exists.
+
+        The reference declares this path but falls back to a full scan
+        (executor.rs:81-88 TODO); here it is real: equality predicates use
+        hash/btree lookup, single-column ranges use btree range_scan, and
+        non-index conjuncts become a residual filter.
+        """
+        scan = plan.input
+        if not isinstance(scan, lp.TableScan) or scan.projection is not None:
+            return None
+        source = self.sources.get(scan.table_name.lower())
+        indexes = getattr(source, "indexes", None)
+        if indexes is None or not indexes.list_indexes():
+            return None
+
+        conjuncts = self._split_and(self._lower_expr(plan.predicate))
+        schema = scan.schema()
+
+        def col_of(e) -> Optional[str]:
+            if isinstance(e, lp.ColumnRef):
+                return schema.field(e.index).name.rsplit(".", 1)[-1]
+            return None
+
+        def lit_of(e):
+            if isinstance(e, lp.Literal) and not e.value.is_null:
+                return e.value.value
+            return None
+
+        eq: dict = {}
+        ranges: dict = {}
+        residual: List[lp.LogicalExpr] = []
+        used = set()
+        for c in conjuncts:
+            handled = False
+            if isinstance(c, lp.BinaryExpr) and c.op in (
+                lp.BinOp.EQ, lp.BinOp.LT, lp.BinOp.LTE, lp.BinOp.GT, lp.BinOp.GTE
+            ):
+                col, lit, op = col_of(c.left), lit_of(c.right), c.op
+                if col is None or lit is None:
+                    col, lit = col_of(c.right), lit_of(c.left)
+                    flip = {lp.BinOp.LT: lp.BinOp.GT, lp.BinOp.GT: lp.BinOp.LT,
+                            lp.BinOp.LTE: lp.BinOp.GTE, lp.BinOp.GTE: lp.BinOp.LTE}
+                    op = flip.get(op, op)
+                if col is not None and lit is not None:
+                    if op is lp.BinOp.EQ and col not in eq:
+                        eq[col] = (lit, c)
+                        handled = True
+                    elif op is not lp.BinOp.EQ:
+                        lo, hi, il, ih, cs = ranges.get(
+                            col, (None, None, True, True, [])
+                        )
+                        if op is lp.BinOp.GT:
+                            lo, il = lit, False
+                        elif op is lp.BinOp.GTE:
+                            lo, il = lit, True
+                        elif op is lp.BinOp.LT:
+                            hi, ih = lit, False
+                        else:
+                            hi, ih = lit, True
+                        cs = cs + [c]
+                        ranges[col] = (lo, hi, il, ih, cs)
+                        handled = True
+            if not handled:
+                residual.append(c)
+
+        # equality lookup on a single-column index
+        for col, (lit, cexpr) in eq.items():
+            idx_name = indexes.find_best_for_columns(
+                scan.table_name.lower(), [col]
+            )
+            if idx_name is None:
+                continue
+            meta = indexes.metadata(idx_name)
+            if meta.columns != [col]:
+                continue
+            others = [c for c in conjuncts if c is not cexpr]
+            res = self._conjoin(others)
+
+            def lookup(source=source, idx_name=idx_name, lit=lit):
+                return source.index_lookup(idx_name, (lit,))
+
+            return pp.PIndexScan(
+                scan.table_name, source, scan.schema(), idx_name,
+                lookup=lookup, residual=res,
+            )
+
+        # range scan on a single-column btree index
+        for col, (lo, hi, il, ih, cs) in ranges.items():
+            idx_name = indexes.find_best_for_columns(
+                scan.table_name.lower(), [col]
+            )
+            if idx_name is None:
+                continue
+            meta = indexes.metadata(idx_name)
+            if meta.columns != [col] or meta.index_type != "btree":
+                continue
+            others = [c for c in conjuncts if c not in cs]
+            res = self._conjoin(others)
+
+            def lookup(source=source, idx_name=idx_name, lo=lo, hi=hi,
+                       il=il, ih=ih):
+                return source.index_range_scan(
+                    idx_name,
+                    (lo,) if lo is not None else None,
+                    (hi,) if hi is not None else None,
+                    il, ih,
+                )
+
+            return pp.PIndexScan(
+                scan.table_name, source, scan.schema(), idx_name,
+                lookup=lookup, residual=res,
+            )
+        return None
+
+    @staticmethod
+    def _conjoin(parts: List[lp.LogicalExpr]) -> Optional[lp.LogicalExpr]:
+        out = None
+        for p in parts:
+            out = p if out is None else lp.BinaryExpr(out, lp.BinOp.AND, p)
+        return out
 
     # ---- joins ---------------------------------------------------------
     def _lower_join(self, plan: lp.Join) -> pp.PhysicalPlan:

@@ -91,6 +91,15 @@ class Parser:
         if not self.match_op(op):
             raise ParseError(f"expected '{op}', found {self.cur.value or 'EOF'}")
 
+    def expect_alias(self) -> str:
+        """Aliases after AS may be any non-reserved word incl. function
+        keywords (SELECT AVG(x) AS avg)."""
+        t = self.cur
+        if t.kind in ("IDENT", "KEYWORD"):
+            self.advance()
+            return t.value if t.kind == "IDENT" else t.value.lower()
+        raise ParseError(f"expected alias, found {t.value or 'EOF'}")
+
     def expect_ident(self) -> str:
         t = self.cur
         if t.kind == "IDENT":
@@ -278,7 +287,7 @@ class Parser:
         expr = self.parse_expr()
         alias = None
         if self.match_kw("AS"):
-            alias = self.expect_ident()
+            alias = self.expect_alias()
         elif self.cur.kind == "IDENT":
             alias = self.advance().value
         return ast.ExprItem(expr, alias)
@@ -288,12 +297,12 @@ class Parser:
             query = self.parse_select()
             self.expect_op(")")
             self.match_kw("AS")
-            alias = self.expect_ident()
+            alias = self.expect_alias()
             return ast.SubqueryRef(query, alias)
         name = self.expect_ident()
         alias = None
         if self.match_kw("AS"):
-            alias = self.expect_ident()
+            alias = self.expect_alias()
         elif self.cur.kind == "IDENT":
             alias = self.advance().value
         return ast.TableName(name, alias)

@@ -81,10 +81,12 @@ def _run_inner_join(lkeys, lvalid, rkeys, rvalid):
     rv = pad(rvalid, cap_r, fill=False)
     nl, nr = len(lkeys), len(rkeys)
     lr, rr = K.join_ranks([(ld, lv)], [(rd, rv)], nl, nr)
-    total, counts, offsets, lo, rs, rperm, lm, rm = K.join_counts(lr, rr, nl, nr)
+    (total, counts, offsets, rank_start, right_by_rank,
+     lm, rm) = K.join_counts(lr, rr, nl, nr)
     T = int(total)
     out_cap = max(8, T)
-    li, ri, valid = K.join_emit_inner(counts, lo, rperm, total, out_cap)
+    li, ri, valid = K.join_emit_inner(
+        counts, rank_start, right_by_rank, lr, total, out_cap)
     pairs = [
         (int(l), int(r))
         for l, r, v in zip(np.asarray(li), np.asarray(ri), np.asarray(valid))
