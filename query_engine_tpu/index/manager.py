@@ -16,7 +16,34 @@ from query_engine_tpu.index.hash import HashIndex
 from query_engine_tpu.index.types import Index, IndexMetadata
 
 
+def _native_enabled() -> bool:
+    import os
+
+    if os.environ.get("QE_NO_NATIVE") == "1":
+        return False
+    from query_engine_tpu.index import native
+
+    return native.native_available()
+
+
 class IndexManager:
+    @staticmethod
+    def _make_index(index_type: str, unique: bool) -> Index:
+        """Prefer the C++ implementations (native/qe_native.cpp) — the
+        reference's index crate is native too; fall back to pure Python."""
+        if index_type not in ("hash", "btree"):
+            raise IndexError_(f"unknown index type '{index_type}'")
+        if _native_enabled():
+            from query_engine_tpu.index.native import (
+                NativeBTreeIndex, NativeHashIndex,
+            )
+
+            return (
+                NativeHashIndex(unique) if index_type == "hash"
+                else NativeBTreeIndex(unique)
+            )
+        return HashIndex(unique) if index_type == "hash" else BTreeIndex(unique)
+
     def __init__(self):
         self._indexes: Dict[str, Index] = {}
         self._meta: Dict[str, IndexMetadata] = {}
@@ -30,12 +57,7 @@ class IndexManager:
         with self._lock:
             if name in self._indexes:
                 raise IndexError_(f"index '{name}' already exists")
-            if index_type == "hash":
-                idx: Index = HashIndex(unique)
-            elif index_type == "btree":
-                idx = BTreeIndex(unique)
-            else:
-                raise IndexError_(f"unknown index type '{index_type}'")
+            idx = self._make_index(index_type, unique)
             self._indexes[name] = idx
             self._meta[name] = IndexMetadata(name, table, columns, index_type, unique)
             self._by_table.setdefault(table, []).append(name)

@@ -132,3 +132,69 @@ def test_index_kept_in_sync_by_dml():
     assert s.sql("SELECT v FROM t WHERE id = 1").to_pylist() == []
     s.sql("UPDATE t SET v = 'z' WHERE id = 2")
     assert s.sql("SELECT v FROM t WHERE id = 2").to_pylist() == [("z",)]
+
+
+# ---- native C++ index backend ----------------------------------------------
+def test_native_index_matches_python():
+    from query_engine_tpu.index import native
+
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    nb = native.NativeBTreeIndex()
+    pb = BTreeIndex()
+    import random
+
+    rng = random.Random(7)
+    keys = [(rng.randint(0, 50),) for _ in range(500)]
+    for i, k in enumerate(keys):
+        nb.insert(k, i)
+        pb.insert(k, i)
+    assert len(nb) == len(pb) == 500
+    for probe in range(0, 55, 5):
+        assert sorted(nb.lookup((probe,))) == sorted(pb.lookup((probe,)))
+    assert sorted(nb.range_scan((10,), (20,))) == sorted(pb.range_scan((10,), (20,)))
+    assert sorted(nb.range_scan((10,), (20,), False, False)) == sorted(
+        pb.range_scan((10,), (20,), False, False))
+    assert sorted(nb.range_scan(None, (5,))) == sorted(pb.range_scan(None, (5,)))
+    assert sorted(nb.range_scan((45,), None)) == sorted(pb.range_scan((45,), None))
+    nb.delete(keys[0], 0)
+    pb.delete(keys[0], 0)
+    assert sorted(nb.lookup(keys[0])) == sorted(pb.lookup(keys[0]))
+
+    nh = native.NativeHashIndex()
+    nh.insert(("x", 1.5), 3)
+    nh.insert(("x", 1.5), 4)
+    assert sorted(nh.lookup(("x", 1.5))) == [3, 4]
+    assert nh.range_scan((0,), (9,)) == []
+
+
+def test_native_unique_and_mixed_types():
+    from query_engine_tpu.index import native
+
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    nb = native.NativeBTreeIndex(unique=True)
+    nb.insert((1,), 0)
+    with pytest.raises(IndexError_):
+        nb.insert((1,), 1)
+    # int/float share numeric order; strings sort after numbers; None first
+    nb2 = native.NativeBTreeIndex()
+    nb2.insert((None,), 0)
+    nb2.insert((2,), 1)
+    nb2.insert((1.5,), 2)
+    nb2.insert(("a",), 3)
+    assert nb2.range_scan((1.0,), (3.0,)) == [2, 1]
+    # int key looked up via equal float matches (widened encoding)
+    nb2.insert((7,), 9)
+    assert nb2.lookup((7.0,)) == [9]
+
+
+def test_native_bulk_load():
+    from query_engine_tpu.index import native
+
+    if not native.native_available():
+        pytest.skip("no C++ toolchain")
+    nb = native.NativeBTreeIndex()
+    nb.bulk_load([((i % 10,), i) for i in range(1000)])
+    assert len(nb) == 1000
+    assert len(nb.lookup((3,))) == 100
