@@ -72,14 +72,16 @@ def main():
     n_build = bcap - 3
     n_keys = bcap  # every probe row matches ~1 build row
 
+    # TPU deployment profile: 32-bit lanes for keys/filters (native width on
+    # v5e), 64-bit only where aggregation parity needs it (salary sums)
     args = (
-        jnp.asarray(rng.integers(18, 65, cap), jnp.int64),
+        jnp.asarray(rng.integers(18, 65, cap), jnp.int32),
         jnp.ones(cap, bool),
         jnp.asarray(rng.integers(50_000, 150_000, cap), jnp.int64),
         jnp.ones(cap, bool),
-        jnp.asarray(rng.integers(0, n_keys, cap), jnp.int64),
+        jnp.asarray(rng.integers(0, n_keys, cap), jnp.int32),
         jnp.asarray(rng.random(cap) > 0.02),
-        jnp.asarray(rng.permutation(n_keys)[:bcap], jnp.int64),
+        jnp.asarray(rng.permutation(n_keys)[:bcap], jnp.int32),
         jnp.ones(bcap, bool),
         jnp.asarray(rng.integers(0, 1000, bcap), jnp.int64),
         jnp.ones(bcap, bool),

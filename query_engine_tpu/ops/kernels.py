@@ -39,7 +39,8 @@ import numpy as np
 
 
 def live_mask(capacity: int, num_rows) -> jnp.ndarray:
-    return jnp.arange(capacity) < num_rows
+    # int32 iota: capacities are < 2^31 and s64 is emulated on TPU
+    return jnp.arange(capacity, dtype=jnp.int32) < num_rows
 
 
 _I64_MIN = np.int64(np.iinfo(np.int64).min)
@@ -71,16 +72,18 @@ def _f32_orderable_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 def orderable_i64(data: jnp.ndarray) -> jnp.ndarray:
     """Normalize a key column to a sortable integer preserving order &
-    equality. 64-bit lanes (CPU parity profile) map to int64; 32-bit-or-
-    smaller lanes (TPU profile) stay int32 so the hot path never touches
-    emulated 64-bit bitcasts on TPU."""
+    equality. 64-bit lanes (the CPU parity profile) map to int64; 32-bit-or-
+    smaller lanes stay int32 — on TPU (no 64-bit ALU) that keeps the hot
+    sort/scatter path entirely native-width."""
     if data.dtype == jnp.float64:
         return _f64_orderable_bits(data)
     if jnp.issubdtype(data.dtype, jnp.floating):
-        return _f32_orderable_bits(data).astype(jnp.int64)
-    if data.dtype == jnp.bool_:
+        return _f32_orderable_bits(data)
+    if data.dtype == jnp.int64 or data.dtype == jnp.uint64:
         return data.astype(jnp.int64)
-    return data.astype(jnp.int64)
+    if data.dtype == jnp.bool_:
+        return data.astype(jnp.int32)
+    return data.astype(jnp.int32)
 
 
 def normalize_key(
@@ -90,7 +93,7 @@ def normalize_key(
     nulls compare equal; callers append the null plane as a separate key."""
     key = orderable_i64(data)
     null = ~validity
-    return jnp.where(null, jnp.int64(0), key), null
+    return jnp.where(null, jnp.zeros((), key.dtype), key), null
 
 
 # ---------------------------------------------------------------------------
@@ -188,13 +191,13 @@ def _segment_ids_from_sorted(
     """Boundary flags + segment ids over rows already in sorted order.
     Pad rows are all assigned to a trailing dummy segment."""
     capacity = pad_sorted.shape[0]
-    idx = jnp.arange(capacity)
+    idx = jnp.arange(capacity, dtype=jnp.int32)
     change = jnp.zeros(capacity, dtype=bool).at[0].set(True)
     for k in sorted_keys:
         prev = jnp.roll(k, 1)
         change = change | (idx > 0) & (k != prev)
     change = change | (pad_sorted & ~jnp.roll(pad_sorted, 1))
-    seg = jnp.cumsum(change.astype(jnp.int64)) - 1
+    seg = jnp.cumsum(change.astype(jnp.int32)) - 1
     return change, seg
 
 
@@ -379,7 +382,7 @@ def _join_ranks_full(left_keys, right_keys, n_left, n_right,
         any_null = any_null | ~valid
         if null_equal:
             key_ops.append((~valid).astype(jnp.int32))
-        key_ops.append(jnp.where(valid, data, jnp.int64(0)))
+        key_ops.append(jnp.where(valid, data, jnp.zeros((), data.dtype)))
     # sort order: live non-null rows first (grouped by key), then nulls,
     # then pad — so rank-r rows are contiguous from the front
     lead = pad.astype(jnp.int32) * 2
@@ -433,9 +436,9 @@ def join_counts(
         l_ok.astype(jnp.int32), lr_c, num_segments=n_ranks
     )
     # note: the n_ranks-1 dummy slot may mix pad/null counts; mask at use
-    counts = jnp.where(l_ok, cnt_r[lr_c], 0).astype(jnp.int64)
-    offsets = jnp.cumsum(counts) - counts
-    total = jnp.sum(counts)
+    counts = jnp.where(l_ok, cnt_r[lr_c], 0)  # int32
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int64)
+    total = jnp.sum(counts.astype(jnp.int64))
     left_matched = counts > 0
     right_matched = r_ok & (cnt_l[rr_c] > 0)
     # right rows grouped by rank: scatter row index to rank_start[r] + #seen
@@ -473,8 +476,8 @@ def join_emit_inner(
     searchsorted.
     """
     cap_l = counts.shape[0]
-    csum = jnp.cumsum(counts)
-    starts = (csum - counts).astype(jnp.int64)
+    csum = jnp.cumsum(counts.astype(jnp.int64))
+    starts = csum - counts
     rows = jnp.arange(cap_l, dtype=jnp.int32)
     mark = (
         jnp.zeros(out_capacity, dtype=jnp.int32)
@@ -540,34 +543,34 @@ def window_segments(
 
 
 def _seg_start_pos(seg_change: jnp.ndarray) -> jnp.ndarray:
-    idx = jnp.arange(seg_change.shape[0])
+    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int32)
     return jax.lax.cummax(jnp.where(seg_change, idx, 0))
 
 
 def _seg_end_pos(seg_change: jnp.ndarray) -> jnp.ndarray:
     """Index of last row of each row's segment."""
     capacity = seg_change.shape[0]
-    idx = jnp.arange(capacity)
+    idx = jnp.arange(capacity, dtype=jnp.int32)
     nxt = jnp.roll(seg_change, -1).at[capacity - 1].set(True)
     ends = jnp.where(nxt, idx, capacity - 1)
     return jnp.flip(jax.lax.cummin(jnp.flip(ends)))
 
 
 def row_number_sorted(seg_change: jnp.ndarray) -> jnp.ndarray:
-    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int64)
-    return idx - _seg_start_pos(seg_change) + 1
+    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int32)
+    return (idx - _seg_start_pos(seg_change) + 1).astype(jnp.int64)
 
 
 def rank_sorted(seg_change: jnp.ndarray, peer_change: jnp.ndarray) -> jnp.ndarray:
-    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int64)
+    idx = jnp.arange(seg_change.shape[0], dtype=jnp.int32)
     run_start = jax.lax.cummax(jnp.where(peer_change, idx, 0))
-    return run_start - _seg_start_pos(seg_change) + 1
+    return (run_start - _seg_start_pos(seg_change) + 1).astype(jnp.int64)
 
 
 def dense_rank_sorted(seg_change, peer_change) -> jnp.ndarray:
-    peers = jnp.cumsum(peer_change.astype(jnp.int64))
+    peers = jnp.cumsum(peer_change.astype(jnp.int32))
     at_seg_start = jax.lax.cummax(jnp.where(seg_change, peers, 0))
-    return peers - at_seg_start + 1
+    return (peers - at_seg_start + 1).astype(jnp.int64)
 
 
 def ntile_sorted(seg_change: jnp.ndarray, n_tiles, pad_sorted) -> jnp.ndarray:
@@ -598,7 +601,7 @@ def shift_in_segment(
 ):
     """LAG(offset>0)/LEAD(offset<0) within segments; out-of-segment -> null."""
     capacity = values.shape[0]
-    idx = jnp.arange(capacity)
+    idx = jnp.arange(capacity, dtype=jnp.int32)
     src = idx - offset
     in_range = (src >= 0) & (src < capacity)
     src_c = jnp.clip(src, 0, capacity - 1)

@@ -259,14 +259,22 @@ def _recv_key_valid(key_validity, rlive, ccount):
 
 
 def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
-                                 n_right_cols: int, axis: str = "data"):
+                                 n_right_cols: int, axis: str = "data",
+                                 salt: int = 1):
     """Build the SPMD 'repartition + local join count' program.
 
     Returns per-shard: exchanged left/right planes (compacted) + local
     match counts — the host then sizes emit buffers per shard (count-then-
     emit across the mesh).
+
+    Skew-aware repartitioning (BASELINE skew target; PAPERS.md join-skew
+    refs): with salt > 1, each probe (left) row routes to one of `salt`
+    consecutive partitions of its key hash, and every build (right) row is
+    replicated to all `salt` of them — hot keys spread over `salt` shards
+    instead of melting one. salt=1 is the plain hash shuffle.
     """
     n = mesh.devices.size
+    salt = max(1, min(salt, n))
 
     def step(lkey, lkv, l_rows, rkey, rkv, r_rows, *cols):
         my = jax.lax.axis_index(axis)
@@ -279,20 +287,40 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
         rdatas = list(cols[2 * n_left_cols: 2 * n_left_cols + n_right_cols])
         rvalids = list(cols[2 * n_left_cols + n_right_cols:])
 
-        # repartition left by key hash
+        # repartition left by key hash (+ per-row salt when salt > 1)
         lpid = partition_ids(lkey, lkv, n)
+        if salt > 1:
+            row_salt = (jnp.arange(lcap, dtype=jnp.int32) % salt)
+            lpid = (lpid + row_salt) % n
         llive = jnp.arange(lcap) < nl
         lidx, lcounts = bucket_rows(lpid, llive, n, lcap)
         ld, lv, llive_r = exchange_columns(
             axis, lidx, lcounts, [lkey] + ldatas, [lkv] + lvalids
         )
         lcd, lcv, lcount = compact_received(llive_r, ld, lv)
-        # repartition right
-        rpid = partition_ids(rkey, rkv, n)
-        rlive = jnp.arange(rcap) < nr
-        ridx, rcounts = bucket_rows(rpid, rlive, n, rcap)
+        # repartition right; with salting the build side is replicated to
+        # every salted partition of its key
+        if salt > 1:
+            rep = salt
+            rkey_r = jnp.tile(rkey, rep)
+            rkv_r = jnp.tile(rkv, rep)
+            rdatas_r = [jnp.tile(d, rep) for d in rdatas]
+            rvalids_r = [jnp.tile(v, rep) for v in rvalids]
+            s_of = jnp.repeat(
+                jnp.arange(rep, dtype=jnp.int32), rcap
+            )
+            rpid = (partition_ids(rkey_r, rkv_r, n) + s_of) % n
+            rlive = jnp.tile(jnp.arange(rcap) < nr, rep)
+            rcap_eff = rcap * rep
+        else:
+            rkey_r, rkv_r = rkey, rkv
+            rdatas_r, rvalids_r = rdatas, rvalids
+            rpid = partition_ids(rkey, rkv, n)
+            rlive = jnp.arange(rcap) < nr
+            rcap_eff = rcap
+        ridx, rcounts = bucket_rows(rpid, rlive, n, rcap_eff)
         rd, rv, rlive_r = exchange_columns(
-            axis, ridx, rcounts, [rkey] + rdatas, [rkv] + rvalids
+            axis, ridx, rcounts, [rkey_r] + rdatas_r, [rkv_r] + rvalids_r
         )
         rcd, rcv, rcount = compact_received(rlive_r, rd, rv)
 

@@ -143,3 +143,41 @@ def test_distributed_join_counts(mesh):
     cr = collections.Counter(rk.tolist())
     expected = sum(cl[k] * cr.get(k, 0) for k in cl)
     assert total == expected
+
+
+def test_skew_aware_salted_join(mesh):
+    """Hot-key skew: 80% of probe rows share one key. Salted exchange must
+    produce identical totals while spreading probe rows across shards."""
+    rng = np.random.default_rng(11)
+    nl, nr = 1600, 100
+    lk = np.where(rng.random(nl) < 0.8, 7, rng.integers(0, 50, nl))
+    rk = np.arange(nr) % 50
+    lb = ColumnBatch.from_pydict({"k": lk.tolist(), "lv": list(range(nl))})
+    rb = ColumnBatch.from_pydict({"k": rk.tolist(), "rv": list(range(nr))})
+    stl = ShardedTable(lb, mesh)
+    strr = ShardedTable(rb, mesh)
+
+    import collections
+
+    cl = collections.Counter(lk.tolist())
+    cr = collections.Counter(rk.tolist())
+    expected = sum(cl[k] * cr.get(k, 0) for k in cl)
+
+    for salt in (1, 4):
+        djoin = spmd.make_distributed_join_counts(mesh, 1, 1, salt=salt)
+        out = djoin(
+            stl.datas[0], stl.valids[0], stl.shard_rows,
+            strr.datas[0], strr.valids[0], strr.shard_rows,
+            stl.datas[1], stl.valids[1], strr.datas[1], strr.valids[1],
+        )
+        totals = np.asarray(out[0])
+        assert int(totals.sum()) == expected, f"salt={salt}"
+        # probe-row balance: with salting the hottest shard holds far fewer
+        # probe rows than the full hot key
+        lcounts = np.asarray(out[1])
+        if salt == 1:
+            unsalted_max = lcounts.max()
+        else:
+            assert lcounts.max() < unsalted_max * 0.55, (
+                f"salting did not spread load: {lcounts} vs max {unsalted_max}"
+            )
