@@ -38,10 +38,13 @@ def build_pipeline(cap: int, bcap: int):
         keep = (age > 25) & age_v & live
 
         # --- hash aggregate: GROUP BY dept -> COUNT/SUM/AVG ---
-        gid, ng, rep = K.group_ids([dept], [dept_v & keep], n_rows)
+        # direct (sort-free) grouping: dept keys are range-bounded, the
+        # common case the executor detects with one min/max sync
+        gid, ng, rep = K.group_ids_direct(dept, dept_v & keep, n_rows, 0, bcap)
+        gcap = bcap + 1
         s, sv = K.segment_aggregate("sum", salary, salary_v & keep, gid,
-                                    n_rows, cap)
-        c, _ = K.segment_aggregate("count_star", None, None, gid, n_rows, cap)
+                                    n_rows, gcap)
+        c, _ = K.segment_aggregate("count_star", None, None, gid, n_rows, gcap)
         avg = s.astype(jnp.float64) / jnp.maximum(c, 1)
 
         # --- hash join: probe (filtered fact) x build (dim) + emit ---
@@ -58,7 +61,7 @@ def build_pipeline(cap: int, bcap: int):
                                   n_rows)
         top = salary[perm][:128]
 
-        return s, c, avg, total, jnp.sum(joined_val), top, ng
+        return s[:128], c[:128], avg[:128], total, jnp.sum(joined_val), top, ng
 
     return jax.jit(pipeline)
 
@@ -149,9 +152,16 @@ def _per_op(cap, bcap, args, iters):
     timed("filter", lambda a, av, n: K.filter_count((a > 25) & av, n),
           age, age_v, n_rows)
     timed(
-        "hash_aggregate",
+        "hash_aggregate_sorted",
         lambda d, dv, s, sv, n: K.segment_aggregate(
             "sum", s, sv, K.group_ids([d], [dv], n)[0], n, cap
+        ),
+        dept, dept_v, salary, salary_v, n_rows,
+    )
+    timed(
+        "hash_aggregate_direct",
+        lambda d, dv, s, sv, n: K.segment_aggregate(
+            "sum", s, sv, K.group_ids_direct(d, dv, n, 0, bcap)[0], n, bcap + 1
         ),
         dept, dept_v, salary, salary_v, n_rows,
     )

@@ -182,7 +182,13 @@ def cmd_pg_server(args, config: CliConfig) -> int:
     auth = AuthConfig.trust()
     if args.user and args.password:
         auth = AuthConfig.md5({args.user: args.password})
-    server = PgServer(session, host=args.host, port=args.port, auth=auth)
+    tls = None
+    if getattr(args, "tls_cert", None) and getattr(args, "tls_key", None):
+        from query_engine_tpu.pgwire.tls import TlsConfig
+
+        tls = TlsConfig(args.tls_cert, args.tls_key)
+    server = PgServer(session, host=args.host, port=args.port, auth=auth,
+                      tls=tls)
     print(f"pgwire server listening on {args.host}:{args.port}")
     print(f"  connect: psql -h {args.host} -p {args.port} -U qe")
     server.run()

@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-t", "--table", action="append", default=[])
     sp.add_argument("--user")
     sp.add_argument("--password")
+    sp.add_argument("--tls-cert")
+    sp.add_argument("--tls-key")
 
     return p
 

@@ -251,10 +251,7 @@ class QueryExecutor:
 
         if plan.group_exprs:
             gvals = [self.evaluator.eval(g, batch) for g in plan.group_exprs]
-            gid, ng, rep = K.group_ids(
-                [v.data for v in gvals], [v.validity for v in gvals],
-                batch.num_rows,
-            )
+            gid, ng, rep = self._group_ids_best(gvals, batch.num_rows)
             num_groups = int(ng)
         else:
             gvals = []
@@ -364,6 +361,31 @@ class QueryExecutor:
             cols.append(Column(out_d, out_v, f.data_type, out_dict))
 
         return ColumnBatch(schema, cols, num_groups)
+
+    # Direct (sort-free) grouping applies when there is a single integer or
+    # dictionary group key whose value range is bounded — dictionary codes
+    # always qualify; int columns qualify after a cheap min/max host sync.
+    _DIRECT_GROUP_MAX_RANGE = 1 << 21
+
+    def _group_ids_best(self, gvals, num_rows):
+        if len(gvals) == 1:
+            v = gvals[0]
+            if v.dictionary is not None:
+                nb = max(len(v.dictionary), 1)
+                if nb <= self._DIRECT_GROUP_MAX_RANGE:
+                    return K.group_ids_direct(v.data, v.validity, num_rows, 0, nb)
+            elif jnp.issubdtype(v.data.dtype, jnp.integer) or v.data.dtype == jnp.bool_:
+                data = v.data.astype(jnp.int32) if v.data.dtype == jnp.bool_ else v.data
+                kmin, kmax, anyv = K.key_range(data, v.validity, num_rows)
+                if bool(anyv):
+                    lo, hi = int(kmin), int(kmax)
+                    if hi - lo + 1 <= self._DIRECT_GROUP_MAX_RANGE:
+                        return K.group_ids_direct(
+                            data, v.validity, num_rows, lo, hi - lo + 1
+                        )
+        return K.group_ids(
+            [v.data for v in gvals], [v.validity for v in gvals], num_rows
+        )
 
     # ---- sort / limit --------------------------------------------------
     def _sort_val_keys(

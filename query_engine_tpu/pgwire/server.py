@@ -62,11 +62,13 @@ def split_statements(text: str) -> List[str]:
 
 
 class PgConnection:
-    def __init__(self, reader, writer, session: Session, auth: AuthConfig):
+    def __init__(self, reader, writer, session: Session, auth: AuthConfig,
+                 ssl_context=None):
         self.reader = reader
         self.writer = writer
         self.session = session
         self.auth = auth
+        self.ssl_context = ssl_context
         self.cursors = CursorStore()
         self.statements: Dict[str, PreparedStatement] = {}
         self.portals: Dict[str, Portal] = {}
@@ -108,8 +110,14 @@ class PgConnection:
             payload = await self.reader.readexactly(length - 4)
             msg = P.parse_startup(payload)
             if msg.protocol == P.SSL_REQUEST:
-                self.send(b"N")  # no TLS on this listener
+                if self.ssl_context is None:
+                    self.send(b"N")  # no TLS on this listener
+                    await self.flush()
+                    continue
+                # PostgreSQL STARTTLS upgrade (tls.rs parity)
+                self.send(b"S")
                 await self.flush()
+                await self.writer.start_tls(self.ssl_context)
                 continue
             if msg.protocol == P.GSSENC_REQUEST:
                 self.send(b"N")
@@ -549,11 +557,13 @@ class PgServer:
 
     def __init__(self, session: Optional[Session] = None,
                  host: str = "127.0.0.1", port: int = 5432,
-                 auth: Optional[AuthConfig] = None):
+                 auth: Optional[AuthConfig] = None, tls=None):
         self.session = session or Session()
         self.host = host
         self.port = port
         self.auth = auth or AuthConfig.trust()
+        self.tls = tls  # Optional[TlsConfig]
+        self._ssl_context = tls.ssl_context() if tls is not None else None
         self._server: Optional[asyncio.AbstractServer] = None
 
     # ---- table helpers (server.rs:127-174) -------------------------------
@@ -565,7 +575,8 @@ class PgServer:
 
     # ---- lifecycle -------------------------------------------------------
     async def _handle_conn(self, reader, writer):
-        conn = PgConnection(reader, writer, self.session, self.auth)
+        conn = PgConnection(reader, writer, self.session, self.auth,
+                            ssl_context=self._ssl_context)
         try:
             await conn.run()
         except Exception:  # noqa: BLE001 connection isolation

@@ -232,3 +232,47 @@ def test_distributed_filter_sort(cluster):
     out = DistributedExecutor(cluster).execute(plan, sources)
     vals = [r[0] for r in out.to_pylist()]
     assert vals == sorted([v for v in b.to_pydict()["v"] if v > 500], reverse=True)
+
+
+def test_serialized_batch_roundtrip():
+    """Arrow IPC round trip (reference network.rs:215-256 test shape)."""
+    from query_engine_tpu.parallel.network import NetworkConfig, SerializedBatch
+
+    b = make_batch(50)
+    sb = SerializedBatch.serialize(b)
+    assert sb.num_rows == 50 and sb.size_bytes > 0
+    back = sb.deserialize()
+    assert back.to_pydict() == b.to_pydict()
+    with pytest.raises(DistributedError):
+        SerializedBatch.serialize(b, NetworkConfig(max_message_bytes=10))
+
+
+def test_flight_transport_fanout():
+    import threading
+    import time as _time
+
+    from query_engine_tpu.core.config import FlightConfig
+    from query_engine_tpu.flight.server import FlightServiceImpl
+    from query_engine_tpu.parallel.flight_transport import FlightTransport
+
+    servers = []
+    transport = FlightTransport()
+    for i in range(2):
+        svc = FlightServiceImpl(FlightConfig(host="127.0.0.1", port=0))
+        svc.session.register_table(
+            "t", ColumnBatch.from_pydict({"x": [i * 10, i * 10 + 1]})
+        )
+        threading.Thread(target=svc.serve, daemon=True).start()
+        servers.append(svc)
+        transport.add_worker(f"w{i}", f"grpc://127.0.0.1:{svc.port}")
+    _time.sleep(0.3)
+    try:
+        one = transport.execute_on_worker("w0", "SELECT SUM(x) FROM t")
+        assert one.to_pylist() == [(1,)]
+        results = transport.execute_on_all("SELECT SUM(x) FROM t")
+        assert sorted(r.to_pylist()[0][0] for r in results) == [1, 21]
+        with pytest.raises(DistributedError):
+            transport.execute_on_worker("nope", "SELECT 1")
+    finally:
+        for svc in servers:
+            svc.shutdown()

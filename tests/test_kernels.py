@@ -154,3 +154,26 @@ def test_compaction():
     assert cnt == 3
     idx = np.asarray(K.compaction_indices(jnp.asarray(mask), 5, 8))
     assert idx[:3].tolist() == [0, 2, 3]
+
+
+def test_group_ids_direct_matches_sorted():
+    cap = 16
+    k = pad([5, 9, 5, -3, 9, 0], cap)
+    kv = pad([True, True, True, True, True, False], cap, fill=False)
+    g1, n1, r1 = K.group_ids([k], [kv], 6)
+    g2, n2, r2 = K.group_ids_direct(k, kv, 6, -3, 13)
+    assert int(n1) == int(n2) == 4
+    a = np.asarray(g1)[:6].tolist()
+    b = np.asarray(g2)[:6].tolist()
+    assert a == b  # same dense ids in key order, null last
+    assert np.asarray(r1)[:4].tolist() == np.asarray(r2)[:4].tolist()
+
+
+def test_group_ids_direct_all_null_and_empty():
+    cap = 8
+    k = pad([1, 2], cap)
+    kv = pad([False, False], cap, fill=False)
+    g, n, r = K.group_ids_direct(k, kv, 2, 0, 4)
+    assert int(n) == 1  # single NULL group
+    g0, n0, _ = K.group_ids_direct(k, kv, 0, 0, 4)
+    assert int(n0) == 0

@@ -173,3 +173,50 @@ def test_md5_auth():
             PgTestClient("127.0.0.1", s.port, user="admin", password="wrong")
     finally:
         s.stop()
+
+
+def test_tls_connection(tmp_path):
+    import shutil
+    import ssl
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("no openssl")
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    from query_engine_tpu.pgwire.tls import TlsConfig
+
+    s = ServerThread()
+    s.server.tls = TlsConfig(str(cert), str(key))
+    s.server._ssl_context = s.server.tls.ssl_context()
+    s.start()
+    try:
+        # raw socket: send SSLRequest, expect 'S', upgrade, then run a query
+        import socket
+        import struct
+
+        sock = socket.create_connection(("127.0.0.1", s.port), timeout=5)
+        sock.sendall(struct.pack("!II", 8, 80877103))
+        assert sock.recv(1) == b"S"
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        tls_sock = ctx.wrap_socket(sock)
+        # drive the startup + simple query over TLS via the test client's
+        # parsing machinery
+        c = PgTestClient.__new__(PgTestClient)
+        c.sock = tls_sock
+        c.user = "qe"
+        c.password = ""
+        c._startup("qe")
+        _, rows, _ = c.query("SELECT COUNT(*) FROM employees")
+        assert rows == [("6",)]
+        c.close()
+    finally:
+        s.stop()
