@@ -11,10 +11,8 @@ pyarrow's reader.
 
 from __future__ import annotations
 
-import json
 import os
 import statistics
-import sys
 import time
 from typing import Dict, List, Optional
 

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import io
 import json
-from typing import List
 
 from query_engine_tpu.columnar.batch import ColumnBatch
 

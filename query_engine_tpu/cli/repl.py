@@ -9,7 +9,6 @@ planned successfully!", repl.rs:302-363).
 
 from __future__ import annotations
 
-import sys
 import time
 from typing import Optional
 

@@ -6,7 +6,7 @@ Parity surface: reference crates/query-core/src/schema.rs:6-93
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from query_engine_tpu.core.errors import SchemaError

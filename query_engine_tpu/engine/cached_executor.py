@@ -8,7 +8,7 @@ passthrough.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 from query_engine_tpu.cache.cache import CacheKey, QueryCache
 from query_engine_tpu.cache.config import CacheConfig

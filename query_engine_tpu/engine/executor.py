@@ -14,7 +14,7 @@ size the next operator's output bucket (count-then-emit two-pass; SURVEY.md
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ import numpy as np
 
 from query_engine_tpu.core.errors import ExecutionError
 from query_engine_tpu.core.schema import Field, Schema
-from query_engine_tpu.core.types import DataType, TypeKind
 from query_engine_tpu.columnar.batch import Column, ColumnBatch, padded_capacity
 from query_engine_tpu.columnar.dictionary import Dictionary
 from query_engine_tpu.engine.expr_eval import Evaluator, Val, unify_dicts

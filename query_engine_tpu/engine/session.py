@@ -15,13 +15,12 @@ iteration re-registering the CTE as a temp table, max 1000 iterations
 
 from __future__ import annotations
 
-import time
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from query_engine_tpu.core.errors import (
-    ExecutionError, PlanError, QueryError, SchemaError,
+    ExecutionError, PlanError, SchemaError,
 )
 from query_engine_tpu.core.schema import Field, Schema
 from query_engine_tpu.core.udf import UdfRegistry

@@ -7,7 +7,7 @@ RwLock<AHashMap<IndexKey, Vec<usize>>>; range_scan returns empty.
 from __future__ import annotations
 
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from query_engine_tpu.core.errors import IndexError_
 from query_engine_tpu.index.types import Index, encode_key

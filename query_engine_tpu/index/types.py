@@ -13,11 +13,9 @@ reference's byte encoding induces.
 
 from __future__ import annotations
 
-import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
-from query_engine_tpu.core.errors import IndexError_
 
 
 def _encode_scalar(v) -> Tuple:

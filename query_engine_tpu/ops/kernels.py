@@ -26,7 +26,6 @@ NULLs never match (each null row gets a unique negative rank).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -309,6 +308,37 @@ _INT_MIN = np.int64(np.iinfo(np.int64).min)
 _INT_MAX = np.int64(np.iinfo(np.int64).max)
 
 
+def _segment_sum_i64(
+    data: jnp.ndarray, ok: jnp.ndarray, gid: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Exact int64 segment sum via bit-chunked int32 scatters.
+
+    Direct s64 scatter-add is ~30x slower than s32 on TPU (emulated 64-bit);
+    splitting the value into unsigned bit chunks, scattering each in int32,
+    and recombining shifted chunk totals is exact (two's complement works
+    out: the implicit sign chunks recombine modulo 2^64) and ~4x faster.
+    Chunk width is chosen statically from capacity so per-segment chunk
+    sums cannot overflow int32: 16-bit chunks up to 2^15 rows, 8-bit up to
+    2^23; beyond that, fall back to the plain s64 scatter.
+    """
+    capacity = gid.shape[0]
+    x64 = jnp.where(ok, data.astype(jnp.int64), 0)
+    if capacity <= (1 << 15):
+        bits, n_chunks = 16, 4
+    elif capacity <= (1 << 23):
+        bits, n_chunks = 8, 8
+    else:
+        return jax.ops.segment_sum(x64, gid, num_segments=num_segments)
+    u = x64.astype(jnp.uint64)
+    mask = jnp.uint64((1 << bits) - 1)
+    out = jnp.zeros(num_segments, dtype=jnp.uint64)
+    for k in range(n_chunks):
+        chunk = ((u >> jnp.uint64(bits * k)) & mask).astype(jnp.int32)
+        s = jax.ops.segment_sum(chunk, gid, num_segments=num_segments)
+        out = out + (s.astype(jnp.uint64) << jnp.uint64(bits * k))
+    return out.astype(jnp.int64)
+
+
 def segment_aggregate(
     func: str,
     data: Optional[jnp.ndarray],
@@ -329,17 +359,20 @@ def segment_aggregate(
     capacity = gid.shape[0]
     lm = live_mask(capacity, num_rows)
     if func == "count_star":
-        ones = lm.astype(jnp.int64)
+        ones = lm.astype(jnp.int32)
         if distinct_first is not None:
-            ones = ones * distinct_first.astype(jnp.int64)
+            ones = ones * distinct_first.astype(jnp.int32)
         cnt = jax.ops.segment_sum(ones, gid, num_segments=num_segments)
-        return cnt, jnp.ones(num_segments, dtype=bool)
+        return cnt.astype(jnp.int64), jnp.ones(num_segments, dtype=bool)
     assert data is not None and validity is not None
     ok = lm & validity
     if distinct_first is not None:
         ok = ok & distinct_first
-    okf = ok.astype(jnp.int64)
-    cnt = jax.ops.segment_sum(okf, gid, num_segments=num_segments)
+    # counts in int32 (capacity < 2^31), widened at the boundary: s64
+    # scatters are ~30x slower than s32 on TPU (no 64-bit ALU)
+    cnt = jax.ops.segment_sum(
+        ok.astype(jnp.int32), gid, num_segments=num_segments
+    ).astype(jnp.int64)
     if func == "count":
         return cnt, jnp.ones(num_segments, dtype=bool)
     has = cnt > 0
@@ -348,8 +381,7 @@ def segment_aggregate(
             x = jnp.where(ok, data.astype(jnp.float64), 0.0)
             s = jax.ops.segment_sum(x, gid, num_segments=num_segments)
         else:
-            x = jnp.where(ok, data.astype(jnp.int64), 0)
-            s = jax.ops.segment_sum(x, gid, num_segments=num_segments)
+            s = _segment_sum_i64(data, ok, gid, num_segments)
         if func == "avg":
             return s / jnp.maximum(cnt, 1).astype(jnp.float64), has
         return s, has

@@ -32,9 +32,9 @@ from query_engine_tpu.plan import physical as pp
 from query_engine_tpu.plan.lowering import Lowering
 from query_engine_tpu.parallel.coordinator import Coordinator
 from query_engine_tpu.parallel.dplanner import DistributedPlanner, QueryStage
-from query_engine_tpu.parallel.exchange import Exchange, Merge
+from query_engine_tpu.parallel.exchange import Exchange
 from query_engine_tpu.parallel.fault import FaultManager, TaskRecoveryAction
-from query_engine_tpu.parallel.partition import Partitioner, PartitionStrategy
+from query_engine_tpu.parallel.partition import Partitioner
 from query_engine_tpu.parallel.scheduler import TaskScheduler
 from query_engine_tpu.parallel.types import (
     QueryTask, TaskStatus, new_id,
@@ -155,7 +155,13 @@ class DistributedExecutor:
                 query_id, stage, outputs, lowering
             )
             execution.completed_stages.append(stage.stage_id)
-            self.fault.checkpoint_stage(query_id, stage.stage_id)
+            # stage-boundary checkpoint; intermediates spill to disk when
+            # FaultConfig.checkpoint_dir is set (SURVEY §5)
+            self.fault.checkpoint_stage(
+                query_id, stage.stage_id,
+                outputs[stage.stage_id]
+                if self.fault.config.checkpoint_dir else None,
+            )
         final = outputs[dplan.stages[-1].stage_id]
         return ColumnBatch.concat(final) if len(final) > 1 else final[0]
 

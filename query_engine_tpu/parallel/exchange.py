@@ -16,9 +16,9 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from query_engine_tpu.core.errors import DistributedError
-from query_engine_tpu.columnar.batch import ColumnBatch, padded_capacity
+from query_engine_tpu.columnar.batch import ColumnBatch
 from query_engine_tpu.ops import kernels as K
-from query_engine_tpu.parallel.partition import Partitioner, PartitionStrategy
+from query_engine_tpu.parallel.partition import Partitioner
 
 import jax.numpy as jnp
 

@@ -31,6 +31,10 @@ class FaultConfig:
     worker_failure_threshold: int = 3
     remove_unhealthy_workers: bool = False
     checkpoint_ttl_secs: float = 3600.0
+    # spill checkpointed intermediates to disk (Arrow IPC) instead of RAM —
+    # the reference keeps blobs in a DashMap only (fault.rs:209-249);
+    # SURVEY §5 calls for host-RAM/disk at stage boundaries
+    checkpoint_dir: Optional[str] = None
 
 
 class TaskRecoveryAction(enum.Enum):
@@ -117,7 +121,49 @@ class FaultManager:
             if stage_id not in cp.completed_stages:
                 cp.completed_stages.append(stage_id)
             if intermediate is not None:
-                cp.intermediate[stage_id] = intermediate
+                if self.config.checkpoint_dir is not None:
+                    cp.intermediate[stage_id] = self._spill(
+                        query_id, stage_id, intermediate
+                    )
+                else:
+                    cp.intermediate[stage_id] = intermediate
+
+    def _spill(self, query_id: str, stage_id: int, batches) -> List[str]:
+        """Write per-partition ColumnBatches as Arrow IPC files; returns the
+        paths (so recovery can reload them even in a fresh process)."""
+        import os
+
+        from query_engine_tpu.parallel.network import SerializedBatch
+
+        d = os.path.join(self.config.checkpoint_dir, query_id)
+        os.makedirs(d, exist_ok=True)
+        if not isinstance(batches, list):
+            batches = [batches]
+        paths = []
+        for p, b in enumerate(batches):
+            path = os.path.join(d, f"stage{stage_id}_part{p}.arrow")
+            with open(path, "wb") as f:
+                f.write(SerializedBatch.serialize(b).data)
+            paths.append(path)
+        return paths
+
+    def load_checkpoint_data(self, query_id: str, stage_id: int):
+        """Reload checkpointed intermediates (list of ColumnBatch)."""
+        cp = self._checkpoints.get(query_id)
+        if cp is None or stage_id not in cp.intermediate:
+            return None
+        stored = cp.intermediate[stage_id]
+        if isinstance(stored, list) and stored and isinstance(stored[0], str):
+            from query_engine_tpu.parallel.network import SerializedBatch
+
+            out = []
+            for path in stored:
+                with open(path, "rb") as f:
+                    data = f.read()
+                # num_rows recovered from the IPC payload itself
+                out.append(SerializedBatch(data, -1).deserialize())
+            return out
+        return stored
 
     def get_checkpoint(self, query_id: str) -> Optional[QueryCheckpoint]:
         return self._checkpoints.get(query_id)

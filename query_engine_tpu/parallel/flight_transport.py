@@ -13,7 +13,7 @@ fans out concurrently (the reference loops sequentially).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Protocol
+from typing import Dict, List, Protocol
 
 from query_engine_tpu.core.config import FlightEndpoint
 from query_engine_tpu.core.errors import DistributedError

@@ -13,14 +13,13 @@ Single controller, SPMD: host 0 drives one jitted program per stage
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from query_engine_tpu.core.errors import DistributedError
 from query_engine_tpu.columnar.batch import Column, ColumnBatch, padded_capacity
 
 

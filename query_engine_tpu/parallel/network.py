@@ -17,7 +17,7 @@ from __future__ import annotations
 import enum
 import io
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import pyarrow as pa
 

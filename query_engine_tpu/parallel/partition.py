@@ -17,15 +17,15 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from query_engine_tpu.core.errors import DistributedError
-from query_engine_tpu.columnar.batch import ColumnBatch, padded_capacity
+from query_engine_tpu.columnar.batch import ColumnBatch
 from query_engine_tpu.ops import kernels as K
-from query_engine_tpu.parallel.spmd import partition_ids, splitmix64
+from query_engine_tpu.parallel.spmd import splitmix64
 
 
 class PartitionStrategy(enum.Enum):

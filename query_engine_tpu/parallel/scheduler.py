@@ -11,9 +11,7 @@ import threading
 from collections import deque
 from typing import Dict, List, Optional
 
-from query_engine_tpu.parallel.types import (
-    QueryTask, TaskResult, TaskStatus, WorkerInfo,
-)
+from query_engine_tpu.parallel.types import QueryTask, TaskResult, WorkerInfo
 
 
 class TaskScheduler:

@@ -17,7 +17,7 @@ import enum
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Optional
 
 
 def new_id() -> str:

@@ -31,7 +31,7 @@ from query_engine_tpu.pgwire.auth import AuthConfig, AuthMethod
 from query_engine_tpu.pgwire.catalog import handle_catalog_query, pg_type_name
 from query_engine_tpu.pgwire.cursor import CursorStore, Portal, PreparedStatement
 from query_engine_tpu.pgwire.result import (
-    batch_to_data_rows, schema_to_field_info, type_oid,
+    batch_to_data_rows, schema_to_field_info,
 )
 from query_engine_tpu.sql import ast
 from query_engine_tpu.sql.parser import parse_sql

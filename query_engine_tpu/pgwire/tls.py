@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ssl
 from dataclasses import dataclass
-from typing import Optional
 
 from query_engine_tpu.core.errors import ExecutionError
 

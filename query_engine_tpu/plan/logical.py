@@ -22,7 +22,6 @@ import enum
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
-from query_engine_tpu.core.errors import PlanError
 from query_engine_tpu.core.schema import Field, Schema
 from query_engine_tpu.core.types import DataType, TypeKind
 from query_engine_tpu.sql import ast

@@ -12,7 +12,7 @@ reference ignores ON entirely, executor.rs:363-435, which we do not copy).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from query_engine_tpu.core.errors import PlanError
 from query_engine_tpu.plan import logical as lp

@@ -12,7 +12,7 @@ rewrites subquery expressions to carry *physical* subplans.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Protocol, Tuple
 
 from query_engine_tpu.core.schema import Schema

@@ -15,11 +15,10 @@ which is what result parity is measured against.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 from query_engine_tpu.core.errors import PlanError
 from query_engine_tpu.core.schema import Field, Schema
-from query_engine_tpu.core.types import DataType, TypeKind
 from query_engine_tpu.core.udf import UdfRegistry
 from query_engine_tpu.sql import ast
 from query_engine_tpu.plan import logical as lp

@@ -16,14 +16,14 @@ from __future__ import annotations
 import enum
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 from query_engine_tpu.core.errors import StreamError
 from query_engine_tpu.columnar.batch import ColumnBatch
 from query_engine_tpu.streaming.source import StreamSource
 from query_engine_tpu.streaming.watermark import LateEventPolicy, Watermark
-from query_engine_tpu.streaming.window import WindowSpec, WindowType
+from query_engine_tpu.streaming.window import WindowSpec
 
 
 class StreamStatus(enum.Enum):

@@ -10,7 +10,6 @@ from __future__ import annotations
 import enum
 import threading
 from dataclasses import dataclass
-from typing import Optional
 
 
 class Watermark:

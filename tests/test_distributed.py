@@ -276,3 +276,18 @@ def test_flight_transport_fanout():
     finally:
         for svc in servers:
             svc.shutdown()
+
+
+def test_checkpoint_disk_spill(tmp_path):
+    from query_engine_tpu.parallel.fault import FaultConfig, FaultManager
+
+    fm = FaultManager(FaultConfig(checkpoint_dir=str(tmp_path)))
+    b = make_batch(30)
+    fm.checkpoint_stage("q9", 0, [b, b.slice(0, 5)])
+    # stored as paths on disk
+    cp = fm.get_checkpoint("q9")
+    assert all(isinstance(p, str) for p in cp.intermediate[0])
+    loaded = fm.load_checkpoint_data("q9", 0)
+    assert loaded[0].to_pydict() == b.to_pydict()
+    assert loaded[1].num_rows == 5
+    assert fm.recover_from_checkpoint("q9").resume_from_stage == 1

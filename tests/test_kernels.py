@@ -177,3 +177,20 @@ def test_group_ids_direct_all_null_and_empty():
     assert int(n) == 1  # single NULL group
     g0, n0, _ = K.group_ids_direct(k, kv, 0, 0, 4)
     assert int(n0) == 0
+
+
+def test_segment_sum_i64_chunked_exact():
+    import jax
+
+    rng = np.random.default_rng(3)
+    for cap, nseg in [(1 << 10, 64), (1 << 16, 1 << 16)]:  # 16-bit & 8-bit chunk paths
+        vals = jnp.asarray(
+            rng.integers(-(1 << 40), 1 << 40, cap), jnp.int64
+        )
+        gid = jnp.asarray(rng.integers(0, min(nseg, 64), cap, dtype=np.int32))
+        ok = jnp.asarray(rng.random(cap) > 0.1)
+        got = K._segment_sum_i64(vals, ok, gid, nseg)
+        ref = jax.ops.segment_sum(
+            jnp.where(ok, vals, 0), gid, num_segments=nseg
+        )
+        assert bool(jnp.all(got == ref)), cap
