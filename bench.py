@@ -26,25 +26,34 @@ import jax
 import jax.numpy as jnp
 
 from query_engine_tpu.ops import kernels as K
+from query_engine_tpu.ops.pallas.group_agg import grouped_sum_count_i64
 
 REFERENCE_JOIN_ROWS_PER_SEC = 813.01 * 24  # README.md:678-694 sample output
 
 
-def build_pipeline(cap: int, bcap: int):
-    def pipeline(age, age_v, salary, salary_v, dept, dept_v,
+N_GROUPS = 1024  # aggregate cardinality (dept-style grouping)
+
+
+def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
+    def pipeline(age, age_v, salary, salary_v, dept, dept_v, grp,
                  bdept, bdept_v, bval, bval_v, n_rows, n_build):
         # --- filter: age > 25 ---
         live = K.live_mask(cap, n_rows)
         keep = (age > 25) & age_v & live
 
-        # --- hash aggregate: GROUP BY dept -> COUNT/SUM/AVG ---
-        # direct (sort-free) grouping: dept keys are range-bounded, the
-        # common case the executor detects with one min/max sync
-        gid, ng, rep = K.group_ids_direct(dept, dept_v & keep, n_rows, 0, bcap)
-        gcap = bcap + 1
-        s, sv = K.segment_aggregate("sum", salary, salary_v & keep, gid,
-                                    n_rows, gcap)
-        c, _ = K.segment_aggregate("count_star", None, None, gid, n_rows, gcap)
+        # --- hash aggregate: GROUP BY grp -> COUNT/SUM/AVG ---
+        if use_mxu_agg:
+            # Pallas kernel: aggregation as a one-hot matmul on the MXU
+            s, c = grouped_sum_count_i64(salary, keep, grp, N_GROUPS)
+            sv = c > 0
+            ng = jnp.sum(sv.astype(jnp.int32))
+        else:
+            gid, ng, rep = K.group_ids_direct(grp, keep, n_rows, 0, N_GROUPS)
+            gcap = N_GROUPS + 1
+            s, sv = K.segment_aggregate("sum", salary, salary_v & keep, gid,
+                                        n_rows, gcap)
+            c, _ = K.segment_aggregate("count_star", None, None, gid,
+                                       n_rows, gcap)
         avg = s.astype(jnp.float64) / jnp.maximum(c, 1)
 
         # --- hash join: probe (filtered fact) x build (dim) + emit ---
@@ -84,6 +93,7 @@ def main():
         jnp.ones(cap, bool),
         jnp.asarray(rng.integers(0, n_keys, cap), jnp.int32),
         jnp.asarray(rng.random(cap) > 0.02),
+        jnp.asarray(rng.integers(0, 1024, cap), jnp.int32),
         jnp.asarray(rng.permutation(n_keys)[:bcap], jnp.int32),
         jnp.ones(bcap, bool),
         jnp.asarray(rng.integers(0, 1000, bcap), jnp.int64),
@@ -92,7 +102,8 @@ def main():
         np.int64(n_build),
     )
 
-    pipeline = build_pipeline(cap, bcap)
+    use_mxu = jax.devices()[0].platform != "cpu"
+    pipeline = build_pipeline(cap, bcap, use_mxu)
 
     def run_once():
         out = pipeline(*args)
@@ -129,7 +140,7 @@ def main():
 
 
 def _per_op(cap, bcap, args, iters):
-    (age, age_v, salary, salary_v, dept, dept_v,
+    (age, age_v, salary, salary_v, dept, dept_v, grp,
      bdept, bdept_v, bval, bval_v, n_rows, n_build) = args
 
     def timed(name, fn, *a):
@@ -165,6 +176,12 @@ def _per_op(cap, bcap, args, iters):
         ),
         dept, dept_v, salary, salary_v, n_rows,
     )
+    if jax.devices()[0].platform != "cpu":
+        timed(
+            "hash_aggregate_mxu_pallas",
+            lambda s, sv, g: grouped_sum_count_i64(s, sv, g, 1024),
+            salary, salary_v, grp,
+        )
 
     def join_op(d, dv, bd, bdv, n, nb):
         lr, rr = K.join_ranks([(d, dv)], [(bd, bdv)], n, nb)

@@ -53,12 +53,60 @@ def _take(
     return ColumnBatch(schema or batch.schema, cols, count)
 
 
+def _expr_struct_key(e: lp.LogicalExpr) -> str:
+    """Structural cache key for an expression (names include literals and
+    resolved column indices, so equal keys mean equal computations over the
+    same input schema)."""
+    return f"{type(e).__name__}:{e.name()}"
+
+
+def _expr_has_host_dependency(e: lp.LogicalExpr) -> bool:
+    """True if evaluating `e` requires host work that cannot be traced into
+    one jitted program (subquery execution)."""
+    found = []
+
+    def visit(x):
+        if isinstance(
+            x, (lp.ScalarSubqueryExpr, lp.InSubqueryExpr, lp.ExistsExpr,
+                lp.UdfExpr),
+        ):
+            found.append(x)
+
+    lp.walk_exprs(e, visit)
+    return bool(found)
+
+
+class _ShimBatch:
+    """Duck-typed ColumnBatch over traced arrays for in-jit evaluation."""
+
+    __slots__ = ("schema", "columns", "num_rows", "capacity")
+
+    def __init__(self, schema, columns, capacity):
+        self.schema = schema
+        self.columns = columns
+        self.capacity = capacity
+        self.num_rows = None
+
+    @property
+    def num_columns(self):
+        return len(self.columns)
+
+
+def _shim_batch(schema, datas, valids, dtypes, dicts) -> "_ShimBatch":
+    cols = [
+        Column(d, v, t, dic)
+        for d, v, t, dic in zip(datas, valids, dtypes, dicts)
+    ]
+    return _ShimBatch(schema, cols, datas[0].shape[0])
+
+
 class QueryExecutor:
     """Executes physical plans against in-memory/device tables."""
 
     def __init__(self, udfs=None):
         self.udfs = udfs
         self.evaluator = Evaluator(subquery_exec=self.execute, udfs=udfs)
+        self._fused_cache = {}
 
     # ---- entry ---------------------------------------------------------
     def execute(self, plan: pp.PhysicalPlan) -> ColumnBatch:
@@ -140,11 +188,69 @@ class QueryExecutor:
         return ColumnBatch(schema, cols, batch.num_rows)
 
     def _filter_batch(self, batch: ColumnBatch, predicate) -> ColumnBatch:
+        fused = self._fused_filter(batch, predicate)
+        if fused is not None:
+            return fused
         mask = self.evaluator.eval_predicate_mask(predicate, batch)
         count = int(K.filter_count(mask, batch.num_rows))
         out_cap = padded_capacity(count)
         idx = K.compaction_indices(mask, batch.num_rows, out_cap)
         return _take(batch, idx, count)
+
+    # ---- fused filter ----------------------------------------------------
+    # Eager evaluation dispatches one device program per expression node;
+    # at ~29ms per dispatch on a tunneled TPU a 5-column filter costs ~15
+    # round trips. Fusing mask+count into one jitted program and
+    # compact+gather into a second (static out-capacity chosen after the
+    # count sync) gets any subquery-free filter down to 2 dispatches.
+    def _fused_filter(self, batch: ColumnBatch, predicate):
+        if batch.num_columns == 0 or _expr_has_host_dependency(predicate):
+            return None
+        key = (
+            "filter", _expr_struct_key(predicate), batch.capacity,
+            tuple(str(c.data.dtype) for c in batch.columns),
+            tuple(id(c.dictionary) for c in batch.columns),
+        )
+        mask_fn = self._fused_cache.get(key)
+        if mask_fn is None:
+            evaluator = self.evaluator
+            schema = batch.schema
+            dicts = [c.dictionary for c in batch.columns]
+            dtypes = [c.dtype for c in batch.columns]
+
+            @jax.jit
+            def mask_fn(datas, valids, num_rows):
+                shim = _shim_batch(schema, datas, valids, dtypes, dicts)
+                shim.num_rows = num_rows
+                mask = evaluator.eval_predicate_mask(predicate, shim)
+                return mask, K.filter_count(mask, num_rows)
+
+            self._fused_cache[key] = mask_fn
+        datas = [jnp.asarray(c.data) for c in batch.columns]
+        valids = [jnp.asarray(c.validity) for c in batch.columns]
+        try:
+            mask, count = mask_fn(datas, valids, batch.num_rows)
+        except ExecutionError:
+            return None
+        count = int(count)
+        out_cap = padded_capacity(count)
+        take_key = ("take", batch.capacity, out_cap,
+                    tuple(str(d.dtype) for d in datas))
+        take_fn = self._fused_cache.get(take_key)
+        if take_fn is None:
+
+            @jax.jit
+            def take_fn(mask, datas, valids, num_rows):
+                idx = K.compaction_indices(mask, num_rows, out_cap)
+                return K.gather_columns(datas, valids, idx)
+
+            self._fused_cache[take_key] = take_fn
+        out_d, out_v = take_fn(mask, datas, valids, batch.num_rows)
+        cols = [
+            Column(d, v, c.dtype, c.dictionary)
+            for d, v, c in zip(out_d, out_v, batch.columns)
+        ]
+        return ColumnBatch(batch.schema, cols, count)
 
     def _exec_filter(self, plan: pp.PFilter) -> ColumnBatch:
         batch = self.execute(plan.input)
@@ -248,9 +354,10 @@ class QueryExecutor:
         cap = batch.capacity
         schema = plan.schema()
 
+        mxu_bound = None  # static dense-gid bound enabling the MXU kernel
         if plan.group_exprs:
             gvals = [self.evaluator.eval(g, batch) for g in plan.group_exprs]
-            gid, ng, rep = self._group_ids_best(gvals, batch.num_rows)
+            gid, ng, rep, mxu_bound = self._group_ids_best(gvals, batch.num_rows)
             num_groups = int(ng)
         else:
             gvals = []
@@ -310,6 +417,22 @@ class QueryExecutor:
                 )
             return ColumnBatch(schema, cols, num_groups)
 
+        use_mxu = self._mxu_agg_enabled(mxu_bound)
+        mxu_cache = {}
+
+        def mxu_sums_counts(data, ok_mask, key):
+            if key not in mxu_cache:
+                from query_engine_tpu.ops.pallas.group_agg import (
+                    grouped_sum_count_i64,
+                )
+
+                # static bound padded to cover out_cap (<= padded(nb+1))
+                mxu_cache[key] = grouped_sum_count_i64(
+                    data, ok_mask, gid.astype(jnp.int32),
+                    padded_capacity(mxu_bound),
+                )
+            return mxu_cache[key]
+
         for agg in plan.agg_exprs:
             func = agg.func
             if agg.expr is None:
@@ -325,6 +448,39 @@ class QueryExecutor:
                 distinct_first = K.distinct_first_flags(
                     [data], [validity], gid, batch.num_rows
                 )
+            if (
+                use_mxu and not agg.distinct and plan.mode != "partial"
+                and func in (lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG)
+                and (agg.expr is None or (
+                    arg_dict is None
+                    and jnp.issubdtype(data.dtype, jnp.integer)
+                ))
+            ):
+                lm = K.live_mask(cap, batch.num_rows)
+                if agg.expr is None:
+                    ok = lm
+                    vals = jnp.ones(cap, dtype=jnp.int64)
+                    key = "__star"
+                else:
+                    ok = lm & validity
+                    vals = data.astype(jnp.int64)
+                    key = _expr_struct_key(agg.expr)
+                sums, counts = mxu_sums_counts(vals, ok, key)
+                f = schema.field(fi)
+                fi += 1
+                if func is lp.AggFunc.COUNT:
+                    out_d = counts[:out_cap]
+                    out_v = jnp.ones(out_cap, bool)
+                elif func is lp.AggFunc.SUM:
+                    out_d = sums[:out_cap]
+                    out_v = counts[:out_cap] > 0
+                else:  # AVG
+                    out_d = sums[:out_cap].astype(jnp.float64) / jnp.maximum(
+                        counts[:out_cap], 1
+                    )
+                    out_v = counts[:out_cap] > 0
+                cols.append(Column(out_d, out_v, f.data_type, None))
+                continue
             if plan.mode == "partial" and func is lp.AggFunc.AVG:
                 s, sv = K.segment_aggregate(
                     "sum", data.astype(jnp.float64), validity, gid,
@@ -366,25 +522,47 @@ class QueryExecutor:
     # always qualify; int columns qualify after a cheap min/max host sync.
     _DIRECT_GROUP_MAX_RANGE = 1 << 21
 
+    # dense-gid bound below which the MXU one-hot-matmul aggregate applies
+    # (VMEM holds the [G, 128] int32 accumulator)
+    _MXU_AGG_MAX_GROUPS = 4096
+
     def _group_ids_best(self, gvals, num_rows):
+        """Returns (gid, ng, rep, static_bound). static_bound is the dense
+        gid upper bound when direct grouping applied (None otherwise)."""
         if len(gvals) == 1:
             v = gvals[0]
             if v.dictionary is not None:
                 nb = max(len(v.dictionary), 1)
                 if nb <= self._DIRECT_GROUP_MAX_RANGE:
-                    return K.group_ids_direct(v.data, v.validity, num_rows, 0, nb)
+                    g, ng, rep = K.group_ids_direct(
+                        v.data, v.validity, num_rows, 0, nb
+                    )
+                    return g, ng, rep, nb + 1
             elif jnp.issubdtype(v.data.dtype, jnp.integer) or v.data.dtype == jnp.bool_:
                 data = v.data.astype(jnp.int32) if v.data.dtype == jnp.bool_ else v.data
                 kmin, kmax, anyv = K.key_range(data, v.validity, num_rows)
                 if bool(anyv):
                     lo, hi = int(kmin), int(kmax)
                     if hi - lo + 1 <= self._DIRECT_GROUP_MAX_RANGE:
-                        return K.group_ids_direct(
+                        g, ng, rep = K.group_ids_direct(
                             data, v.validity, num_rows, lo, hi - lo + 1
                         )
-        return K.group_ids(
+                        return g, ng, rep, hi - lo + 2
+        g, ng, rep = K.group_ids(
             [v.data for v in gvals], [v.validity for v in gvals], num_rows
         )
+        return g, ng, rep, None
+
+    def _mxu_agg_enabled(self, mxu_bound) -> bool:
+        import os
+
+        if mxu_bound is None or mxu_bound > self._MXU_AGG_MAX_GROUPS:
+            return False
+        if os.environ.get("QE_FORCE_MXU_AGG") == "1":
+            return True
+        import jax as _jax
+
+        return _jax.devices()[0].platform != "cpu"
 
     # ---- sort / limit --------------------------------------------------
     def _sort_val_keys(
