@@ -92,6 +92,25 @@ class StreamingQuery:
         self._pause = threading.Event()
         self._stop = threading.Event()
 
+    # ---- checkpointing (the reference's enable_checkpointing flag is
+    # never consumed, stream.rs:24-26; here it snapshots/restores the
+    # stream's full progress state) --------------------------------------
+    def checkpoint(self) -> Optional[dict]:
+        if not self.config.enable_checkpointing:
+            return None
+        return {
+            "buffer": list(self._buffer),
+            "watermark_ms": self._watermark.current,
+            "stats": StreamStats(**vars(self.stats)),
+            "results": list(self._results),
+        }
+
+    def restore(self, snapshot: dict) -> None:
+        self._buffer = list(snapshot["buffer"])
+        self._watermark = Watermark(snapshot["watermark_ms"])
+        self.stats = StreamStats(**vars(snapshot["stats"]))
+        self._results = list(snapshot["results"])
+
     # ---- control (stream.rs status transitions) -------------------------
     def pause(self) -> None:
         self._pause.set()

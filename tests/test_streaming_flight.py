@@ -183,3 +183,29 @@ def test_flight_error_propagates(flight_server):
     with pytest.raises(FlightError):
         c.execute_sql("SELECT * FROM missing_table")
     c.close()
+
+
+def test_streaming_checkpoint_restore():
+    from query_engine_tpu.streaming.stream import StreamConfig, StreamingQuery
+    from query_engine_tpu.streaming.source import MemoryStreamSource
+
+    src = MemoryStreamSource([
+        ColumnBatch.from_pydict({"ts": [100], "v": [1]}),
+    ])
+    q = StreamingQuery(
+        src, StreamConfig(enable_checkpointing=True, event_time_column="ts"),
+        query="SELECT COUNT(*) FROM stream",
+    )
+    q.run(max_batches=1)
+    snap = q.checkpoint()
+    assert snap is not None and snap["watermark_ms"] == 100
+
+    q2 = StreamingQuery(
+        MemoryStreamSource([ColumnBatch.from_pydict({"ts": [50], "v": [9]})]),
+        StreamConfig(enable_checkpointing=True, event_time_column="ts"),
+        query="SELECT COUNT(*) FROM stream",
+    )
+    q2.restore(snap)
+    q2.run()
+    # the 50ms event is late relative to the restored watermark -> dropped
+    assert q2.stats.late_events_dropped == 1
