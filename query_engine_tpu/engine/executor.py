@@ -584,6 +584,17 @@ class QueryExecutor:
         return _take(batch, perm, batch.num_rows)
 
     def _exec_limit(self, plan: pp.PLimit) -> ColumnBatch:
+        # top-k fusion: LIMIT over a Sort gathers only the fetched window of
+        # the permutation instead of materializing the full sorted batch
+        if isinstance(plan.input, pp.PSort) and plan.fetch is not None:
+            sort_plan = plan.input
+            batch = self.execute(sort_plan.input)
+            datas, valids, ascs, nfs = self._sort_val_keys(sort_plan.keys, batch)
+            perm = K.sort_permutation(datas, valids, ascs, nfs, batch.num_rows)
+            lo = min(plan.skip, batch.num_rows)
+            hi = min(plan.skip + plan.fetch, batch.num_rows)
+            window = np.asarray(perm[lo:hi])
+            return batch.take_host(window)
         batch = self.execute(plan.input)
         fetch = plan.fetch if plan.fetch is not None else batch.num_rows
         return batch.slice(plan.skip, fetch)

@@ -566,20 +566,26 @@ def join_emit_inner(
     row ids at each row's output offset followed by a running cummax — no
     searchsorted.
     """
+    # all-int32 emit: indices/offsets fit int32 (out_capacity < 2^31 by
+    # construction — the host sized it from the count pass); int64 gathers
+    # and arithmetic here measured ~15x slower on TPU
     cap_l = counts.shape[0]
-    csum = jnp.cumsum(counts.astype(jnp.int64))
-    starts = csum - counts
+    counts32 = counts.astype(jnp.int32)
+    csum = jnp.cumsum(counts32)
+    starts = csum - counts32
     rows = jnp.arange(cap_l, dtype=jnp.int32)
     mark = (
         jnp.zeros(out_capacity, dtype=jnp.int32)
-        .at[jnp.where(counts > 0, starts, out_capacity)]
+        .at[jnp.where(counts32 > 0, starts, out_capacity)]
         .max(rows, mode="drop")
     )
     owner = jax.lax.cummax(mark)
-    t = jnp.arange(out_capacity, dtype=jnp.int64)
+    t = jnp.arange(out_capacity, dtype=jnp.int32)
     j = t - starts[owner]
-    lrank = jnp.clip(left_ranks[owner], 0, rank_start.shape[0] - 1)
-    rpos = rank_start[lrank].astype(jnp.int64) + j
+    lrank = jnp.clip(
+        left_ranks[owner].astype(jnp.int32), 0, rank_start.shape[0] - 1
+    )
+    rpos = rank_start[lrank].astype(jnp.int32) + j
     ri = right_by_rank[jnp.clip(rpos, 0, right_by_rank.shape[0] - 1)]
     valid = t < total
     return (
