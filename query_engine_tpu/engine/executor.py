@@ -169,6 +169,8 @@ class QueryExecutor:
 
     def _exec_index_scan(self, plan: pp.PIndexScan) -> ColumnBatch:
         batch = plan.source.scan()
+        if plan.projection is not None:
+            batch = batch.select(plan.projection)
         row_ids = plan.lookup()  # host-side index lookup -> np array of rows
         row_ids = np.asarray(row_ids, dtype=np.int64)
         out = batch.take_host(row_ids)

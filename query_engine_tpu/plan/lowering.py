@@ -100,7 +100,7 @@ class Lowering:
         non-index conjuncts become a residual filter.
         """
         scan = plan.input
-        if not isinstance(scan, lp.TableScan) or scan.projection is not None:
+        if not isinstance(scan, lp.TableScan):
             return None
         source = self.sources.get(scan.table_name.lower())
         indexes = getattr(source, "indexes", None)
@@ -175,7 +175,7 @@ class Lowering:
 
             return pp.PIndexScan(
                 scan.table_name, source, scan.schema(), idx_name,
-                lookup=lookup, residual=res,
+                lookup=lookup, residual=res, projection=scan.projection,
             )
 
         # range scan on a single-column btree index
@@ -202,7 +202,7 @@ class Lowering:
 
             return pp.PIndexScan(
                 scan.table_name, source, scan.schema(), idx_name,
-                lookup=lookup, residual=res,
+                lookup=lookup, residual=res, projection=scan.projection,
             )
         return None
 

@@ -201,25 +201,33 @@ class ProjectionPushdown(OptimizationRule):
                 if isinstance(child, lp.LogicalPlan):
                     setattr(plan, attr, self.apply(child))
 
-        # Projection directly over a full TableScan: restrict the scan
-        if isinstance(plan, lp.Projection) and isinstance(plan.input, lp.TableScan):
-            scan = plan.input
-            if scan.projection is not None:
+        # Projection over a full TableScan — possibly through a chain of
+        # Filters — restricts the scan to the used columns.
+        if isinstance(plan, lp.Projection):
+            filters: List[lp.Filter] = []
+            node = plan.input
+            while isinstance(node, lp.Filter):
+                filters.append(node)
+                node = node.input
+            if not isinstance(node, lp.TableScan) or node.projection is not None:
                 return plan
+            scan = node
             used: Set[int] = set()
+
+            def collect(x):
+                if isinstance(x, lp.ColumnRef):
+                    used.add(x.index)
+
             for e in plan.exprs:
-                lp.walk_exprs(
-                    e,
-                    lambda x: used.add(x.index)
-                    if isinstance(x, lp.ColumnRef) else None,
-                )
+                lp.walk_exprs(e, collect)
+            for f in filters:
+                lp.walk_exprs(f.predicate, collect)
             if len(used) >= len(scan.table_schema) or not used:
                 return plan
             keep = sorted(used)
             remap = {old: new for new, old in enumerate(keep)}
-            new_scan = lp.TableScan(scan.table_name, scan.table_schema, keep)
-            new_exprs = []
-            for e in plan.exprs:
+
+            def remapped(e):
                 e2 = copy.deepcopy(e)
 
                 def fix(x):
@@ -227,8 +235,14 @@ class ProjectionPushdown(OptimizationRule):
                         x.index = remap[x.index]
 
                 lp.walk_exprs(e2, fix)
-                new_exprs.append(e2)
-            return lp.Projection(new_scan, new_exprs)
+                return e2
+
+            rebuilt: lp.LogicalPlan = lp.TableScan(
+                scan.table_name, scan.table_schema, keep
+            )
+            for f in reversed(filters):
+                rebuilt = lp.Filter(rebuilt, remapped(f.predicate))
+            return lp.Projection(rebuilt, [remapped(e) for e in plan.exprs])
         return plan
 
 

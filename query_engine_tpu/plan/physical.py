@@ -70,6 +70,7 @@ class PIndexScan(PhysicalPlan):
     # host-side lookup callback returning row ids (set by lowering)
     lookup: object = None
     residual: Optional[lp.LogicalExpr] = None
+    projection: Optional[List[int]] = None
 
     def schema(self) -> Schema:
         return self.out_schema
