@@ -609,31 +609,48 @@ class QueryExecutor:
         out_cols = list(batch.columns)
         schema = plan.schema()
 
+        # one sort per distinct OVER spec, shared across window functions
+        spec_cache = {}
         for wi, (wexpr, name) in enumerate(zip(plan.window_exprs, plan.names)):
-            part_vals = [self.evaluator.eval(p, batch) for p in wexpr.partition_by]
-            order_keys = wexpr.order_by
-            o_datas, o_valids, o_ascs, o_nfs = self._sort_val_keys(order_keys, batch)
-            p_datas = [v.data for v in part_vals]
-            p_valids = [v.validity for v in part_vals]
-            perm = K.sort_permutation(
-                p_datas + o_datas,
-                p_valids + o_valids,
-                [True] * len(p_datas) + o_ascs,
-                [False] * len(p_datas) + o_nfs,
-                n,
+            spec_key = (
+                tuple(_expr_struct_key(p) for p in wexpr.partition_by),
+                tuple(
+                    (_expr_struct_key(k.expr), k.asc, k.resolved_nulls_first())
+                    for k in wexpr.order_by
+                ),
             )
-            pad_sorted = jnp.arange(cap) >= n
-            part_sorted = []
-            for d, v in zip(p_datas, p_valids):
-                key, null = K.normalize_key(d[perm], v[perm])
-                part_sorted += [null.astype(jnp.int32), key]
-            order_sorted = []
-            for d, v in zip(o_datas, o_valids):
-                key, null = K.normalize_key(d[perm], v[perm])
-                order_sorted += [null.astype(jnp.int32), key]
-            seg_change, peer_change, seg = K.window_segments(
-                part_sorted, order_sorted, pad_sorted
-            )
+            if spec_key in spec_cache:
+                perm, seg_change, peer_change, seg = spec_cache[spec_key]
+            else:
+                part_vals = [
+                    self.evaluator.eval(p, batch) for p in wexpr.partition_by
+                ]
+                order_keys = wexpr.order_by
+                o_datas, o_valids, o_ascs, o_nfs = self._sort_val_keys(
+                    order_keys, batch
+                )
+                p_datas = [v.data for v in part_vals]
+                p_valids = [v.validity for v in part_vals]
+                perm = K.sort_permutation(
+                    p_datas + o_datas,
+                    p_valids + o_valids,
+                    [True] * len(p_datas) + o_ascs,
+                    [False] * len(p_datas) + o_nfs,
+                    n,
+                )
+                pad_sorted = jnp.arange(cap) >= n
+                part_sorted = []
+                for d, v in zip(p_datas, p_valids):
+                    key, null = K.normalize_key(d[perm], v[perm])
+                    part_sorted += [null.astype(jnp.int32), key]
+                order_sorted = []
+                for d, v in zip(o_datas, o_valids):
+                    key, null = K.normalize_key(d[perm], v[perm])
+                    order_sorted += [null.astype(jnp.int32), key]
+                seg_change, peer_change, seg = K.window_segments(
+                    part_sorted, order_sorted, pad_sorted
+                )
+                spec_cache[spec_key] = (perm, seg_change, peer_change, seg)
 
             fn = wexpr.func
             f = schema.field(len(batch.columns) + wi)
