@@ -274,6 +274,91 @@ def parse_close(payload: bytes) -> DescribeMessage:
     return parse_describe(payload)
 
 
+def auth_sasl(mechanisms=("SCRAM-SHA-256",)) -> bytes:
+    payload = struct.pack("!I", 10)
+    for m in mechanisms:
+        payload += cstr(m)
+    payload += b"\x00"
+    return encode_message(b"R", payload)
+
+
+def auth_sasl_continue(data: bytes) -> bytes:
+    return encode_message(b"R", struct.pack("!I", 11) + data)
+
+
+def auth_sasl_final(data: bytes) -> bytes:
+    return encode_message(b"R", struct.pack("!I", 12) + data)
+
+
+# ---------------------------------------------------------------------------
+# SCRAM-SHA-256 (RFC 5802/7677; reference auth.rs:186-209 SCRAM handler)
+# ---------------------------------------------------------------------------
+
+import base64
+import hmac as _hmac
+import secrets
+
+
+def _hmac256(key: bytes, msg: bytes) -> bytes:
+    return _hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def _h256(data: bytes) -> bytes:
+    return hashlib.sha256(data).digest()
+
+
+class ScramServer:
+    """Server-side SCRAM-SHA-256 exchange for one connection."""
+
+    def __init__(self, password: str, iterations: int = 4096):
+        self.password = password
+        self.iterations = iterations
+        self.salt = os.urandom(16)
+        self.server_nonce = base64.b64encode(secrets.token_bytes(18)).decode()
+        self.client_first_bare = ""
+        self.server_first = ""
+        self.nonce = ""
+
+    def handle_client_first(self, client_first: str) -> str:
+        """Returns the server-first message."""
+        # client-first-message: gs2-header "n,," + bare "n=user,r=nonce"
+        bare = client_first.split(",", 2)[2]
+        self.client_first_bare = bare
+        attrs = dict(p.split("=", 1) for p in bare.split(",") if "=" in p)
+        client_nonce = attrs.get("r", "")
+        self.nonce = client_nonce + self.server_nonce
+        self.server_first = (
+            f"r={self.nonce},s={base64.b64encode(self.salt).decode()},"
+            f"i={self.iterations}"
+        )
+        return self.server_first
+
+    def verify_client_final(self, client_final: str):
+        """Returns server-final message ('v=...') or None on failure."""
+        parts = dict(
+            p.split("=", 1) for p in client_final.split(",") if "=" in p
+        )
+        if parts.get("r") != self.nonce:
+            return None
+        proof = base64.b64decode(parts.get("p", ""))
+        without_proof = client_final.rsplit(",p=", 1)[0]
+        auth_message = ",".join(
+            [self.client_first_bare, self.server_first, without_proof]
+        ).encode()
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.password.encode(), self.salt, self.iterations
+        )
+        client_key = _hmac256(salted, b"Client Key")
+        stored_key = _h256(client_key)
+        signature = _hmac256(stored_key, auth_message)
+        recovered = bytes(a ^ b for a, b in zip(proof, signature))
+        if _h256(recovered) != stored_key:
+            return None
+        server_key = _hmac256(salted, b"Server Key")
+        server_sig = _hmac256(server_key, auth_message)
+        return "v=" + base64.b64encode(server_sig).decode()
+
+
 # ---------------------------------------------------------------------------
 # MD5 auth (reference auth.rs:139-171 hash_md5_password)
 # ---------------------------------------------------------------------------

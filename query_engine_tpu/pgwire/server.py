@@ -146,7 +146,11 @@ class PgConnection:
                 await self.flush()
                 return False
             self.send(P.auth_ok())
-        else:  # MD5 (SCRAM config downgrades to MD5 for now)
+        elif self.auth.method is AuthMethod.SCRAM_SHA_256:
+            if not await self._scram_handshake():
+                return False
+            self.send(P.auth_ok())
+        else:  # MD5
             salt = P.random_salt()
             self.send(P.auth_md5(salt))
             await self.flush()
@@ -176,6 +180,47 @@ class PgConnection:
         self.send(P.backend_key_data(1, 0))
         self.send(P.ready_for_query())
         await self.flush()
+        return True
+
+    async def _scram_handshake(self) -> bool:
+        """SCRAM-SHA-256 over the wire (RFC 7677; auth.rs:186-209 parity)."""
+        password = self.auth.users.get(self.user)
+        if password is None:
+            self.send(P.error_response(
+                f'password authentication failed for user "{self.user}"',
+                "28P01", "FATAL",
+            ))
+            await self.flush()
+            return False
+        self.send(P.auth_sasl())
+        await self.flush()
+        tag, payload = await self.read_message()
+        if tag != b"p":
+            return False
+        mechanism, pos = P.read_cstr(payload, 0)
+        if mechanism != "SCRAM-SHA-256":
+            self.send(P.error_response("unsupported SASL mechanism", "28000"))
+            await self.flush()
+            return False
+        (ln,) = __import__("struct").unpack_from("!i", payload, pos)
+        client_first = payload[pos + 4: pos + 4 + ln].decode()
+        scram = P.ScramServer(password)
+        self.send(P.auth_sasl_continue(
+            scram.handle_client_first(client_first).encode()
+        ))
+        await self.flush()
+        tag, payload = await self.read_message()
+        if tag != b"p":
+            return False
+        server_final = scram.verify_client_final(payload.decode())
+        if server_final is None:
+            self.send(P.error_response(
+                f'password authentication failed for user "{self.user}"',
+                "28P01", "FATAL",
+            ))
+            await self.flush()
+            return False
+        self.send(P.auth_sasl_final(server_final.encode()))
         return True
 
     # ---- dispatch ------------------------------------------------------

@@ -57,6 +57,8 @@ class PgTestClient:
                     continue
                 if code == 3:  # cleartext
                     self._send(self._msg(b"p", self.password.encode() + b"\x00"))
+                elif code == 10:  # SASL / SCRAM-SHA-256
+                    self._scram(body[4:])
                 elif code == 5:  # md5
                     salt = body[4:8]
                     inner = hashlib.md5(
@@ -71,6 +73,50 @@ class PgTestClient:
             elif tag == b"E":
                 raise RuntimeError(f"startup error: {body!r}")
             # ignore S / K
+
+    def _scram(self, mech_blob: bytes):
+        import base64
+        import hmac as _hmac
+        import secrets
+
+        assert b"SCRAM-SHA-256" in mech_blob
+        nonce = base64.b64encode(secrets.token_bytes(18)).decode()
+        bare = f"n={self.user},r={nonce}"
+        first = "n,," + bare
+        payload = b"SCRAM-SHA-256\x00" + struct.pack("!i", len(first)) + first.encode()
+        self._send(self._msg(b"p", payload))
+        tag, body = self._read_msg()
+        assert tag == b"R", body
+        (code,) = struct.unpack_from("!I", body)
+        assert code == 11, code
+        server_first = body[4:].decode()
+        attrs = dict(p.split("=", 1) for p in server_first.split(",") if "=" in p)
+        full_nonce = attrs["r"]
+        salt = base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        assert full_nonce.startswith(nonce)
+        without_proof = f"c=biws,r={full_nonce}"
+        auth_message = ",".join([bare, server_first, without_proof]).encode()
+        salted = hashlib.pbkdf2_hmac("sha256", self.password.encode(), salt, iters)
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        signature = _hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, signature))
+        final = without_proof + ",p=" + base64.b64encode(proof).decode()
+        self._send(self._msg(b"p", final.encode()))
+        # server sends SASLFinal (R code 12) then AuthOk in the outer loop;
+        # verify the server signature
+        tag, body = self._read_msg()
+        if tag == b"E":
+            raise RuntimeError(self._parse_error(body))
+        (code,) = struct.unpack_from("!I", body)
+        assert code == 12, code
+        server_sig = dict(
+            p.split("=", 1) for p in body[4:].decode().split(",")
+        )["v"]
+        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        expect = _hmac.new(server_key, auth_message, hashlib.sha256).digest()
+        assert base64.b64decode(server_sig) == expect, "server signature mismatch"
 
     # ---- simple query --------------------------------------------------
     def query(self, sql: str):
@@ -119,7 +165,6 @@ class PgTestClient:
     def prepared(self, sql: str, params: List[Optional[str]],
                  param_oids: Optional[List[int]] = None):
         oids = param_oids or []
-        p = sql.encode() + b"\x00" if False else None
         parse = b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", len(oids))
         for oid in oids:
             parse += struct.pack("!I", oid)

@@ -220,3 +220,21 @@ def test_tls_connection(tmp_path):
         c.close()
     finally:
         s.stop()
+
+
+def test_scram_sha256_auth():
+    from query_engine_tpu.pgwire.auth import AuthConfig, AuthMethod
+
+    s = ServerThread(auth=AuthConfig(AuthMethod.SCRAM_SHA_256,
+                                     {"alice": "s3cret"})).start()
+    try:
+        c = PgTestClient("127.0.0.1", s.port, user="alice", password="s3cret")
+        _, rows, _ = c.query("SELECT 21 * 2")
+        assert rows == [("42",)]
+        c.close()
+        with pytest.raises(Exception):
+            PgTestClient("127.0.0.1", s.port, user="alice", password="nope")
+        with pytest.raises(Exception):
+            PgTestClient("127.0.0.1", s.port, user="mallory", password="x")
+    finally:
+        s.stop()
