@@ -96,6 +96,13 @@ class Session:
             stmt = _bind_params(stmt, params)
         return self.execute_statement(stmt, sql_text=query)
 
+    def sql_script(self, script: str) -> List[ColumnBatch]:
+        """Execute a semicolon-separated script; returns one result per
+        statement."""
+        from query_engine_tpu.sql.parser import parse_many
+
+        return [self.execute_statement(s) for s in parse_many(script)]
+
     def explain(self, query: str) -> str:
         stmt = parse_sql(query)
         if isinstance(stmt, (ast.Select, ast.WithSelect)):
