@@ -149,18 +149,18 @@ _AGG_PARTIAL = {
 
 
 def local_partial_aggregate(
-    key, key_valid, n_rows, aggs: Sequence[Tuple[str, int]],
+    keys, key_valids, n_rows, aggs: Sequence[Tuple[str, int]],
     arg_datas: Sequence, arg_valids: Sequence,
 ):
-    """Per-shard grouped partial aggregation.
+    """Per-shard grouped partial aggregation (multi-key).
 
-    aggs: list of (func, arg_index or -1). Returns (group_key, group_valid,
+    aggs: list of (func, arg_index or -1). Returns (group_keys, group_valids,
     partial planes list, num_groups) at local capacity.
     """
-    cap = key.shape[0]
-    gid, ng, rep = K.group_ids([key], [key_valid], n_rows)
-    out_key = key[rep]
-    out_kv = key_valid[rep]
+    cap = keys[0].shape[0]
+    gid, ng, rep = K.group_ids(keys, key_valids, n_rows)
+    out_key = [k[rep] for k in keys]
+    out_kv = [v[rep] for v in key_valids]
     partials = []
     for func, ai in aggs:
         data = arg_datas[ai] if ai >= 0 else None
@@ -177,14 +177,14 @@ def local_partial_aggregate(
 
 
 def local_final_aggregate(
-    key, key_valid, n_rows, combine_funcs: Sequence[str],
+    keys, key_valids, n_rows, combine_funcs: Sequence[str],
     partial_datas: Sequence, partial_valids: Sequence,
 ):
     """Combine partial rows that landed on this shard after the exchange."""
-    cap = key.shape[0]
-    gid, ng, rep = K.group_ids([key], [key_valid], n_rows)
-    out_key = key[rep]
-    out_kv = key_valid[rep]
+    cap = keys[0].shape[0]
+    gid, ng, rep = K.group_ids(keys, key_valids, n_rows)
+    out_key = [k[rep] for k in keys]
+    out_kv = [v[rep] for v in key_valids]
     outs = []
     for cf, d, v in zip(combine_funcs, partial_datas, partial_valids):
         val, vv = K.segment_aggregate(cf, d, v, gid, n_rows, cap)
@@ -193,14 +193,16 @@ def local_final_aggregate(
 
 
 def make_distributed_aggregate(
-    mesh: Mesh, aggs: Sequence[Tuple[str, int]], n_args: int, axis: str = "data"
+    mesh: Mesh, aggs: Sequence[Tuple[str, int]], n_args: int,
+    axis: str = "data", n_keys: int = 1,
 ):
     """Build a jitted SPMD grouped-aggregate: rows sharded on `axis` ->
-    per-group results sharded by group-key hash.
+    per-group results sharded by group-key hash. Supports multi-column
+    group keys (n_keys planes; partition id = combined splitmix64 hash).
 
-    Input (per call): key plane, key validity, shard row counts, arg planes.
-    Output: group key / validity / per-agg (value, valid) planes + per-shard
-    group counts — all still sharded.
+    Input (per call): n_keys key planes, n_keys validity planes, shard row
+    counts, arg planes. Output: group key/validity planes, per-agg
+    (value, valid) planes, per-shard group counts — all still sharded.
     """
     n = mesh.devices.size
 
@@ -208,42 +210,63 @@ def make_distributed_aggregate(
     for func, _ in aggs:
         combine.extend(_AGG_PARTIAL[func])
 
-    def step(key, kv, shard_rows, *args):
+    def step(*flat_in):
+        keys = list(flat_in[:n_keys])
+        kvs = list(flat_in[n_keys: 2 * n_keys])
+        shard_rows = flat_in[2 * n_keys]
+        args = flat_in[2 * n_keys + 1:]
         my = jax.lax.axis_index(axis)
         n_rows = shard_rows[my]
-        cap = key.shape[0]
+        cap = keys[0].shape[0]
         arg_datas = list(args[:n_args])
         arg_valids = list(args[n_args:])
 
         # 1) local partial aggregate
-        gkey, gkv, partials, ng = local_partial_aggregate(
-            key, kv, n_rows, aggs, arg_datas, arg_valids
+        gkeys, gkvs, partials, ng = local_partial_aggregate(
+            keys, kvs, n_rows, aggs, arg_datas, arg_valids
         )
-        # 2) shuffle partial groups by key hash
-        pid = partition_ids(gkey, gkv, n)
+        # 2) shuffle partial groups by combined key hash
+        pid = combined_partition_ids(gkeys, gkvs, n)
         live = jnp.arange(cap) < ng
         idx, counts = bucket_rows(pid, live, n, cap)
-        datas = [gkey] + [p[0] for p in partials]
-        valids = [gkv] + [p[1] for p in partials]
+        datas = gkeys + [p[0] for p in partials]
+        valids = gkvs + [p[1] for p in partials]
         rdatas, rvalids, rlive = exchange_columns(axis, idx, counts, datas, valids)
         cdatas, cvalids, ccount = compact_received(rlive, rdatas, rvalids)
         # 3) local final aggregate (received key validity carries null-ness;
         # padding rows are masked by ccount inside the grouping kernels)
-        fkey, fkv, outs, fng = local_final_aggregate(
-            cdatas[0], cvalids[0], ccount, combine, cdatas[1:], cvalids[1:],
+        fkeys, fkvs, outs, fng = local_final_aggregate(
+            cdatas[:n_keys], cvalids[:n_keys], ccount, combine,
+            cdatas[n_keys:], cvalids[n_keys:],
         )
-        flat = [fkey, fkv]
+        flat = list(fkeys) + list(fkvs)
         for v, vv in outs:
             flat += [v, vv]
         flat.append(fng.reshape(1))
         return tuple(flat)
 
-    in_specs = tuple([P(axis), P(axis), P()] + [P(axis)] * (2 * n_args))
-    n_out = 2 + 2 * len(combine) + 1
-    out_specs = tuple([P(axis)] * (n_out - 1) + [P(axis)])
+    in_specs = tuple(
+        [P(axis)] * (2 * n_keys) + [P()] + [P(axis)] * (2 * n_args)
+    )
+    n_out = 2 * n_keys + 2 * len(combine) + 1
+    out_specs = tuple([P(axis)] * n_out)
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )
+
+
+def combined_partition_ids(keys, valids, n_parts: int) -> jnp.ndarray:
+    """Partition ids from the combined hash of several key columns (rows
+    with any NULL key route to partition 0, like partition_ids)."""
+    acc = None
+    all_valid = None
+    for k, v in zip(keys, valids):
+        h = splitmix64(K.orderable_i64(k).astype(jnp.int64))
+        h = jnp.where(v, h, jnp.uint64(0))
+        acc = h if acc is None else splitmix64(acc ^ h)
+        all_valid = v if all_valid is None else (all_valid & v)
+    pid = (acc % jnp.uint64(n_parts)).astype(jnp.int32)
+    return jnp.where(all_valid, pid, 0)
 
 
 def _recv_key_valid(key_validity, rlive, ccount):

@@ -181,3 +181,43 @@ def test_skew_aware_salted_join(mesh):
             assert lcounts.max() < unsalted_max * 0.55, (
                 f"salting did not spread load: {lcounts} vs max {unsalted_max}"
             )
+
+
+def test_distributed_aggregate_multikey(mesh):
+    rng = np.random.default_rng(21)
+    n = 1200
+    k1 = rng.integers(0, 6, n)
+    k2 = rng.integers(0, 5, n)
+    v = rng.integers(0, 100, n)
+    batch = ColumnBatch.from_pydict(
+        {"k1": k1.tolist(), "k2": k2.tolist(), "v": v.tolist()}
+    )
+    st = ShardedTable(batch, mesh)
+    agg = spmd.make_distributed_aggregate(
+        mesh, aggs=[("count_star", -1), ("sum", 0)], n_args=1, n_keys=2,
+    )
+    out = agg(
+        st.datas[0], st.datas[1], st.valids[0], st.valids[1],
+        st.shard_rows, st.datas[2], st.valids[2],
+    )
+    fk1, fk2 = np.asarray(out[0]), np.asarray(out[1])
+    cnt = np.asarray(out[4])
+    sm = np.asarray(out[6])
+    ngs = np.asarray(out[-1])
+    per = fk1.shape[0] // 8
+    got = {}
+    for s in range(8):
+        for i in range(ngs[s]):
+            j = s * per + i
+            key = (fk1[j], fk2[j])
+            assert key not in got, "group split across shards"
+            got[key] = (cnt[j], sm[j])
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0])
+    for a, b, x in zip(k1, k2, v):
+        exp[(a, b)][0] += 1
+        exp[(a, b)][1] += int(x)
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == tuple(exp[key]), key
