@@ -94,6 +94,9 @@ class Session:
         stmt = parse_sql(query)
         if params:
             stmt = _bind_params(stmt, params)
+            # cache key must distinguish parameter values
+            key = query + "\x00" + repr(params)
+            return self.execute_statement(stmt, sql_text=key)
         return self.execute_statement(stmt, sql_text=query)
 
     def sql_script(self, script: str) -> List[ColumnBatch]:
