@@ -21,6 +21,7 @@ from __future__ import annotations
 import asyncio
 import re
 import struct
+import threading
 from typing import Dict, List, Optional
 
 from query_engine_tpu.core.errors import QueryError
@@ -63,12 +64,13 @@ def split_statements(text: str) -> List[str]:
 
 class PgConnection:
     def __init__(self, reader, writer, session: Session, auth: AuthConfig,
-                 ssl_context=None):
+                 ssl_context=None, session_lock=None):
         self.reader = reader
         self.writer = writer
         self.session = session
         self.auth = auth
         self.ssl_context = ssl_context
+        self.session_lock = session_lock or threading.RLock()
         self.cursors = CursorStore()
         self.statements: Dict[str, PreparedStatement] = {}
         self.portals: Dict[str, Portal] = {}
@@ -312,7 +314,10 @@ class PgConnection:
             return
 
         stmt = parse_sql(sql)
-        result = self.session.execute_statement(stmt, sql_text=sql)
+        # the Session is shared across connections (server.rs shared table
+        # map); engine execution + DML mutate shared state, so serialize
+        with self.session_lock:
+            result = self.session.execute_statement(stmt, sql_text=sql)
         self._send_stmt_result(stmt, result)
 
     def _send_stmt_result(self, stmt, result: ColumnBatch) -> None:
@@ -607,6 +612,7 @@ class PgServer:
         self.host = host
         self.port = port
         self.auth = auth or AuthConfig.trust()
+        self.session_lock = threading.RLock()
         self.tls = tls  # Optional[TlsConfig]
         self._ssl_context = tls.ssl_context() if tls is not None else None
         self._server: Optional[asyncio.AbstractServer] = None
@@ -621,7 +627,8 @@ class PgServer:
     # ---- lifecycle -------------------------------------------------------
     async def _handle_conn(self, reader, writer):
         conn = PgConnection(reader, writer, self.session, self.auth,
-                            ssl_context=self._ssl_context)
+                            ssl_context=self._ssl_context,
+                            session_lock=self.session_lock)
         try:
             await conn.run()
         except Exception:  # noqa: BLE001 connection isolation

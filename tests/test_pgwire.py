@@ -238,3 +238,23 @@ def test_scram_sha256_auth():
             PgTestClient("127.0.0.1", s.port, user="mallory", password="x")
     finally:
         s.stop()
+
+
+def test_concurrent_clients(server):
+    import concurrent.futures
+
+    def worker(i):
+        c = PgTestClient("127.0.0.1", server.port)
+        try:
+            for _ in range(5):
+                _, rows, _ = c.query(
+                    "SELECT COUNT(*), SUM(salary) FROM employees WHERE age > 25"
+                )
+                assert rows == [("5", "428000")]
+            return i
+        finally:
+            c.close()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(worker, range(6)))
+    assert results == list(range(6))
