@@ -10,7 +10,7 @@ reference's only published join throughput — 813.01 QPS on the 6x4-row
 employees/departments join (README.md:693), i.e. 813 * 24 = 19,512 joined
 rows/sec (and that join is a Cartesian stub; see BASELINE.md caveat).
 
-Env knobs: QE_BENCH_ROWS (default 2^20), QE_BENCH_ITERS (default 5),
+Env knobs: QE_BENCH_ROWS (default 2^24 = 16.7M), QE_BENCH_ITERS (default 3),
 QE_BENCH_OPS=1 to also print per-operator numbers on stderr.
 """
 
@@ -76,8 +76,8 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
 
 
 def main():
-    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 20))
-    iters = int(os.environ.get("QE_BENCH_ITERS", 5))
+    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
+    iters = int(os.environ.get("QE_BENCH_ITERS", 3))
     bcap = max(cap >> 4, 128)
     rng = np.random.default_rng(42)
     n_rows = cap - 17

@@ -124,8 +124,7 @@ def _dict_lookup_host(v: Val, fn, np_dtype, out_dtype: DataType) -> Val:
 def _tokenize_tsvector(s: str) -> str:
     """Reference to_tsvector parity (operators.rs:261-286): split on
     non-alphanumeric, sort (pre-lowercase order!), dedup, lowercase, join."""
-    tokens = [w for w in re.split(r"[^0-9A-Za-z]+", s) if w]
-    tokens = sorted(set(tokens) if False else tokens)
+    tokens = sorted(w for w in re.split(r"[^0-9A-Za-z]+", s) if w)
     # rust dedup() removes only consecutive dups after sort -> set-like
     dedup = []
     for t in tokens:
@@ -163,6 +162,39 @@ def _like_to_regex(pattern: str, case_insensitive: bool) -> "re.Pattern":
     return re.compile(
         "^" + "".join(out) + "$", re.IGNORECASE if case_insensitive else 0
     )
+
+
+def _parse_temporal(text: str, kind: TypeKind):
+    import datetime
+
+    try:
+        if kind is TypeKind.DATE32:
+            d = datetime.date.fromisoformat(text)
+            return (d - datetime.date(1970, 1, 1)).days
+        dt = datetime.datetime.fromisoformat(text)
+        us = int((dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        return us if kind is TypeKind.TIMESTAMP else us // 1000
+    except ValueError:
+        return None
+
+
+def _coerce_temporal_literal(l: "Val", r: "Val"):
+    """If one side is a temporal column and the other a single-string
+    dictionary (a literal), parse the literal into the temporal lane."""
+    for a, b, flip in ((l, r, False), (r, l, True)):
+        if (
+            a.dtype.is_temporal
+            and b.dictionary is not None
+            and len(b.dictionary) == 1
+        ):
+            parsed = _parse_temporal(b.dictionary.values[0], a.dtype.kind)
+            if parsed is not None:
+                lit = Val(
+                    jnp.full(b.capacity, parsed, dtype=a.data.dtype),
+                    b.validity, a.dtype,
+                )
+                return (l, lit) if not flip else (lit, r)
+    return l, r
 
 
 _ARITH = {lp.BinOp.ADD, lp.BinOp.SUB, lp.BinOp.MUL, lp.BinOp.DIV, lp.BinOp.MOD}
@@ -260,6 +292,9 @@ class Evaluator:
             return self._eval_concat([l, r], batch)
 
         valid = l.validity & r.validity
+        # temporal column vs string literal: parse the literal as a date/
+        # timestamp so WHERE d > '2024-01-01' works
+        l, r = _coerce_temporal_literal(l, r)
         if l.dictionary is not None or r.dictionary is not None:
             # string comparison via merged sorted dictionary -> code compare
             if op not in _CMP:

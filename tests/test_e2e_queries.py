@@ -357,3 +357,28 @@ def test_create_index_accelerated_lookup(sess):
     sess.sql("CREATE INDEX idx_id ON idx_t (id)")
     assert rows(sess.sql("SELECT v FROM idx_t WHERE id = 2")) == [(20,)]
     sess.sql("DROP INDEX idx_id")
+
+
+def test_date_literal_comparison(sess):
+    import datetime
+
+    import pyarrow as pa
+
+    from query_engine_tpu.columnar.batch import ColumnBatch
+
+    rb = pa.record_batch({
+        "id": pa.array([1, 2, 3]),
+        "d": pa.array([
+            datetime.date(2024, 1, 1),
+            datetime.date(2024, 6, 15),
+            datetime.date(2025, 3, 1),
+        ]),
+    })
+    sess.register_table("ev", ColumnBatch.from_arrow(rb))
+    assert sess.sql(
+        "SELECT id FROM ev WHERE d > '2024-02-01' ORDER BY id"
+    ).to_pylist() == [(2,), (3,)]
+    assert sess.sql("SELECT id FROM ev WHERE d = '2024-01-01'").to_pylist() == [(1,)]
+    assert sess.sql(
+        "SELECT id FROM ev WHERE d BETWEEN '2024-01-01' AND '2024-12-31' ORDER BY id"
+    ).to_pylist() == [(1,), (2,)]
