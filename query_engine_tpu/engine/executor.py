@@ -107,11 +107,21 @@ class QueryExecutor:
         self.udfs = udfs
         self.evaluator = Evaluator(subquery_exec=self.execute, udfs=udfs)
         self._fused_cache = {}
+        from query_engine_tpu.engine.pipeline import (
+            CompiledPipeline, compiled_enabled,
+        )
+
+        self.pipeline = CompiledPipeline(self)
+        self._compiled = compiled_enabled()
 
     # ---- entry ---------------------------------------------------------
     def execute(self, plan: pp.PhysicalPlan) -> ColumnBatch:
         if isinstance(plan, _Materialized):
             return plan.batch
+        if self._compiled:
+            out = self.pipeline.try_execute(plan)
+            if out is not None:
+                return out
         if isinstance(plan, pp.PScan):
             return self._exec_scan(plan)
         if isinstance(plan, pp.PIndexScan):

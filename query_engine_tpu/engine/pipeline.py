@@ -1,0 +1,859 @@
+"""Compiled query pipelines — trace a maximal plan segment into ONE XLA
+program.
+
+Eager execution (engine/executor.py) dispatches one or more device programs
+per plan node and syncs a row count after every size-changing operator to
+pick the next output capacity bucket. On a TPU behind a network tunnel each
+dispatch costs ~29 ms, so an eight-operator query pays ~10 round trips even
+when the math itself takes microseconds.
+
+A compiled pipeline instead threads a *selection mask* through the segment:
+
+    filter / HAVING       sel &= predicate(cols)           (no compaction)
+    DISTINCT [ON]         sel &= first-occurrence flags    (no compaction)
+    LIMIT / OFFSET        sel &= rank window over sel      (no compaction)
+    projection / window   new planes, sel unchanged
+    sort                  planes gathered by permutation; sel = prefix mask
+    aggregate             segment-reduce into a statically bounded group
+                          space; sel = prefix mask over groups
+
+so an entire scan->filter->aggregate->having->sort->limit query compiles to
+ONE XLA program (XLA fuses the filter mask into the aggregate's reduction —
+the intermediate "filtered table" never materializes in HBM), plus a single
+row-count sync, plus one compaction program when the surviving rows aren't
+already front-packed (after sort/aggregate they are, so most shapes skip it).
+
+Programs are cached by (plan structure, leaf capacities/dtypes/dictionary
+identities): steady-state serving reuses one executable per query shape per
+pow2 capacity bucket.
+
+Unsupported constructs (subqueries, UDFs, string concatenation, joins and
+set-ops for now) fall back to the eager executor — per *subtree*, not per
+query: the segment above an eagerly-executed join still compiles, with the
+join result fed in as a leaf.
+
+This is the TPU answer to the reference's interpreter-style recursive
+executor (crates/query-executor/src/executor.rs:19-91, one materialized
+Vec<RecordBatch> per node): plans compile, not interpret (SURVEY.md §7).
+The eager executor remains the semantics oracle — differential-tested in
+tests/test_compiled_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from query_engine_tpu.core.errors import ExecutionError
+from query_engine_tpu.core.schema import Schema
+from query_engine_tpu.columnar.batch import Column, ColumnBatch, padded_capacity
+from query_engine_tpu.ops import kernels as K
+from query_engine_tpu.plan import logical as lp
+from query_engine_tpu.plan import physical as pp
+
+
+class _Unsupported(Exception):
+    """Raised during segment analysis/tracing: fall back to eager."""
+
+
+_EAGER = object()  # cache sentinel: this plan shape is known untraceable
+
+# trace-time failures that mean "host-dependent value inside jit" — fall back
+_TRACE_ERRORS = (
+    _Unsupported,
+    ExecutionError,
+    NotImplementedError,
+    jax.errors.TracerArrayConversionError,
+    jax.errors.TracerBoolConversionError,
+    jax.errors.TracerIntegerConversionError,
+    jax.errors.ConcretizationTypeError,
+)
+
+
+@dataclass
+class _TTable:
+    """A traced table: column planes at a static capacity plus a boolean
+    selection mask. `dense` is statically known: the selected rows are a
+    prefix (sel == live_mask(cap, count)), so no compaction is needed.
+    `bounds[i]` is a static conservative (lo, bucket_range) cover of integer
+    column i's values (None if unknown) — it survives filter/sort/limit
+    (subsets and permutations keep covers valid) and enables sort-free
+    direct grouping without the eager path's key-range host sync."""
+
+    schema: Schema
+    cols: List[Column]  # .data/.validity are tracers
+    sel: jnp.ndarray
+    capacity: int
+    dense: bool
+    bounds: List[Optional[Tuple[int, int]]]
+
+
+def _col_bounds(col) -> Optional[Tuple[int, int]]:
+    """Cached raw (min, max) over an integer column's full data plane
+    (padding included — a conservative cover is all direct grouping needs).
+    Cached on the Column object; DML replaces batches, so staleness is
+    impossible."""
+    b = getattr(col, "_qe_bounds", False)
+    if b is not False:
+        return b
+    dt = np.dtype(col.data.dtype)
+    if col.dictionary is not None:
+        b = None
+    elif dt == np.bool_:
+        b = (0, 1)
+    elif np.issubdtype(dt, np.integer):
+        host = np.asarray(col.data)
+        b = (int(host.min()), int(host.max())) if host.size else None
+    else:
+        b = None
+    col._qe_bounds = b
+    return b
+
+
+def _bucket_bounds(b: Optional[Tuple[int, int]]):
+    """Quantize raw bounds to (lo floored to 128, pow2 range) so appends
+    within the bucket reuse the compiled program. Ranges too large for
+    direct grouping collapse to a single sentinel (no recompile churn)."""
+    if b is None:
+        return None
+    lo, hi = b
+    lo_b = (lo >> 7) << 7
+    rng = hi - lo_b + 1
+    if rng > (1 << 21):  # _DIRECT_GROUP_MAX_RANGE
+        return ("big",)
+    return (lo_b, padded_capacity(rng))
+
+
+def _proj_bounds(e: "lp.LogicalExpr", t: _TTable):
+    """Bounds survive a projection only for bare column references."""
+    if isinstance(e, lp.AliasExpr):
+        e = e.expr
+    if isinstance(e, lp.ColumnRef) and e.index < len(t.bounds):
+        return t.bounds[e.index]
+    return None
+
+
+def _group_key_bounds(e: "lp.LogicalExpr", t: _TTable):
+    """Static (lo, range) cover for a group-key expression, if known."""
+    return _proj_bounds(e, t)
+
+
+class _ShimBatch:
+    """Duck-typed ColumnBatch over traced planes for Evaluator calls."""
+
+    __slots__ = ("schema", "columns", "num_rows", "capacity")
+
+    def __init__(self, t: _TTable):
+        self.schema = t.schema
+        self.columns = t.cols
+        self.capacity = t.capacity
+        self.num_rows = t.sel  # kernels accept masks via live_mask
+
+    @property
+    def num_columns(self):
+        return len(self.columns)
+
+
+# ---------------------------------------------------------------------------
+# expression admission + structural keys
+# ---------------------------------------------------------------------------
+
+
+def _expr_traceable(e: lp.LogicalExpr) -> bool:
+    """Static check for expressions whose evaluation needs host work that
+    cannot live inside a traced program (subquery execution, UDF callbacks,
+    per-row string materialization)."""
+    bad = []
+
+    def visit(x):
+        if isinstance(
+            x,
+            (lp.ScalarSubqueryExpr, lp.InSubqueryExpr, lp.ExistsExpr,
+             lp.UdfExpr),
+        ):
+            bad.append(x)
+        elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.CONCAT:
+            bad.append(x)  # decodes data planes to host strings
+        elif isinstance(x, lp.ScalarFnExpr) and x.func is lp.ScalarFn.CONCAT:
+            bad.append(x)
+        elif isinstance(x, lp.CastExpr) and x.target.is_dictionary and not (
+            x.expr.dtype.is_dictionary
+        ):
+            bad.append(x)  # numeric -> string stringifies the data plane
+        elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.TS_MATCH:
+            # traceable only when the query side is a literal (the match
+            # table is then built per dictionary value at trace time)
+            r = x.right
+            if isinstance(r, lp.ScalarFnExpr) and r.func is lp.ScalarFn.TO_TSQUERY:
+                r = r.args[0] if r.args else r
+            if not isinstance(r, lp.Literal):
+                bad.append(x)
+
+    lp.walk_exprs(e, visit)
+    return not bad
+
+
+def _expr_key(e: lp.LogicalExpr):
+    """Structural key: equal keys => identical computation over identical
+    input planes. (Unlike LogicalExpr.name(), aliases do not hide the inner
+    expression and column references key on their resolved index.)"""
+    if isinstance(e, lp.ColumnRef):
+        return ("col", e.index, str(e.dtype))
+    if isinstance(e, lp.Literal):
+        return ("lit", str(e.value.dtype), repr(e.value.value))
+    if isinstance(e, lp.AliasExpr):
+        # alias names land in the output schema -> they are part of the key
+        return ("as", e.alias, _expr_key(e.expr))
+    if isinstance(e, lp.BinaryExpr):
+        return ("bin", e.op.value, _expr_key(e.left), _expr_key(e.right))
+    if isinstance(e, lp.UnaryExpr):
+        return ("un", e.op.value, _expr_key(e.expr))
+    if isinstance(e, lp.CastExpr):
+        return ("cast", str(e.target), _expr_key(e.expr))
+    if isinstance(e, lp.ScalarFnExpr):
+        return ("fn", e.func.value, tuple(_expr_key(a) for a in e.args))
+    if isinstance(e, lp.AggregateExpr):
+        return (
+            "agg", e.func.value, e.distinct,
+            None if e.expr is None else _expr_key(e.expr),
+        )
+    if isinstance(e, lp.CaseExpr):
+        return (
+            "case",
+            tuple((_expr_key(c), _expr_key(v)) for c, v in e.branches),
+            None if e.else_expr is None else _expr_key(e.else_expr),
+        )
+    if isinstance(e, lp.InListExpr):
+        return (
+            "inlist", e.negated, _expr_key(e.expr),
+            tuple(_expr_key(i) for i in e.items),
+        )
+    if isinstance(e, lp.IsNullExpr):
+        return ("isnull", e.negated, _expr_key(e.expr))
+    if isinstance(e, lp.WindowExpr):
+        return (
+            "win", e.func.value,
+            tuple(_expr_key(a) for a in e.args),
+            tuple(_expr_key(p) for p in e.partition_by),
+            tuple(_sort_key_key(k) for k in e.order_by),
+            repr(e.frame),
+        )
+    raise _Unsupported(f"expr {type(e).__name__}")
+
+
+def _sort_key_key(k: lp.SortKey):
+    return (_expr_key(k.expr), k.asc, k.resolved_nulls_first())
+
+
+# ---------------------------------------------------------------------------
+# the pipeline compiler
+# ---------------------------------------------------------------------------
+
+# nodes that participate in a compiled segment; anything else is a leaf
+# boundary executed eagerly and fed in as a materialized batch
+_COMPUTE_NODES = (
+    pp.PFilter, pp.PSort, pp.PHashAggregate, pp.PDistinct, pp.PWindow,
+)
+
+
+class CompiledPipeline:
+    def __init__(self, executor):
+        self.executor = executor  # eager QueryExecutor (fallback + leaves)
+        self._cache = {}  # plan key -> _Entry
+        self._eager_bodies = set()  # structural keys known to fail tracing
+        self._compact_cache = {}  # (cap, out_cap, dtypes) -> jitted fn
+        self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0}
+
+    # ---- entry -----------------------------------------------------------
+    def try_execute(self, plan: pp.PhysicalPlan) -> Optional[ColumnBatch]:
+        """Returns the result batch, or None to run the eager path."""
+        try:
+            key_body, leaf_nodes, n_compute = self._plan_key(plan)
+        except _Unsupported:
+            return None
+        if n_compute == 0:
+            return None  # pure scan/limit/rename — eager is already cheap
+        if key_body in self._eager_bodies:
+            self.stats["fallbacks"] += 1
+            return None
+
+        # materialize leaves (table scans + eagerly-executed subtrees)
+        leaves = [self._materialize_leaf(n) for n in leaf_nodes]
+        key = (
+            key_body,
+            tuple(self._leaf_sig(b) for b in leaves),
+        )
+        entry = self._cache.get(key)
+
+        leaf_args = [
+            {
+                "d": [jnp.asarray(c.data) for c in b.columns],
+                "v": [jnp.asarray(c.validity) for c in b.columns],
+                "n": np.int64(b.num_rows),
+            }
+            for b in leaves
+        ]
+
+        if entry is None:
+            entry = _Entry(plan, leaves)
+
+            @jax.jit
+            def fn(args):
+                tables = [
+                    _TTable(
+                        schema=b.schema,
+                        cols=[
+                            Column(d, v, c.dtype, c.dictionary)
+                            for d, v, c in zip(a["d"], a["v"], b.columns)
+                        ],
+                        sel=K.live_mask(b.capacity, a["n"]),
+                        capacity=b.capacity,
+                        dense=True,
+                        bounds=[
+                            (None if (bb := _bucket_bounds(_col_bounds(c))) is None
+                             or bb == ("big",) else bb)
+                            for c in b.columns
+                        ],
+                    )
+                    for a, b in zip(args, entry.leaves)
+                ]
+                it = iter(tables)
+                t = self._trace(entry.plan, it)
+                if not entry.meta:
+                    entry.meta.update(
+                        schema=t.schema,
+                        dtypes=[c.dtype for c in t.cols],
+                        dicts=[c.dictionary for c in t.cols],
+                        capacity=t.capacity,
+                        dense=t.dense,
+                    )
+                count = K.filter_count(t.sel, t.sel)
+                return (
+                    tuple(c.data for c in t.cols),
+                    tuple(c.validity for c in t.cols),
+                    t.sel,
+                    count,
+                )
+
+            entry.fn = fn
+            try:
+                out = fn(leaf_args)
+            except _TRACE_ERRORS:
+                self._eager_bodies.add(key_body)
+                self.stats["fallbacks"] += 1
+                return None
+            self._cache[key] = entry
+            self.stats["compiles"] += 1
+        else:
+            self.stats["hits"] += 1
+            out = entry.fn(leaf_args)
+
+        datas, valids, sel, count = out
+        count = int(count)
+        meta = entry.meta
+        if meta["dense"]:
+            cols = [
+                Column(d, v, dt, dic)
+                for d, v, dt, dic in zip(
+                    datas, valids, meta["dtypes"], meta["dicts"]
+                )
+            ]
+            return ColumnBatch(meta["schema"], cols, count)
+        # surviving rows are scattered: one compaction program
+        out_cap = padded_capacity(count)
+        ckey = (
+            meta["capacity"], out_cap, tuple(str(d.dtype) for d in datas)
+        )
+        compact = self._compact_cache.get(ckey)
+        if compact is None:
+
+            @jax.jit
+            def compact(datas, valids, sel):
+                idx = K.compaction_indices(sel, sel, out_cap)
+                return K.gather_columns(list(datas), list(valids), idx)
+
+            self._compact_cache[ckey] = compact
+        cd, cv = compact(datas, valids, sel)
+        cols = [
+            Column(d, v, dt, dic)
+            for d, v, dt, dic in zip(cd, cv, meta["dtypes"], meta["dicts"])
+        ]
+        return ColumnBatch(meta["schema"], cols, count)
+
+    # ---- segment analysis --------------------------------------------------
+    def _child(self, plan):
+        """Key a child subtree; an unsupported child becomes a leaf boundary
+        (executed eagerly) instead of abandoning the segment above it."""
+        try:
+            return self._plan_key(plan)
+        except _Unsupported:
+            return ("leaf",), [plan], 0
+
+    def _plan_key(self, plan):
+        """Validate + build the structural cache key; returns (body, leaf
+        plan nodes in trace order, #compute nodes). Raises _Unsupported when
+        this node cannot live inside a compiled segment."""
+        if isinstance(plan, pp.PScan):
+            return ("leaf",), [plan], 0
+        if isinstance(plan, pp.PFilter):
+            if not _expr_traceable(plan.predicate):
+                raise _Unsupported("filter predicate")
+            body, leaves, n = self._child(plan.input)
+            return ("filter", _expr_key(plan.predicate), body), leaves, n + 1
+        if isinstance(plan, pp.PProjection):
+            if not all(_expr_traceable(e) for e in plan.exprs):
+                raise _Unsupported("projection exprs")
+            body, leaves, n = self._child(plan.input)
+            trivial = all(
+                isinstance(e, lp.ColumnRef)
+                or (isinstance(e, lp.AliasExpr) and isinstance(e.expr, lp.ColumnRef))
+                for e in plan.exprs
+            )
+            return (
+                ("proj", tuple(_expr_key(e) for e in plan.exprs), body),
+                leaves,
+                n if trivial else n + 1,
+            )
+        if isinstance(plan, pp.PSort):
+            if not all(_expr_traceable(k.expr) for k in plan.keys):
+                raise _Unsupported("sort keys")
+            body, leaves, n = self._child(plan.input)
+            return (
+                ("sort", tuple(_sort_key_key(k) for k in plan.keys), body),
+                leaves, n + 1,
+            )
+        if isinstance(plan, pp.PLimit):
+            body, leaves, n = self._child(plan.input)
+            return ("limit", plan.skip, plan.fetch, body), leaves, n
+        if isinstance(plan, pp.PDistinct):
+            on = plan.on
+            if on is not None and not all(_expr_traceable(e) for e in on):
+                raise _Unsupported("distinct exprs")
+            body, leaves, n = self._child(plan.input)
+            okey = None if on is None else tuple(_expr_key(e) for e in on)
+            return ("distinct", okey, body), leaves, n + 1
+        if isinstance(plan, pp.PWindow):
+            if not all(_expr_traceable(w) for w in plan.window_exprs):
+                raise _Unsupported("window exprs")
+            body, leaves, n = self._child(plan.input)
+            return (
+                (
+                    "window",
+                    tuple(_expr_key(w) for w in plan.window_exprs),
+                    tuple(plan.names),
+                    body,
+                ),
+                leaves, n + 1,
+            )
+        if isinstance(plan, pp.PHashAggregate):
+            if plan.mode != "single":
+                raise _Unsupported("distributed aggregate mode")
+            exprs = list(plan.group_exprs) + [
+                a.expr for a in plan.agg_exprs if a.expr is not None
+            ]
+            if not all(_expr_traceable(e) for e in exprs):
+                raise _Unsupported("aggregate exprs")
+            body, leaves, n = self._child(plan.input)
+            return (
+                (
+                    "agg",
+                    tuple(_expr_key(g) for g in plan.group_exprs),
+                    tuple(
+                        (a.func.value, a.distinct,
+                         None if a.expr is None else _expr_key(a.expr))
+                        for a in plan.agg_exprs
+                    ),
+                    tuple(plan.schema().names()),
+                    body,
+                ),
+                leaves, n + 1,
+            )
+        if isinstance(plan, pp.PSubquery):
+            body, leaves, n = self._child(plan.input)
+            return ("subq", tuple(plan.out_schema.names()), body), leaves, n
+        # anything else: eager leaf boundary (join, set-op, index scan, ...)
+        raise _Unsupported(type(plan).__name__)
+
+    def _materialize_leaf(self, node) -> ColumnBatch:
+        if isinstance(node, pp.PScan):
+            return self.executor._exec_scan(node)
+        return self.executor.execute(node)
+
+    @staticmethod
+    def _leaf_sig(b: ColumnBatch):
+        return (
+            b.capacity,
+            tuple(b.schema.names()),
+            tuple(str(np.dtype(c.data.dtype)) for c in b.columns),
+            tuple(
+                None if c.dictionary is None else id(c.dictionary)
+                for c in b.columns
+            ),
+            # integer-column bounds are baked into direct-grouping programs
+            tuple(_bucket_bounds(_col_bounds(c)) for c in b.columns),
+        )
+
+    # ---- tracing -----------------------------------------------------------
+    def _trace(self, plan, tables) -> _TTable:
+        if isinstance(plan, pp.PScan):
+            return next(tables)
+        if isinstance(plan, pp.PFilter):
+            t = self._trace(plan.input, tables)
+            mask = self.executor.evaluator.eval_predicate_mask(
+                plan.predicate, _ShimBatch(t)
+            )
+            return _TTable(t.schema, t.cols, t.sel & mask, t.capacity,
+                           False, t.bounds)
+        if isinstance(plan, pp.PProjection):
+            t = self._trace(plan.input, tables)
+            shim = _ShimBatch(t)
+            schema = plan.schema()
+            cols = []
+            for e, f in zip(plan.exprs, schema):
+                v = self.executor.evaluator.eval(e, shim)
+                cols.append(Column(v.data, v.validity, f.data_type, v.dictionary))
+            bounds = [_proj_bounds(e, t) for e in plan.exprs]
+            return _TTable(schema, cols, t.sel, t.capacity, t.dense, bounds)
+        if isinstance(plan, pp.PSort):
+            return self._trace_sort(plan, tables)
+        if isinstance(plan, pp.PLimit):
+            t = self._trace(plan.input, tables)
+            rank = jnp.cumsum(t.sel.astype(jnp.int32)) - 1
+            sel = t.sel
+            if plan.skip:
+                sel = sel & (rank >= plan.skip)
+            if plan.fetch is not None:
+                sel = sel & (rank < plan.skip + plan.fetch)
+            dense = t.dense and plan.skip == 0
+            return _TTable(t.schema, t.cols, sel, t.capacity, dense,
+                           t.bounds)
+        if isinstance(plan, pp.PDistinct):
+            return self._trace_distinct(plan, tables)
+        if isinstance(plan, pp.PWindow):
+            return self._trace_window(plan, tables)
+        if isinstance(plan, pp.PHashAggregate):
+            return self._trace_aggregate(plan, tables)
+        if isinstance(plan, pp.PSubquery):
+            t = self._trace(plan.input, tables)
+            return _TTable(plan.out_schema, t.cols, t.sel, t.capacity,
+                           t.dense, t.bounds)
+        raise _Unsupported(type(plan).__name__)
+
+    def _trace_sort(self, plan: pp.PSort, tables) -> _TTable:
+        t = self._trace(plan.input, tables)
+        shim = _ShimBatch(t)
+        datas, valids, ascs, nfs = [], [], [], []
+        for k in plan.keys:
+            v = self.executor.evaluator.eval(k.expr, shim)
+            datas.append(v.data)
+            valids.append(v.validity)
+            ascs.append(k.asc)
+            nfs.append(k.resolved_nulls_first())
+        perm = K.sort_permutation(datas, valids, ascs, nfs, t.sel)
+        n_live = jnp.sum(t.sel.astype(jnp.int32))
+        cols = [
+            Column(c.data[perm], c.validity[perm], c.dtype, c.dictionary)
+            for c in t.cols
+        ]
+        return _TTable(
+            t.schema, cols, K.live_mask(t.capacity, n_live), t.capacity,
+            True, t.bounds,
+        )
+
+    def _trace_distinct(self, plan: pp.PDistinct, tables) -> _TTable:
+        t = self._trace(plan.input, tables)
+        shim = _ShimBatch(t)
+        if plan.on is not None:
+            kvals = [self.executor.evaluator.eval(e, shim) for e in plan.on]
+            kd = [v.data for v in kvals]
+            kv = [v.validity for v in kvals]
+        else:
+            kd = [c.data for c in t.cols]
+            kv = [c.validity for c in t.cols]
+        gid, ng, rep = K.group_ids(kd, kv, t.sel)
+        cap = t.capacity
+        first_mask = (
+            jnp.zeros(cap, dtype=bool)
+            .at[jnp.where(jnp.arange(cap) < ng, rep, cap)]
+            .set(True, mode="drop")
+        )
+        return _TTable(t.schema, t.cols, t.sel & first_mask, cap, False,
+                       t.bounds)
+
+    # ---- aggregate ---------------------------------------------------------
+    def _trace_aggregate(self, plan: pp.PHashAggregate, tables) -> _TTable:
+        ex = self.executor
+        t = self._trace(plan.input, tables)
+        shim = _ShimBatch(t)
+        cap = t.capacity
+        sel = t.sel
+        schema = plan.schema()
+
+        mxu_bound = None  # static dense-gid bound enabling the MXU kernel
+        if plan.group_exprs:
+            gvals = [ex.evaluator.eval(g, shim) for g in plan.group_exprs]
+            # direct (sort-free) grouping when the single key's value range
+            # is statically bounded: dictionary codes (range = dict size) or
+            # an integer column with leaf min/max stats (bounds survive
+            # filter/sort/limit; the eager path needs a key-range host sync
+            # for the same information). Also shrinks every downstream
+            # operator from row capacity to group capacity.
+            direct = None  # (key plane, validity, lo, num_buckets)
+            if len(gvals) == 1:
+                v = gvals[0]
+                if v.dictionary is not None:
+                    nb = max(len(v.dictionary), 1)
+                    if nb + 1 <= ex._DIRECT_GROUP_MAX_RANGE:
+                        direct = (v.data, v.validity, 0, nb)
+                else:
+                    b = _group_key_bounds(plan.group_exprs[0], t)
+                    if b is not None and b[1] + 1 <= ex._DIRECT_GROUP_MAX_RANGE:
+                        direct = (v.data, v.validity, b[0], b[1])
+            if direct is not None:
+                kd, kv, lo, nb = direct
+                gid, ng, rep = K.group_ids_direct(kd, kv, sel, lo, nb)
+                S = min(padded_capacity(nb + 1), cap)
+                mxu_bound = S
+            else:
+                gid, ng, rep = K.group_ids(
+                    [v.data for v in gvals], [v.validity for v in gvals], sel
+                )
+                S = cap
+        else:
+            gvals = []
+            gid = jnp.zeros(cap, dtype=jnp.int32)
+            ng = jnp.int64(1)  # global aggregate: one row even on empty input
+            rep = None
+            S = min(128, cap)
+
+        cols: List[Column] = []
+        for v, f in zip(gvals, schema):
+            d = v.data[rep[:S]]
+            vd = v.validity[rep[:S]]
+            cols.append(Column(d, vd, f.data_type, v.dictionary))
+
+        use_mxu = ex._mxu_agg_enabled(
+            mxu_bound if (mxu_bound or 0) <= ex._MXU_AGG_MAX_GROUPS else None
+        )
+        mxu_cache = {}
+
+        def mxu_sums_counts(data, ok_mask, key):
+            if key not in mxu_cache:
+                from query_engine_tpu.ops.pallas.group_agg import (
+                    grouped_sum_count_i64,
+                )
+
+                mxu_cache[key] = grouped_sum_count_i64(
+                    data, ok_mask, gid.astype(jnp.int32), mxu_bound
+                )
+            return mxu_cache[key]
+
+        fi = len(gvals)
+        for agg in plan.agg_exprs:
+            func = agg.func
+            if agg.expr is None:
+                fname = "count_star"
+                data = validity = None
+                arg_dict = None
+            else:
+                av = ex.evaluator.eval(agg.expr, shim)
+                data, validity, arg_dict = av.data, av.validity, av.dictionary
+                fname = func.value.lower()
+            distinct_first = None
+            if agg.distinct and agg.expr is not None:
+                distinct_first = K.distinct_first_flags(
+                    [data], [validity], gid, sel
+                )
+            if (
+                use_mxu and not agg.distinct
+                and func in (lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG)
+                and (agg.expr is None or (
+                    arg_dict is None
+                    and jnp.issubdtype(data.dtype, jnp.integer)
+                ))
+            ):
+                if agg.expr is None:
+                    ok = sel
+                    vals = jnp.ones(cap, dtype=jnp.int64)
+                    key = "__star"
+                else:
+                    ok = sel & validity
+                    vals = data.astype(jnp.int64)
+                    key = str(_expr_key(agg.expr))
+                sums, counts = mxu_sums_counts(vals, ok, key)
+                f = schema.field(fi)
+                fi += 1
+                if func is lp.AggFunc.COUNT:
+                    out_d = counts[:S]
+                    out_v = jnp.ones(S, bool)
+                elif func is lp.AggFunc.SUM:
+                    out_d = sums[:S]
+                    out_v = counts[:S] > 0
+                else:  # AVG
+                    out_d = sums[:S].astype(jnp.float64) / jnp.maximum(
+                        counts[:S], 1
+                    )
+                    out_v = counts[:S] > 0
+                cols.append(Column(out_d, out_v, f.data_type, None))
+                continue
+            f = schema.field(fi)
+            fi += 1
+            vals, valid = K.segment_aggregate(
+                fname, data, validity, gid, sel, S,
+                distinct_first=distinct_first,
+            )
+            out_d = vals[:S]
+            out_v = valid[:S]
+            out_dict = (
+                arg_dict
+                if func in (lp.AggFunc.MIN, lp.AggFunc.MAX) and arg_dict is not None
+                else None
+            )
+            if out_dict is not None:
+                out_d = out_d.astype(jnp.int32)
+            cols.append(Column(out_d, out_v, f.data_type, out_dict))
+
+        sel_out = jnp.arange(S, dtype=jnp.int32) < ng
+        return _TTable(schema, cols, sel_out, S, True,
+                       [None] * len(cols))
+
+    # ---- window ------------------------------------------------------------
+    def _trace_window(self, plan: pp.PWindow, tables) -> _TTable:
+        ex = self.executor
+        t = self._trace(plan.input, tables)
+        shim = _ShimBatch(t)
+        cap = t.capacity
+        sel = t.sel
+        out_cols = list(t.cols)
+        schema = plan.schema()
+
+        spec_cache = {}
+        for wi, (wexpr, _name) in enumerate(zip(plan.window_exprs, plan.names)):
+            spec_key = (
+                tuple(str(_expr_key(p)) for p in wexpr.partition_by),
+                tuple(
+                    (str(_expr_key(k.expr)), k.asc, k.resolved_nulls_first())
+                    for k in wexpr.order_by
+                ),
+            )
+            if spec_key in spec_cache:
+                perm, pad_sorted, seg_change, peer_change, seg = spec_cache[spec_key]
+            else:
+                part_vals = [
+                    ex.evaluator.eval(p, shim) for p in wexpr.partition_by
+                ]
+                o_datas, o_valids, o_ascs, o_nfs = [], [], [], []
+                for k in wexpr.order_by:
+                    v = ex.evaluator.eval(k.expr, shim)
+                    o_datas.append(v.data)
+                    o_valids.append(v.validity)
+                    o_ascs.append(k.asc)
+                    o_nfs.append(k.resolved_nulls_first())
+                p_datas = [v.data for v in part_vals]
+                p_valids = [v.validity for v in part_vals]
+                perm = K.sort_permutation(
+                    p_datas + o_datas,
+                    p_valids + o_valids,
+                    [True] * len(p_datas) + o_ascs,
+                    [False] * len(p_datas) + o_nfs,
+                    sel,
+                )
+                pad_sorted = ~sel[perm]
+                part_sorted = []
+                for d, v in zip(p_datas, p_valids):
+                    key, null = K.normalize_key(d[perm], v[perm])
+                    part_sorted += [null.astype(jnp.int32), key]
+                order_sorted = []
+                for d, v in zip(o_datas, o_valids):
+                    key, null = K.normalize_key(d[perm], v[perm])
+                    order_sorted += [null.astype(jnp.int32), key]
+                seg_change, peer_change, seg = K.window_segments(
+                    part_sorted, order_sorted, pad_sorted
+                )
+                spec_cache[spec_key] = (perm, pad_sorted, seg_change, peer_change, seg)
+
+            fn = wexpr.func
+            f = schema.field(len(t.cols) + wi)
+            out_dict = None
+            if fn is lp.WindowFn.ROW_NUMBER:
+                svals = K.row_number_sorted(seg_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.RANK:
+                svals = K.rank_sorted(seg_change, peer_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.DENSE_RANK:
+                svals = K.dense_rank_sorted(seg_change, peer_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.NTILE:
+                n_tiles = ex._const_int(wexpr.args[0], 1)
+                svals = K.ntile_sorted(seg_change, n_tiles, pad_sorted)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
+                av = ex.evaluator.eval(wexpr.args[0], shim)
+                offset = (
+                    ex._const_int(wexpr.args[1], 1) if len(wexpr.args) > 1 else 1
+                )
+                if fn is lp.WindowFn.LEAD:
+                    offset = -offset
+                svals, svalid = K.shift_in_segment(
+                    av.data[perm], av.validity[perm], seg, offset
+                )
+                if len(wexpr.args) > 2:
+                    dv = ex.evaluator.eval(wexpr.args[2], shim)
+                    if av.dictionary is not None or dv.dictionary is not None:
+                        raise _Unsupported("LAG/LEAD string default")
+                    svals = jnp.where(svalid, svals, dv.data[perm])
+                    svalid = svalid | dv.validity[perm]
+                out_dict = av.dictionary
+            elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
+                av = ex.evaluator.eval(wexpr.args[0], shim)
+                sd, sv = av.data[perm], av.validity[perm]
+                frame = wexpr.frame
+                if fn is lp.WindowFn.FIRST_VALUE:
+                    pos = K._seg_start_pos(seg_change)
+                else:
+                    unbounded_end = (
+                        frame is not None
+                        and frame.end is not None
+                        and frame.end.kind == "FOLLOWING"
+                        and frame.end.offset is None
+                    )
+                    if unbounded_end:
+                        pos = K._seg_end_pos(seg_change)
+                    else:
+                        pos = K._seg_end_pos(peer_change)
+                svals, svalid = K.value_at(sd, sv, pos)
+                out_dict = av.dictionary
+            else:
+                raise _Unsupported(f"window function {fn.value}")
+
+            out_d = jnp.zeros_like(svals).at[perm].set(svals)
+            out_v = jnp.zeros(cap, dtype=bool).at[perm].set(svalid)
+            out_v = out_v & sel
+            if out_dict is not None:
+                out_d = out_d.astype(jnp.int32)
+            out_cols.append(Column(out_d, out_v, f.data_type, out_dict))
+
+        return _TTable(schema, out_cols, sel, cap, t.dense,
+                       t.bounds + [None] * len(plan.window_exprs))
+
+
+class _Entry:
+    """Cached compiled program + trace-captured output metadata."""
+
+    __slots__ = ("plan", "leaves", "fn", "meta")
+
+    def __init__(self, plan, leaves):
+        self.plan = plan
+        self.leaves = leaves  # holds dictionary refs so leaf ids stay unique
+        self.fn = None
+        self.meta = {}
+
+
+def compiled_enabled() -> bool:
+    return os.environ.get("QE_COMPILED", "1") != "0"

@@ -38,6 +38,11 @@ import numpy as np
 
 
 def live_mask(capacity: int, num_rows) -> jnp.ndarray:
+    """Boolean live-row plane. `num_rows` is either a row-count scalar or an
+    explicit boolean selection mask (compiled pipelines thread masks through
+    operators instead of syncing counts; engine/pipeline.py)."""
+    if getattr(num_rows, "ndim", 0) == 1 and num_rows.dtype == jnp.bool_:
+        return num_rows
     # int32 iota: capacities are < 2^31 and s64 is emulated on TPU
     return jnp.arange(capacity, dtype=jnp.int32) < num_rows
 

@@ -382,9 +382,16 @@ class Planner:
         if id(e) in win_map:
             return win_map[id(e)]
         if isinstance(e, ast.BinaryOp):
-            left = self._rewrite_with_windows(e.left, plan_post_agg, win_map)
-            right = self._rewrite_with_windows(e.right, plan_post_agg, win_map)
-            return lp.BinaryExpr(left, _BINOP_MAP[e.op], right)
+            # only decompose when a window call is inside; otherwise keep the
+            # expression whole so plan_post_agg can structurally match it
+            # against GROUP BY expressions (e.g. SELECT age % 3 ... GROUP BY
+            # age % 3)
+            wins: List[ast.Expr] = []
+            self._ast_collect_windows(e, wins)
+            if wins:
+                left = self._rewrite_with_windows(e.left, plan_post_agg, win_map)
+                right = self._rewrite_with_windows(e.right, plan_post_agg, win_map)
+                return lp.BinaryExpr(left, _BINOP_MAP[e.op], right)
         return plan_post_agg(e)
 
     @staticmethod

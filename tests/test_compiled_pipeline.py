@@ -1,0 +1,145 @@
+"""Differential tests: compiled pipelines (engine/pipeline.py) vs the eager
+executor on the same queries — the eager path is the semantics oracle
+(itself golden-tested in test_e2e_queries.py against hand-computed results).
+
+Every query runs twice on identical sessions — once with the compiled
+pipeline enabled (the default) and once with it disabled — and must produce
+identical rows, schema names, and dtypes. Also asserts the compiled path
+actually engaged (compiles/hits > 0) where expected, so a silently-broken
+fast path can't pass as a fallback.
+"""
+
+import os
+
+import pytest
+
+from query_engine_tpu.engine.session import Session
+
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
+
+NULLS = {
+    "k": [1, 2, None, 2, 1, None, 3],
+    "v": [10.5, None, 3.0, 4.5, None, 6.0, 7.25],
+    "s": ["a", "b", None, "b", "a", "c", None],
+}
+
+QUERIES = [
+    # filter + project (+ scalar exprs)
+    "SELECT name, age FROM employees WHERE age > 25",
+    "SELECT name, salary * 2, salary / 1000 FROM employees WHERE id = 1",
+    "SELECT name FROM employees WHERE age > 25 AND salary < 90000 OR id = 1",
+    "SELECT UPPER(name), LENGTH(name) FROM employees WHERE name LIKE '%a%'",
+    "SELECT name, CASE WHEN age > 30 THEN 'old' ELSE 'young' END FROM employees",
+    "SELECT name FROM employees WHERE dept_id IS NULL",
+    "SELECT name FROM employees WHERE dept_id IN (101, 103)",
+    # sort / limit / offset
+    "SELECT name, salary FROM employees ORDER BY salary DESC",
+    "SELECT name FROM employees ORDER BY age LIMIT 3 OFFSET 1",
+    "SELECT name FROM employees WHERE age > 25 ORDER BY dept_id, salary DESC",
+    "SELECT name FROM employees LIMIT 2",
+    # aggregates: global, grouped (int + string keys), HAVING, DISTINCT
+    "SELECT COUNT(*), SUM(salary), AVG(age), MIN(age), MAX(age) FROM employees",
+    "SELECT dept_id, COUNT(*), SUM(salary), AVG(salary) FROM employees "
+    "GROUP BY dept_id ORDER BY dept_id",
+    "SELECT dept_id, MIN(name), MAX(salary) FROM employees "
+    "GROUP BY dept_id ORDER BY dept_id",
+    "SELECT dept_id, COUNT(*) AS c FROM employees GROUP BY dept_id "
+    "HAVING COUNT(*) > 1 ORDER BY c DESC, dept_id",
+    "SELECT dept_name, COUNT(*) FROM departments GROUP BY dept_name "
+    "ORDER BY dept_name",
+    "SELECT dept_id, COUNT(DISTINCT age) FROM employees GROUP BY dept_id "
+    "ORDER BY dept_id",
+    "SELECT age % 3 AS bucket, COUNT(*) FROM employees GROUP BY age % 3 "
+    "ORDER BY bucket",
+    "SELECT age % 3, COUNT(*) FROM employees GROUP BY age % 3 ORDER BY 1",
+    # DISTINCT
+    "SELECT DISTINCT dept_id FROM employees ORDER BY dept_id",
+    # windows
+    "SELECT name, ROW_NUMBER() OVER (PARTITION BY dept_id ORDER BY salary DESC)"
+    " AS rn FROM employees ORDER BY name",
+    "SELECT name, RANK() OVER (ORDER BY salary DESC) AS rk,"
+    " DENSE_RANK() OVER (ORDER BY salary DESC) AS dr FROM employees",
+    "SELECT name, LAG(salary, 1) OVER (ORDER BY salary) AS prev,"
+    " LEAD(salary, 1) OVER (ORDER BY salary) AS nxt FROM employees",
+    # join below a compiled segment (join runs eagerly, fed in as a leaf)
+    "SELECT employees.name, departments.dept_name FROM employees "
+    "JOIN departments ON employees.dept_id = departments.dept_id "
+    "WHERE employees.age > 25 ORDER BY employees.name",
+    "SELECT departments.dept_name, COUNT(*) FROM employees "
+    "JOIN departments ON employees.dept_id = departments.dept_id "
+    "GROUP BY departments.dept_name ORDER BY departments.dept_name",
+    # subquery predicates fall back per-subtree
+    "SELECT name FROM employees WHERE salary > "
+    "(SELECT AVG(salary) FROM employees)",
+    # set ops: eager node, compiled segments above/below
+    "SELECT name FROM employees WHERE age > 30 UNION "
+    "SELECT name FROM employees WHERE dept_id = 101 ORDER BY name",
+    # null semantics on a table with NULL keys and values
+    ("nulls", "SELECT k, COUNT(*), SUM(v), AVG(v), MIN(v), MAX(v) FROM nv "
+              "GROUP BY k ORDER BY k"),
+    ("nulls", "SELECT DISTINCT k FROM nv ORDER BY k"),
+    ("nulls", "SELECT s, COUNT(v) FROM nv GROUP BY s ORDER BY s"),
+    ("nulls", "SELECT k, v FROM nv WHERE v IS NOT NULL ORDER BY v DESC LIMIT 3"),
+    ("nulls", "SELECT k FROM nv ORDER BY k"),
+]
+
+
+def make_session(compiled: bool) -> Session:
+    s = Session()
+    s.register_csv("employees", os.path.join(DATA, "employees.csv"))
+    s.register_csv("departments", os.path.join(DATA, "departments.csv"))
+    s.register_table("nv", dict(NULLS))
+    s.executor._compiled = compiled
+    return s
+
+
+@pytest.fixture(scope="module")
+def sessions():
+    return make_session(True), make_session(False)
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: (q[1] if isinstance(q, tuple) else q)[:64])
+def test_compiled_matches_eager(sessions, q):
+    if isinstance(q, tuple):
+        q = q[1]
+    fast, slow = sessions
+    a = fast.sql(q)
+    b = slow.sql(q)
+    assert a.schema.names() == b.schema.names()
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_pipeline_engages(sessions):
+    fast, _ = sessions
+    stats = fast.executor.pipeline.stats
+    # the battery above must actually exercise the compiled path
+    assert stats["compiles"] >= 10, stats
+
+
+def test_pipeline_cache_reuse():
+    s = make_session(True)
+    s.sql("SELECT name FROM employees WHERE age > 25")
+    c0 = dict(s.executor.pipeline.stats)
+    out = s.sql("SELECT name FROM employees WHERE age > 25")
+    c1 = s.executor.pipeline.stats
+    assert c1["compiles"] == c0["compiles"]
+    assert c1["hits"] == c0["hits"] + 1
+    assert out.to_pylist() == [
+        ("Bob",), ("Charlie",), ("Diana",), ("Eve",), ("Frank",),
+    ]
+
+
+def test_pipeline_after_dml():
+    """Compiled programs must see updated table contents (num_rows is a
+    traced argument; appends within the same capacity bucket reuse the
+    executable)."""
+    s = make_session(True)
+    s.sql("CREATE TABLE t (x INT, y INT)")
+    s.sql("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    assert s.sql("SELECT x FROM t WHERE y >= 20 ORDER BY x DESC").to_pylist() \
+        == [(3,), (2,)]
+    s.sql("INSERT INTO t VALUES (4, 40)")
+    assert s.sql("SELECT x FROM t WHERE y >= 20 ORDER BY x DESC").to_pylist() \
+        == [(4,), (3,), (2,)]
