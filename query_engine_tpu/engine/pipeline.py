@@ -301,6 +301,7 @@ class CompiledPipeline:
 
         if entry is None:
             entry = _Entry(plan, leaves)
+            entry.leaf_ids = frozenset(map(id, leaf_nodes))
 
             @jax.jit
             def fn(args):
@@ -323,7 +324,7 @@ class CompiledPipeline:
                     for a, b in zip(args, entry.leaves)
                 ]
                 it = iter(tables)
-                t = self._trace(entry.plan, it)
+                t = self._trace(entry.plan, it, entry.leaf_ids)
                 if not entry.meta:
                     entry.meta.update(
                         schema=t.schema,
@@ -499,18 +500,20 @@ class CompiledPipeline:
         )
 
     # ---- tracing -----------------------------------------------------------
-    def _trace(self, plan, tables) -> _TTable:
-        if isinstance(plan, pp.PScan):
+    def _trace(self, plan, tables, leaf_ids=frozenset()) -> _TTable:
+        if isinstance(plan, pp.PScan) or id(plan) in leaf_ids:
+            # segment leaf: a table scan, or a subtree the segment analysis
+            # designated as an eager boundary (join, subquery filter, ...)
             return next(tables)
         if isinstance(plan, pp.PFilter):
-            t = self._trace(plan.input, tables)
+            t = self._trace(plan.input, tables, leaf_ids)
             mask = self.executor.evaluator.eval_predicate_mask(
                 plan.predicate, _ShimBatch(t)
             )
             return _TTable(t.schema, t.cols, t.sel & mask, t.capacity,
                            False, t.bounds)
         if isinstance(plan, pp.PProjection):
-            t = self._trace(plan.input, tables)
+            t = self._trace(plan.input, tables, leaf_ids)
             shim = _ShimBatch(t)
             schema = plan.schema()
             cols = []
@@ -520,9 +523,9 @@ class CompiledPipeline:
             bounds = [_proj_bounds(e, t) for e in plan.exprs]
             return _TTable(schema, cols, t.sel, t.capacity, t.dense, bounds)
         if isinstance(plan, pp.PSort):
-            return self._trace_sort(plan, tables)
+            return self._trace_sort(plan, tables, leaf_ids)
         if isinstance(plan, pp.PLimit):
-            t = self._trace(plan.input, tables)
+            t = self._trace(plan.input, tables, leaf_ids)
             rank = jnp.cumsum(t.sel.astype(jnp.int32)) - 1
             sel = t.sel
             if plan.skip:
@@ -533,19 +536,19 @@ class CompiledPipeline:
             return _TTable(t.schema, t.cols, sel, t.capacity, dense,
                            t.bounds)
         if isinstance(plan, pp.PDistinct):
-            return self._trace_distinct(plan, tables)
+            return self._trace_distinct(plan, tables, leaf_ids)
         if isinstance(plan, pp.PWindow):
-            return self._trace_window(plan, tables)
+            return self._trace_window(plan, tables, leaf_ids)
         if isinstance(plan, pp.PHashAggregate):
-            return self._trace_aggregate(plan, tables)
+            return self._trace_aggregate(plan, tables, leaf_ids)
         if isinstance(plan, pp.PSubquery):
-            t = self._trace(plan.input, tables)
+            t = self._trace(plan.input, tables, leaf_ids)
             return _TTable(plan.out_schema, t.cols, t.sel, t.capacity,
                            t.dense, t.bounds)
         raise _Unsupported(type(plan).__name__)
 
-    def _trace_sort(self, plan: pp.PSort, tables) -> _TTable:
-        t = self._trace(plan.input, tables)
+    def _trace_sort(self, plan: pp.PSort, tables, leaf_ids) -> _TTable:
+        t = self._trace(plan.input, tables, leaf_ids)
         shim = _ShimBatch(t)
         datas, valids, ascs, nfs = [], [], [], []
         for k in plan.keys:
@@ -565,8 +568,8 @@ class CompiledPipeline:
             True, t.bounds,
         )
 
-    def _trace_distinct(self, plan: pp.PDistinct, tables) -> _TTable:
-        t = self._trace(plan.input, tables)
+    def _trace_distinct(self, plan: pp.PDistinct, tables, leaf_ids) -> _TTable:
+        t = self._trace(plan.input, tables, leaf_ids)
         shim = _ShimBatch(t)
         if plan.on is not None:
             kvals = [self.executor.evaluator.eval(e, shim) for e in plan.on]
@@ -586,9 +589,9 @@ class CompiledPipeline:
                        t.bounds)
 
     # ---- aggregate ---------------------------------------------------------
-    def _trace_aggregate(self, plan: pp.PHashAggregate, tables) -> _TTable:
+    def _trace_aggregate(self, plan: pp.PHashAggregate, tables, leaf_ids) -> _TTable:
         ex = self.executor
-        t = self._trace(plan.input, tables)
+        t = self._trace(plan.input, tables, leaf_ids)
         shim = _ShimBatch(t)
         cap = t.capacity
         sel = t.sel
@@ -723,9 +726,9 @@ class CompiledPipeline:
                        [None] * len(cols))
 
     # ---- window ------------------------------------------------------------
-    def _trace_window(self, plan: pp.PWindow, tables) -> _TTable:
+    def _trace_window(self, plan: pp.PWindow, tables, leaf_ids) -> _TTable:
         ex = self.executor
-        t = self._trace(plan.input, tables)
+        t = self._trace(plan.input, tables, leaf_ids)
         shim = _ShimBatch(t)
         cap = t.capacity
         sel = t.sel
@@ -846,11 +849,12 @@ class CompiledPipeline:
 class _Entry:
     """Cached compiled program + trace-captured output metadata."""
 
-    __slots__ = ("plan", "leaves", "fn", "meta")
+    __slots__ = ("plan", "leaves", "leaf_ids", "fn", "meta")
 
     def __init__(self, plan, leaves):
         self.plan = plan
         self.leaves = leaves  # holds dictionary refs so leaf ids stay unique
+        self.leaf_ids = frozenset()
         self.fn = None
         self.meta = {}
 
