@@ -129,6 +129,23 @@ def _bucket_bounds(b: Optional[Tuple[int, int]]):
     return (lo_b, padded_capacity(rng))
 
 
+def _col_unique(col, num_rows: int) -> bool:
+    """Cached: are the column's live valid values all distinct? Subsetting
+    (filter/limit/distinct) preserves uniqueness, so the stat computed on a
+    leaf batch stays valid anywhere above it in the plan. Drives the static
+    join-emit bound: probing a unique build side yields <= one match per
+    probe row."""
+    cached = getattr(col, "_qe_unique", None)
+    if cached is not None and cached[0] == num_rows:
+        return cached[1]
+    host = np.asarray(col.data)[:num_rows]
+    valid = np.asarray(col.validity)[:num_rows]
+    vals = host[valid]
+    u = bool(len(np.unique(vals)) == len(vals))
+    col._qe_unique = (num_rows, u)
+    return u
+
+
 def _proj_bounds(e: "lp.LogicalExpr", t: _TTable):
     """Bounds survive a projection only for bare column references."""
     if isinstance(e, lp.AliasExpr):
@@ -261,6 +278,17 @@ _COMPUTE_NODES = (
 )
 
 
+class _SegCtx:
+    """Per-analysis context: joins forced to eager boundaries (no unique
+    side) and the uniqueness checks collected for joins in the segment."""
+
+    __slots__ = ("forced", "checks")
+
+    def __init__(self, forced):
+        self.forced = forced
+        self.checks = []  # (join node, left provenance, right provenance)
+
+
 class CompiledPipeline:
     def __init__(self, executor):
         self.executor = executor  # eager QueryExecutor (fallback + leaves)
@@ -272,21 +300,46 @@ class CompiledPipeline:
     # ---- entry -----------------------------------------------------------
     def try_execute(self, plan: pp.PhysicalPlan) -> Optional[ColumnBatch]:
         """Returns the result batch, or None to run the eager path."""
-        try:
-            key_body, leaf_nodes, n_compute = self._plan_key(plan)
-        except _Unsupported:
-            return None
-        if n_compute == 0:
-            return None  # pure scan/limit/rename — eager is already cheap
-        if key_body in self._eager_bodies:
-            self.stats["fallbacks"] += 1
-            return None
+        forced: set = set()
+        while True:  # joins without a unique side demote to eager leaves
+            ctx = _SegCtx(forced)
+            try:
+                key_body, leaf_nodes, n_compute = self._plan_key(plan, ctx)
+            except _Unsupported:
+                return None
+            if n_compute == 0:
+                return None  # pure scan/limit/rename — eager is already cheap
+            if key_body in self._eager_bodies:
+                self.stats["fallbacks"] += 1
+                return None
 
-        # materialize leaves (table scans + eagerly-executed subtrees)
-        leaves = [self._materialize_leaf(n) for n in leaf_nodes]
+            # materialize leaves (table scans + eager subtrees)
+            leaves = [self._materialize_leaf(n) for n in leaf_nodes]
+            batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
+
+            # resolve join uniqueness stats; demote joins with no unique side
+            res = {}
+            sides = []
+            demoted = False
+            for jnode, lprov, rprov in ctx.checks:
+                side = None
+                if self._prov_unique(rprov, batch_by_node):
+                    side = "R"  # prefer the right (build) side
+                elif self._prov_unique(lprov, batch_by_node):
+                    side = "L"
+                if side is None:
+                    forced.add(id(jnode))
+                    demoted = True
+                else:
+                    res[id(jnode)] = side
+                    sides.append(side)
+            if not demoted:
+                break
+
         key = (
             key_body,
             tuple(self._leaf_sig(b) for b in leaves),
+            tuple(sides),
         )
         entry = self._cache.get(key)
 
@@ -302,6 +355,7 @@ class CompiledPipeline:
         if entry is None:
             entry = _Entry(plan, leaves)
             entry.leaf_ids = frozenset(map(id, leaf_nodes))
+            entry.res = res
 
             @jax.jit
             def fn(args):
@@ -324,7 +378,7 @@ class CompiledPipeline:
                     for a, b in zip(args, entry.leaves)
                 ]
                 it = iter(tables)
-                t = self._trace(entry.plan, it, entry.leaf_ids)
+                t = self._trace(entry.plan, it, entry.leaf_ids, entry.res)
                 if not entry.meta:
                     entry.meta.update(
                         schema=t.schema,
@@ -387,29 +441,35 @@ class CompiledPipeline:
         return ColumnBatch(meta["schema"], cols, count)
 
     # ---- segment analysis --------------------------------------------------
-    def _child(self, plan):
+    def _child(self, plan, ctx):
         """Key a child subtree; an unsupported child becomes a leaf boundary
         (executed eagerly) instead of abandoning the segment above it."""
+        checkpoint = len(ctx.checks)
         try:
-            return self._plan_key(plan)
+            return self._plan_key(plan, ctx)
         except _Unsupported:
+            del ctx.checks[checkpoint:]  # drop checks from the failed subtree
             return ("leaf",), [plan], 0
 
-    def _plan_key(self, plan):
+    def _plan_key(self, plan, ctx):
         """Validate + build the structural cache key; returns (body, leaf
         plan nodes in trace order, #compute nodes). Raises _Unsupported when
         this node cannot live inside a compiled segment."""
         if isinstance(plan, pp.PScan):
             return ("leaf",), [plan], 0
+        if id(plan) in ctx.forced:
+            raise _Unsupported("forced boundary")
+        if isinstance(plan, pp.PHashJoin):
+            return self._plan_key_join(plan, ctx)
         if isinstance(plan, pp.PFilter):
             if not _expr_traceable(plan.predicate):
                 raise _Unsupported("filter predicate")
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             return ("filter", _expr_key(plan.predicate), body), leaves, n + 1
         if isinstance(plan, pp.PProjection):
             if not all(_expr_traceable(e) for e in plan.exprs):
                 raise _Unsupported("projection exprs")
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             trivial = all(
                 isinstance(e, lp.ColumnRef)
                 or (isinstance(e, lp.AliasExpr) and isinstance(e.expr, lp.ColumnRef))
@@ -423,25 +483,25 @@ class CompiledPipeline:
         if isinstance(plan, pp.PSort):
             if not all(_expr_traceable(k.expr) for k in plan.keys):
                 raise _Unsupported("sort keys")
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             return (
                 ("sort", tuple(_sort_key_key(k) for k in plan.keys), body),
                 leaves, n + 1,
             )
         if isinstance(plan, pp.PLimit):
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             return ("limit", plan.skip, plan.fetch, body), leaves, n
         if isinstance(plan, pp.PDistinct):
             on = plan.on
             if on is not None and not all(_expr_traceable(e) for e in on):
                 raise _Unsupported("distinct exprs")
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             okey = None if on is None else tuple(_expr_key(e) for e in on)
             return ("distinct", okey, body), leaves, n + 1
         if isinstance(plan, pp.PWindow):
             if not all(_expr_traceable(w) for w in plan.window_exprs):
                 raise _Unsupported("window exprs")
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             return (
                 (
                     "window",
@@ -459,7 +519,7 @@ class CompiledPipeline:
             ]
             if not all(_expr_traceable(e) for e in exprs):
                 raise _Unsupported("aggregate exprs")
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             return (
                 (
                     "agg",
@@ -475,10 +535,98 @@ class CompiledPipeline:
                 leaves, n + 1,
             )
         if isinstance(plan, pp.PSubquery):
-            body, leaves, n = self._child(plan.input)
+            body, leaves, n = self._child(plan.input, ctx)
             return ("subq", tuple(plan.out_schema.names()), body), leaves, n
-        # anything else: eager leaf boundary (join, set-op, index scan, ...)
+        # anything else: eager leaf boundary (set-op, index scan, values, ...)
         raise _Unsupported(type(plan).__name__)
+
+    def _plan_key_join(self, plan: pp.PHashJoin, ctx):
+        """A join joins the segment when one side's equi-key is statically
+        unique: the emit size is then bounded by the other side's capacity
+        (<=1 match per probe row), so no count sync is needed. Uniqueness
+        comes from a GROUP BY above the key (structural) or a cached
+        distinct-count stat on the leaf column (conservative under the
+        filters/sorts/limits between leaf and join — subsets stay unique).
+        Joins with no unique side are demoted to eager leaves by the
+        try_execute loop (the segment above them still compiles)."""
+        if plan.join_type is lp.JoinType.CROSS or len(plan.key_pairs) != 1:
+            raise _Unsupported("cross or multi-key join")
+        le, re_ = plan.key_pairs[0]
+        if not (_expr_traceable(le) and _expr_traceable(re_)):
+            raise _Unsupported("join key exprs")
+        if plan.residual is not None and not _expr_traceable(plan.residual):
+            raise _Unsupported("join residual")
+        lprov = self._unique_prov(plan.left, le, ctx)
+        rprov = self._unique_prov(plan.right, re_, ctx)
+        if lprov is None and rprov is None:
+            raise _Unsupported("no statically unique join side")
+        lbody, lleaves, ln = self._child(plan.left, ctx)
+        rbody, rleaves, rn = self._child(plan.right, ctx)
+        ctx.checks.append((plan, lprov, rprov))
+        body = (
+            "join", plan.join_type.value,
+            _expr_key(le), _expr_key(re_),
+            None if plan.residual is None else _expr_key(plan.residual),
+            tuple(plan.out_schema.names()),
+            lbody, rbody,
+        )
+        return body, lleaves + rleaves, ln + rn + 1
+
+    def _unique_prov(self, plan, key_expr, ctx):
+        """Provenance of a join-key expr: ("unique",) if unique by
+        construction, ("stat", node, col_idx) to check a materialized batch
+        column, or None (unknown)."""
+        e = key_expr
+        while isinstance(e, lp.AliasExpr):
+            e = e.expr
+        if not isinstance(e, lp.ColumnRef):
+            return None
+        node, idx = plan, e.index
+        while True:
+            if id(node) in ctx.forced:
+                return ("stat", node, idx)
+            if isinstance(node, pp.PScan):
+                return ("stat", node, idx)
+            if isinstance(node, (pp.PFilter, pp.PSort, pp.PLimit,
+                                 pp.PDistinct, pp.PSubquery)):
+                node = node.input
+                continue
+            if isinstance(node, pp.PWindow):
+                if idx >= len(node.input.schema()):
+                    return None
+                node = node.input
+                continue
+            if isinstance(node, pp.PProjection):
+                pe = node.exprs[idx]
+                while isinstance(pe, lp.AliasExpr):
+                    pe = pe.expr
+                if not isinstance(pe, lp.ColumnRef):
+                    return None
+                node, idx = node.input, pe.index
+                continue
+            if isinstance(node, pp.PHashAggregate):
+                if (node.mode == "single" and len(node.group_exprs) == 1
+                        and idx == 0):
+                    return ("unique",)
+                return None
+            # opaque boundary (join/set-op/...): stat on its output batch
+            return ("stat", node, idx)
+
+    def _prov_unique(self, prov, batch_by_node) -> bool:
+        if prov is None:
+            return False
+        if prov[0] == "unique":
+            return True
+        _, node, idx = prov
+        b = batch_by_node.get(id(node))
+        if b is None:
+            if isinstance(node, pp.PScan):
+                b = self._materialize_leaf(node)  # cheap: stored batch
+            else:
+                return False
+        if idx >= b.num_columns:
+            return False
+        return _col_unique(b.columns[idx], b.num_rows)
 
     def _materialize_leaf(self, node) -> ColumnBatch:
         if isinstance(node, pp.PScan):
@@ -500,20 +648,20 @@ class CompiledPipeline:
         )
 
     # ---- tracing -----------------------------------------------------------
-    def _trace(self, plan, tables, leaf_ids=frozenset()) -> _TTable:
+    def _trace(self, plan, tables, leaf_ids=frozenset(), res=None) -> _TTable:
         if isinstance(plan, pp.PScan) or id(plan) in leaf_ids:
             # segment leaf: a table scan, or a subtree the segment analysis
             # designated as an eager boundary (join, subquery filter, ...)
             return next(tables)
         if isinstance(plan, pp.PFilter):
-            t = self._trace(plan.input, tables, leaf_ids)
+            t = self._trace(plan.input, tables, leaf_ids, res)
             mask = self.executor.evaluator.eval_predicate_mask(
                 plan.predicate, _ShimBatch(t)
             )
             return _TTable(t.schema, t.cols, t.sel & mask, t.capacity,
                            False, t.bounds)
         if isinstance(plan, pp.PProjection):
-            t = self._trace(plan.input, tables, leaf_ids)
+            t = self._trace(plan.input, tables, leaf_ids, res)
             shim = _ShimBatch(t)
             schema = plan.schema()
             cols = []
@@ -523,9 +671,9 @@ class CompiledPipeline:
             bounds = [_proj_bounds(e, t) for e in plan.exprs]
             return _TTable(schema, cols, t.sel, t.capacity, t.dense, bounds)
         if isinstance(plan, pp.PSort):
-            return self._trace_sort(plan, tables, leaf_ids)
+            return self._trace_sort(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PLimit):
-            t = self._trace(plan.input, tables, leaf_ids)
+            t = self._trace(plan.input, tables, leaf_ids, res)
             rank = jnp.cumsum(t.sel.astype(jnp.int32)) - 1
             sel = t.sel
             if plan.skip:
@@ -536,19 +684,111 @@ class CompiledPipeline:
             return _TTable(t.schema, t.cols, sel, t.capacity, dense,
                            t.bounds)
         if isinstance(plan, pp.PDistinct):
-            return self._trace_distinct(plan, tables, leaf_ids)
+            return self._trace_distinct(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PWindow):
-            return self._trace_window(plan, tables, leaf_ids)
+            return self._trace_window(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PHashAggregate):
-            return self._trace_aggregate(plan, tables, leaf_ids)
+            return self._trace_aggregate(plan, tables, leaf_ids, res)
+        if isinstance(plan, pp.PHashJoin):
+            return self._trace_join(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PSubquery):
-            t = self._trace(plan.input, tables, leaf_ids)
+            t = self._trace(plan.input, tables, leaf_ids, res)
             return _TTable(plan.out_schema, t.cols, t.sel, t.capacity,
                            t.dense, t.bounds)
         raise _Unsupported(type(plan).__name__)
 
-    def _trace_sort(self, plan: pp.PSort, tables, leaf_ids) -> _TTable:
-        t = self._trace(plan.input, tables, leaf_ids)
+    def _trace_join(self, plan: pp.PHashJoin, tables, leaf_ids, res) -> _TTable:
+        """Equi-join with a statically unique side: the emit capacity is the
+        probe side's capacity (unique build => <=1 match per probe row), so
+        ranks, counts, emit, and gather all trace into the enclosing program
+        — no count sync. Semantics mirror the eager executor's two-pass
+        sort-merge join (engine/executor.py _exec_join; the claimed hash-join
+        behavior the reference stubs at executor.rs:363-435)."""
+        ex = self.executor
+        lt = self._trace(plan.left, tables, leaf_ids, res)
+        rt = self._trace(plan.right, tables, leaf_ids, res)
+        side = (res or {}).get(id(plan))
+        if side is None:
+            raise _Unsupported("join resolution missing")
+        jt = plan.join_type
+        cap_l, cap_r = lt.capacity, rt.capacity
+
+        # static emit bound from the unique side
+        if side == "R" and jt in (lp.JoinType.INNER, lp.JoinType.LEFT):
+            out_cap = cap_l
+        elif side == "L" and jt is lp.JoinType.INNER:
+            out_cap = cap_r
+        else:  # outer joins touching the non-unique side's unmatched rows
+            out_cap = cap_l + cap_r
+
+        le, re_ = plan.key_pairs[0]
+        lv = ex.evaluator.eval(le, _ShimBatch(lt))
+        rv = ex.evaluator.eval(re_, _ShimBatch(rt))
+        from query_engine_tpu.engine.expr_eval import unify_dicts
+
+        if lv.dictionary is not None or rv.dictionary is not None:
+            lv, rv = unify_dicts(lv, rv)
+
+        lr, rr = K.join_ranks(
+            [(lv.data, lv.validity)], [(rv.data, rv.validity)], lt.sel, rt.sel
+        )
+        (total, counts, _off, rank_start, right_by_rank,
+         lmatched, rmatched) = K.join_counts(lr, rr, lt.sel, rt.sel)
+
+        li, ri, valid = K.join_emit_inner(
+            counts, rank_start, right_by_rank, lr, total, out_cap
+        )
+        lvalid = valid
+        rvalid = valid
+        pos = jnp.arange(out_cap, dtype=jnp.int64)
+        extra_l = jnp.int64(0)
+        extra_r = jnp.int64(0)
+        if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+            um_l = ~lmatched & lt.sel
+            extra_l = jnp.sum(um_l.astype(jnp.int64))
+            ul_idx = K.compaction_indices(um_l, um_l, out_cap)
+            in_l = (pos >= total) & (pos < total + extra_l)
+            sel_i = jnp.clip(pos - total, 0, out_cap - 1)
+            li = jnp.where(in_l, ul_idx[sel_i], li)
+            lvalid = lvalid | in_l
+            valid = valid | in_l
+        if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+            um_r = ~rmatched & rt.sel
+            extra_r = jnp.sum(um_r.astype(jnp.int64))
+            ur_idx = K.compaction_indices(um_r, um_r, out_cap)
+            start = total + extra_l
+            in_r = (pos >= start) & (pos < start + extra_r)
+            sel_i = jnp.clip(pos - start, 0, out_cap - 1)
+            ri = jnp.where(in_r, ur_idx[sel_i], ri)
+            rvalid = rvalid | in_r
+            valid = valid | in_r
+
+        out_rows = total + extra_l + extra_r
+        ld = [c.data for c in lt.cols]
+        lvs = [c.validity for c in lt.cols]
+        rd = [c.data for c in rt.cols]
+        rvs = [c.validity for c in rt.cols]
+        gl_d, gl_v = K.gather_columns(ld, lvs, li, lvalid)
+        gr_d, gr_v = K.gather_columns(rd, rvs, ri, rvalid)
+        cols = [
+            Column(d, v, c.dtype, c.dictionary)
+            for d, v, c in zip(gl_d + gr_d, gl_v + gr_v,
+                               list(lt.cols) + list(rt.cols))
+        ]
+        sel = pos < out_rows
+        # gathered columns keep their source value covers
+        out = _TTable(plan.out_schema, cols, sel, out_cap, True,
+                      lt.bounds + rt.bounds)
+        if plan.residual is not None:
+            mask = ex.evaluator.eval_predicate_mask(
+                plan.residual, _ShimBatch(out)
+            )
+            out = _TTable(out.schema, out.cols, out.sel & mask, out_cap,
+                          False, out.bounds)
+        return out
+
+    def _trace_sort(self, plan: pp.PSort, tables, leaf_ids, res) -> _TTable:
+        t = self._trace(plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
         datas, valids, ascs, nfs = [], [], [], []
         for k in plan.keys:
@@ -568,8 +808,8 @@ class CompiledPipeline:
             True, t.bounds,
         )
 
-    def _trace_distinct(self, plan: pp.PDistinct, tables, leaf_ids) -> _TTable:
-        t = self._trace(plan.input, tables, leaf_ids)
+    def _trace_distinct(self, plan: pp.PDistinct, tables, leaf_ids, res) -> _TTable:
+        t = self._trace(plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
         if plan.on is not None:
             kvals = [self.executor.evaluator.eval(e, shim) for e in plan.on]
@@ -589,9 +829,9 @@ class CompiledPipeline:
                        t.bounds)
 
     # ---- aggregate ---------------------------------------------------------
-    def _trace_aggregate(self, plan: pp.PHashAggregate, tables, leaf_ids) -> _TTable:
+    def _trace_aggregate(self, plan: pp.PHashAggregate, tables, leaf_ids, res) -> _TTable:
         ex = self.executor
-        t = self._trace(plan.input, tables, leaf_ids)
+        t = self._trace(plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
         cap = t.capacity
         sel = t.sel
@@ -726,9 +966,9 @@ class CompiledPipeline:
                        [None] * len(cols))
 
     # ---- window ------------------------------------------------------------
-    def _trace_window(self, plan: pp.PWindow, tables, leaf_ids) -> _TTable:
+    def _trace_window(self, plan: pp.PWindow, tables, leaf_ids, res) -> _TTable:
         ex = self.executor
-        t = self._trace(plan.input, tables, leaf_ids)
+        t = self._trace(plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
         cap = t.capacity
         sel = t.sel
@@ -849,12 +1089,13 @@ class CompiledPipeline:
 class _Entry:
     """Cached compiled program + trace-captured output metadata."""
 
-    __slots__ = ("plan", "leaves", "leaf_ids", "fn", "meta")
+    __slots__ = ("plan", "leaves", "leaf_ids", "res", "fn", "meta")
 
     def __init__(self, plan, leaves):
         self.plan = plan
         self.leaves = leaves  # holds dictionary refs so leaf ids stay unique
         self.leaf_ids = frozenset()
+        self.res = {}
         self.fn = None
         self.meta = {}
 

@@ -70,6 +70,24 @@ QUERIES = [
     "SELECT departments.dept_name, COUNT(*) FROM employees "
     "JOIN departments ON employees.dept_id = departments.dept_id "
     "GROUP BY departments.dept_name ORDER BY departments.dept_name",
+    # joins with a statically unique side compile in-segment (dept_id is
+    # unique in departments); outer joins null-pad in-trace
+    "SELECT employees.name, departments.dept_name FROM employees "
+    "LEFT JOIN departments ON employees.dept_id = departments.dept_id "
+    "ORDER BY employees.id",
+    "SELECT employees.name, departments.dept_name FROM employees "
+    "RIGHT JOIN departments ON employees.dept_id = departments.dept_id "
+    "ORDER BY departments.dept_id, employees.id",
+    "SELECT employees.name, departments.dept_name FROM employees "
+    "FULL JOIN departments ON employees.dept_id = departments.dept_id "
+    "ORDER BY employees.id, departments.dept_id",
+    "SELECT departments.dept_name, SUM(employees.salary) AS s FROM employees "
+    "JOIN departments ON employees.dept_id = departments.dept_id "
+    "WHERE employees.age > 25 GROUP BY departments.dept_name ORDER BY s DESC",
+    # self-join on a non-unique key: demoted to an eager leaf, segment above
+    # still compiles
+    "SELECT a.name, b.name FROM employees a JOIN employees b "
+    "ON a.dept_id = b.dept_id WHERE a.id < b.id ORDER BY a.id, b.id",
     # subquery predicates fall back per-subtree
     "SELECT name FROM employees WHERE salary > "
     "(SELECT AVG(salary) FROM employees)",
