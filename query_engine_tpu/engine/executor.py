@@ -175,6 +175,11 @@ class QueryExecutor:
             raise ExecutionError(
                 f"scan schema mismatch for {plan.table_name}"
             )
+        from query_engine_tpu.engine.pipeline import ensure_device
+
+        # columns are shared with the stored batch: planes move to the
+        # device once per table version, not once per query
+        ensure_device(batch)
         return ColumnBatch(plan.out_schema, batch.columns, batch.num_rows)
 
     def _exec_index_scan(self, plan: pp.PIndexScan) -> ColumnBatch:

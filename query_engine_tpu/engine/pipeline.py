@@ -129,6 +129,19 @@ def _bucket_bounds(b: Optional[Tuple[int, int]]):
     return (lo_b, padded_capacity(rng))
 
 
+def ensure_device(batch: ColumnBatch) -> ColumnBatch:
+    """Move a batch's planes to the device once, in place. Tables live in
+    host memory as numpy until first use; without this every query re-ships
+    every scanned plane over the (tunneled) PCIe/network path — at 1M rows
+    that transfer dwarfs the query itself."""
+    for c in batch.columns:
+        if not isinstance(c.data, jax.Array):
+            c.data = jnp.asarray(c.data)
+        if not isinstance(c.validity, jax.Array):
+            c.validity = jnp.asarray(c.validity)
+    return batch
+
+
 def _col_unique(col, num_rows: int) -> bool:
     """Cached: are the column's live valid values all distinct? Subsetting
     (filter/limit/distinct) preserves uniqueness, so the stat computed on a
@@ -343,10 +356,12 @@ class CompiledPipeline:
         )
         entry = self._cache.get(key)
 
+        for b in leaves:
+            ensure_device(b)
         leaf_args = [
             {
-                "d": [jnp.asarray(c.data) for c in b.columns],
-                "v": [jnp.asarray(c.validity) for c in b.columns],
+                "d": [c.data for c in b.columns],
+                "v": [c.validity for c in b.columns],
                 "n": np.int64(b.num_rows),
             }
             for b in leaves
