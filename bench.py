@@ -131,12 +131,54 @@ def main():
     if os.environ.get("QE_BENCH_OPS") == "1":
         _per_op(cap, bcap, args, iters)
 
+    _engine_bench(iters)
+
     print(json.dumps({
         "metric": "fused_filter_agg_join_sort_pipeline",
         "value": round(rows_per_sec, 1),
         "unit": "rows/sec/chip",
         "vs_baseline": round(rows_per_sec / REFERENCE_JOIN_ROWS_PER_SEC, 2),
     }))
+
+
+def _engine_bench(iters):
+    """Full SQL engine path (parse->plan->compiled pipeline->result) on the
+    same filter+join+aggregate+sort workload; reported on stderr."""
+    from query_engine_tpu.core.schema import Field, Schema
+    from query_engine_tpu.core.types import DataType
+    from query_engine_tpu.columnar.batch import ColumnBatch
+    from query_engine_tpu.engine.session import Session
+
+    n = min(int(os.environ.get("QE_BENCH_ROWS", 1 << 24)) - 17, 1 << 23)
+    nd = 1024
+    rng = np.random.default_rng(7)
+    fact = ColumnBatch.from_pydict({
+        "age": rng.integers(18, 65, n),
+        "salary": rng.integers(50_000, 150_000, n),
+        "dept": rng.integers(0, nd, n),
+    }, Schema([Field("age", DataType.int64()),
+               Field("salary", DataType.int64()),
+               Field("dept", DataType.int64())]))
+    dim = ColumnBatch.from_pydict({
+        "dept_id": np.arange(nd), "bonus": rng.integers(0, 1000, nd),
+    })
+    s = Session()
+    s.register_table("f", fact)
+    s.register_table("d", dim)
+    q = ("SELECT f.dept, COUNT(*) AS c, SUM(f.salary + d.bonus) AS s "
+         "FROM f JOIN d ON f.dept = d.dept_id "
+         "WHERE f.age > 25 GROUP BY f.dept ORDER BY s DESC LIMIT 10")
+    s.sql(q)  # warm/compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        s.sql(q)
+        ts.append(time.perf_counter() - t0)
+    print(
+        f"engine_sql_pipeline: {n / min(ts):,.0f} rows/s "
+        f"({min(ts)*1e3:.1f} ms/query, {n} rows)",
+        file=sys.stderr,
+    )
 
 
 def _per_op(cap, bcap, args, iters):

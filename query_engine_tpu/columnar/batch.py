@@ -105,6 +105,15 @@ class Column:
 
 
 def _infer_type(values: Sequence) -> DataType:
+    if isinstance(values, np.ndarray) and values.dtype != object:
+        if values.dtype == np.bool_:
+            return DataType.boolean()
+        if np.issubdtype(values.dtype, np.integer):
+            return DataType.int64()
+        if np.issubdtype(values.dtype, np.floating):
+            return DataType.float64()
+        if values.dtype.kind in ("U", "S"):
+            return DataType.utf8()
     for v in values:
         if v is None:
             continue
@@ -122,6 +131,26 @@ def _infer_type(values: Sequence) -> DataType:
 def _encode_values(values: Sequence, dtype: DataType) -> Column:
     n = len(values)
     cap = padded_capacity(n)
+    if (
+        isinstance(values, np.ndarray) and values.dtype != object
+        and values.dtype.kind in ("b", "i", "u", "f")
+        and not dtype.is_dictionary
+    ):
+        # typed numpy input: vectorized encode, no per-element Python loop
+        validity = np.ones(n, dtype=bool)
+        if dtype.kind is TypeKind.BOOLEAN:
+            data = values.astype(bool)
+        elif dtype.kind is TypeKind.DECIMAL128 and dtype.params:
+            scale = dtype.params[1]
+            data = np.round(values.astype(np.float64) * 10**scale).astype(np.int64)
+        else:
+            data = values.astype(dtype.device_dtype)
+        if values.dtype.kind == "f":
+            validity = ~np.isnan(values)
+            data = np.where(validity, data, 0)
+        return Column(
+            _pad_1d(data, cap), _pad_1d(validity, cap, fill=False), dtype, None
+        )
     validity = np.asarray([v is not None for v in values], dtype=bool)
     if dtype.is_dictionary:
         dictionary, codes = Dictionary.from_values(values)
