@@ -1,0 +1,109 @@
+"""Multi-device scaling efficiency of the SPMD distributed aggregate.
+
+BASELINE.md target: >= 80% rows/s scaling efficiency at N >= 2 hosts. Real
+multi-host TPU hardware is not available in this environment, so this
+measures the same SPMD program (local partial aggregate -> hash all_to_all
+exchange -> local final aggregate; parallel/spmd.py) on a virtual N-device
+CPU mesh (xla_force_host_platform_device_count). That validates the
+communication structure and the balance of the partitioning — each virtual
+device executes its shard on host threads — but the absolute interconnect
+cost on ICI must be measured on a real pod slice.
+
+Strong scaling: total rows fixed, devices varied.
+
+    python benchmarks/scaling.py [total_rows]
+
+Prints one line per N plus an efficiency summary (eff(N) = rate(N) /
+(N * rate(1)) for weak efficiency over per-device throughput; for strong
+scaling we report speedup(N) = t(1)/t(N) and efficiency = speedup/N).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+TOTAL_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 22
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(n_devices: int, total_rows: int) -> None:
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import query_engine_tpu  # noqa: F401  (x64 on)
+    import jax
+
+    from query_engine_tpu.columnar.batch import ColumnBatch
+    from query_engine_tpu.core.schema import Field, Schema
+    from query_engine_tpu.core.types import DataType
+    from query_engine_tpu.parallel.mesh import ShardedTable, make_mesh
+    from query_engine_tpu.parallel import spmd
+
+    devs = jax.devices()[:n_devices]
+    assert len(devs) == n_devices, (len(devs), n_devices)
+    mesh = make_mesh(devs)
+
+    rng = np.random.default_rng(3)
+    n = total_rows
+    schema = Schema([Field("k", DataType.int64()), Field("v", DataType.int64())])
+    batch = ColumnBatch.from_pydict(
+        {"k": rng.integers(0, 4096, n), "v": rng.integers(0, 1000, n)}, schema
+    )
+    st = ShardedTable(batch, mesh)
+    agg = spmd.make_distributed_aggregate(
+        mesh, aggs=[("count_star", -1), ("sum", 0), ("avg", 0)], n_args=1,
+        group_capacity=8192,  # 4096 keys + null bucket, padded
+    )
+
+    def run():
+        out = agg(
+            st.datas[0], st.valids[0], st.shard_rows, st.datas[1], st.valids[1]
+        )
+        return float(np.asarray(out[-1]).sum())  # block on the full program
+
+    run()  # compile
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    print(json.dumps({"n": n_devices, "rows": n, "best_s": min(ts)}))
+
+
+def main() -> None:
+    results = {}
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+        env["_QE_SCALING_CHILD"] = str(n)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(TOTAL_ROWS)],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"N={n} FAILED:\n{out.stderr[-2000:]}", file=sys.stderr)
+            sys.exit(1)
+        r = json.loads(line[-1])
+        results[n] = r
+        rate = r["rows"] / r["best_s"]
+        print(f"N={n}: {r['best_s']*1e3:8.1f} ms  {rate/1e6:6.2f}M rows/s")
+    t1 = results[1]["best_s"]
+    print("\nstrong-scaling efficiency (t1 / (N * tN)):")
+    for n in (2, 4, 8):
+        eff = t1 / (n * results[n]["best_s"])
+        print(f"  N={n}: speedup={t1/results[n]['best_s']:.2f}x  eff={eff:.0%}")
+
+
+if __name__ == "__main__":
+    if "_QE_SCALING_CHILD" in os.environ:
+        child(int(os.environ["_QE_SCALING_CHILD"]), TOTAL_ROWS)
+    else:
+        main()

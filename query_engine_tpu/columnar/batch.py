@@ -84,6 +84,24 @@ class Column:
             ]
             return out
         k = self.dtype.kind
+        if k is TypeKind.DATE32:
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            return [
+                epoch + datetime.timedelta(days=int(x)) if v else None
+                for x, v in zip(data.tolist(), valid.tolist())
+            ]
+        if k is TypeKind.TIMESTAMP or k is TypeKind.DATE64:
+            import datetime
+
+            epoch = datetime.datetime(1970, 1, 1)
+            mult = 1 if k is TypeKind.TIMESTAMP else 1000
+            return [
+                epoch + datetime.timedelta(microseconds=int(x) * mult)
+                if v else None
+                for x, v in zip(data.tolist(), valid.tolist())
+            ]
         if k is TypeKind.DECIMAL128 and self.dtype.params:
             scale = self.dtype.params[1]
             return [

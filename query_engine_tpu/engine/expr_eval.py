@@ -197,6 +197,54 @@ def _coerce_temporal_literal(l: "Val", r: "Val"):
     return l, r
 
 
+# ---------------------------------------------------------------------------
+# temporal math (vectorized civil-date algorithms; Howard Hinnant's
+# days<->civil, exact for the whole proleptic Gregorian calendar; floor
+# division makes the era adjustments unconditional)
+# ---------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+
+
+def _civil_from_days(days: jnp.ndarray):
+    """days since 1970-01-01 -> (year, month, day), vectorized."""
+    z = days.astype(jnp.int64) + 719468
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    y = jnp.where(m <= 2, y + 1, y)
+    return y, m, d
+
+
+def _days_from_civil(y: jnp.ndarray, m: jnp.ndarray, d: jnp.ndarray):
+    y = y - (m <= 2)
+    era = y // 400
+    yoe = y - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _temporal_split(v: "Val"):
+    """-> (days since epoch int64, intra-day microseconds int64)."""
+    k = v.dtype.kind
+    data = v.data.astype(jnp.int64)
+    if k is TypeKind.DATE32:
+        return data, jnp.zeros_like(data)
+    if k is TypeKind.DATE64:
+        days = data // 86_400_000
+        return days, (data - days * 86_400_000) * 1000
+    # TIMESTAMP: microseconds
+    days = data // _US_DAY
+    return days, data - days * _US_DAY
+
+
 _ARITH = {lp.BinOp.ADD, lp.BinOp.SUB, lp.BinOp.MUL, lp.BinOp.DIV, lp.BinOp.MOD}
 _CMP = {lp.BinOp.EQ, lp.BinOp.NEQ, lp.BinOp.LT, lp.BinOp.LTE, lp.BinOp.GT, lp.BinOp.GTE}
 
@@ -536,6 +584,10 @@ class Evaluator:
                 return Val(a2.data, a.validity & ~eq, a.dtype, a2.dictionary)
             eq = (a.data == b.data) & a.validity & b.validity
             return Val(a.data, a.validity & ~eq, a.dtype, a.dictionary)
+        if f is F.EXTRACT:
+            return self._eval_extract(args)
+        if f is F.DATE_TRUNC:
+            return self._eval_date_trunc(args)
         if f is F.TO_TSVECTOR:
             return _dict_map_host(
                 args[0], _tokenize_tsvector, DataType(TypeKind.TSVECTOR)
@@ -545,6 +597,104 @@ class Evaluator:
                 args[0], _normalize_tsquery, DataType(TypeKind.TSQUERY)
             )
         raise ExecutionError(f"scalar function {f.value} not implemented")
+
+    def _eval_extract(self, args: List[Val]) -> Val:
+        """EXTRACT(field FROM temporal) — vectorized on-device. PG semantics:
+        dow 0=Sunday..6, isodow 1=Monday..7, week = ISO 8601 week number;
+        second/epoch carry the fractional part (float64), the rest are
+        int64."""
+        field = self._literal_str(args[0], "EXTRACT").lower()
+        v = args[1]
+        if not v.dtype.is_temporal:
+            raise ExecutionError(
+                f"EXTRACT needs a date/timestamp argument, got {v.dtype}"
+            )
+        days, tod = _temporal_split(v)
+        valid = args[0].validity & v.validity
+        if field in ("year", "month", "day", "quarter", "decade",
+                     "century", "millennium"):
+            y, m, d = _civil_from_days(days)
+            out = {
+                "year": y, "month": m, "day": d,
+                "quarter": (m - 1) // 3 + 1,
+                "decade": y // 10,
+                "century": (y + 99) // 100,
+                "millennium": (y + 999) // 1000,
+            }[field]
+        elif field == "dow":
+            out = (days + 4) % 7
+        elif field == "isodow":
+            out = (days + 3) % 7 + 1
+        elif field == "doy":
+            y, _, _ = _civil_from_days(days)
+            out = days - _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y)) + 1
+        elif field == "week":
+            # ISO week: week containing this date's Thursday
+            thursday = days - (days + 3) % 7 + 3
+            ty, _, _ = _civil_from_days(thursday)
+            jan1 = _days_from_civil(ty, jnp.ones_like(ty), jnp.ones_like(ty))
+            out = (thursday - jan1) // 7 + 1
+        elif field == "hour":
+            out = tod // 3_600_000_000
+        elif field == "minute":
+            out = (tod // 60_000_000) % 60
+        elif field == "second":
+            return Val((tod % 60_000_000).astype(jnp.float64) / 1e6, valid,
+                       DataType.float64())
+        elif field in ("epoch",):
+            sec = days.astype(jnp.float64) * 86400.0 + tod.astype(jnp.float64) / 1e6
+            return Val(sec, valid, DataType.float64())
+        elif field in ("milliseconds",):
+            out = tod % 60_000_000 // 1000
+        elif field in ("microseconds",):
+            out = tod % 60_000_000
+        else:
+            raise ExecutionError(f"EXTRACT field '{field}' not supported")
+        return Val(out.astype(jnp.int64), valid, DataType.int64())
+
+    def _eval_date_trunc(self, args: List[Val]) -> Val:
+        """DATE_TRUNC(unit, temporal) — result keeps the argument's type
+        (PG widens date->timestamp; keeping the type is a documented
+        deviation that keeps the column device-native)."""
+        unit = self._literal_str(args[0], "DATE_TRUNC").lower()
+        v = args[1]
+        if not v.dtype.is_temporal:
+            raise ExecutionError(
+                f"DATE_TRUNC needs a date/timestamp argument, got {v.dtype}"
+            )
+        days, tod = _temporal_split(v)
+        valid = args[0].validity & v.validity
+        if unit in ("microseconds",):
+            pass
+        elif unit in ("milliseconds",):
+            tod = tod - tod % 1000
+        elif unit == "second":
+            tod = tod - tod % 1_000_000
+        elif unit == "minute":
+            tod = tod - tod % 60_000_000
+        elif unit == "hour":
+            tod = tod - tod % 3_600_000_000
+        elif unit == "day":
+            tod = jnp.zeros_like(tod)
+        elif unit == "week":
+            days = days - (days + 3) % 7  # back to Monday
+            tod = jnp.zeros_like(tod)
+        elif unit in ("month", "quarter", "year"):
+            y, m, _ = _civil_from_days(days)
+            if unit == "quarter":
+                m = ((m - 1) // 3) * 3 + 1
+            elif unit == "year":
+                m = jnp.ones_like(m)
+            days = _days_from_civil(y, m, jnp.ones_like(m))
+            tod = jnp.zeros_like(tod)
+        else:
+            raise ExecutionError(f"DATE_TRUNC unit '{unit}' not supported")
+        k = v.dtype.kind
+        if k is TypeKind.DATE32:
+            return Val(days.astype(jnp.int32), valid, v.dtype)
+        if k is TypeKind.DATE64:
+            return Val(days * 86_400_000 + tod // 1000, valid, v.dtype)
+        return Val(days * _US_DAY + tod, valid, v.dtype)
 
     def _eval_coalesce(self, args: List[Val]) -> Val:
         if any(a.dictionary is not None for a in args):

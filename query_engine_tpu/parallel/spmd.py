@@ -79,16 +79,23 @@ def bucket_rows(
     """Gather row indices per destination partition.
 
     Returns (idx[n_parts, per] local row index planes, counts[n_parts]).
-    Rows beyond a destination's count are padding (index 0).
+    Slots beyond a destination's count hold garbage indices — consumers mask
+    by `counts` (exchange_columns does). One stable sort groups rows by
+    destination with dead rows last: O(n log n + n_parts*per), replacing the
+    previous n_parts separate jnp.nonzero scans (O(n * n_parts), and nonzero
+    lowers poorly on TPU).
     """
     rows = pid.shape[0]
-    idxs = []
-    counts = []
-    for d in range(n_parts):
-        m = live & (pid == d)
-        idxs.append(jnp.nonzero(m, size=per, fill_value=0)[0])
-        counts.append(jnp.sum(m.astype(jnp.int64)))
-    return jnp.stack(idxs), jnp.stack(counts)
+    key = jnp.where(live, pid.astype(jnp.int32), jnp.int32(n_parts))
+    iota = jnp.arange(rows, dtype=jnp.int32)
+    _, siota = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
+    counts = jax.ops.segment_sum(
+        live.astype(jnp.int64), key, num_segments=n_parts + 1
+    )[:n_parts]
+    starts = jnp.cumsum(counts) - counts
+    slot = jax.lax.broadcasted_iota(jnp.int64, (n_parts, per), 1)
+    gpos = jnp.clip(starts[:, None] + slot, 0, rows - 1).astype(jnp.int32)
+    return siota[gpos], counts
 
 
 def exchange_columns(
@@ -124,10 +131,11 @@ def exchange_columns(
 
 
 def compact_received(recv_live, datas, valids):
-    """Compact received rows to the front of the local planes."""
+    """Compact received rows to the front of the local planes (cumsum +
+    scatter, not nonzero — K.compaction_indices rationale)."""
     cap = recv_live.shape[0]
     count = jnp.sum(recv_live.astype(jnp.int64))
-    idx = jnp.nonzero(recv_live, size=cap, fill_value=0)[0]
+    idx = K.compaction_indices(recv_live, recv_live, cap)
     out_d = [d[idx] for d in datas]
     out_v = [v[idx] & (jnp.arange(cap) < count) for v in valids]
     return out_d, out_v, count
@@ -194,11 +202,18 @@ def local_final_aggregate(
 
 def make_distributed_aggregate(
     mesh: Mesh, aggs: Sequence[Tuple[str, int]], n_args: int,
-    axis: str = "data", n_keys: int = 1,
+    axis: str = "data", n_keys: int = 1, group_capacity: int = None,
 ):
     """Build a jitted SPMD grouped-aggregate: rows sharded on `axis` ->
     per-group results sharded by group-key hash. Supports multi-column
     group keys (n_keys planes; partition id = combined splitmix64 hash).
+
+    group_capacity bounds the per-shard group count AFTER the local partial
+    aggregate (callers derive it from dictionary sizes / key-range stats the
+    same way the single-chip compiled pipeline does). It shrinks the
+    exchange from [n_devices, row_capacity] to [n_devices, group_capacity]
+    — the all_to_all then moves partial groups, not row-capacity planes.
+    None keeps the safe worst-case bound (every live row its own group).
 
     Input (per call): n_keys key planes, n_keys validity planes, shard row
     counts, arg planes. Output: group key/validity planes, per-agg
@@ -225,10 +240,15 @@ def make_distributed_aggregate(
         gkeys, gkvs, partials, ng = local_partial_aggregate(
             keys, kvs, n_rows, aggs, arg_datas, arg_valids
         )
+        S = min(group_capacity, cap) if group_capacity else cap
+        if S < cap:
+            gkeys = [k[:S] for k in gkeys]
+            gkvs = [v[:S] for v in gkvs]
+            partials = [(p[:S], pv[:S]) for p, pv in partials]
         # 2) shuffle partial groups by combined key hash
         pid = combined_partition_ids(gkeys, gkvs, n)
-        live = jnp.arange(cap) < ng
-        idx, counts = bucket_rows(pid, live, n, cap)
+        live = jnp.arange(S) < ng
+        idx, counts = bucket_rows(pid, live, n, S)
         datas = gkeys + [p[0] for p in partials]
         valids = gkvs + [p[1] for p in partials]
         rdatas, rvalids, rlive = exchange_columns(axis, idx, counts, datas, valids)

@@ -78,12 +78,16 @@ def encode_value(v, dt: DataType) -> Optional[bytes]:
     if k is TypeKind.BOOLEAN:
         return b"t" if v else b"f"
     if k is TypeKind.DATE32:
-        d = _EPOCH_DATE + datetime.timedelta(days=int(v))
-        return d.isoformat().encode()
+        if not isinstance(v, datetime.date):
+            v = _EPOCH_DATE + datetime.timedelta(days=int(v))
+        return v.isoformat().encode()
     if k is TypeKind.TIMESTAMP or k is TypeKind.DATE64:
-        us = int(v) if k is TypeKind.TIMESTAMP else int(v) * 1000
-        ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
-        return ts.isoformat(sep=" ").encode()
+        if not isinstance(v, datetime.datetime):
+            us = int(v) if k is TypeKind.TIMESTAMP else int(v) * 1000
+            v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=us
+            )
+        return v.isoformat(sep=" ").encode()
     if k is TypeKind.FLOAT32 or k is TypeKind.FLOAT64:
         return repr(float(v)).encode()
     if isinstance(v, float):

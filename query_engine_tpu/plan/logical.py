@@ -258,6 +258,8 @@ class ScalarFn(enum.Enum):
     NULLIF = "NULLIF"
     TO_TSVECTOR = "TO_TSVECTOR"
     TO_TSQUERY = "TO_TSQUERY"
+    EXTRACT = "EXTRACT"
+    DATE_TRUNC = "DATE_TRUNC"
 
 
 _STRING_FNS = {ScalarFn.UPPER, ScalarFn.LOWER, ScalarFn.CONCAT,
@@ -284,6 +286,19 @@ class ScalarFnExpr(LogicalExpr):
             self.dtype = next(
                 (a.dtype for a in self.args if a.dtype.kind is not TypeKind.NULL),
                 DataType.null(),
+            )
+        elif f is ScalarFn.EXTRACT:
+            field = ""
+            if self.args and isinstance(self.args[0], Literal):
+                field = str(self.args[0].value.value or "")
+            # PG returns numeric; fractional only for second/epoch
+            self.dtype = (
+                DataType.float64() if field in ("second", "epoch")
+                else DataType.int64()
+            )
+        elif f is ScalarFn.DATE_TRUNC:
+            self.dtype = (
+                self.args[1].dtype if len(self.args) > 1 else DataType.int64()
             )
         elif f is ScalarFn.TO_TSVECTOR:
             self.dtype = DataType(TypeKind.TSVECTOR)

@@ -239,6 +239,8 @@ class ScalarFunction(enum.Enum):
     NULLIF = "NULLIF"
     TO_TSVECTOR = "TO_TSVECTOR"
     TO_TSQUERY = "TO_TSQUERY"
+    EXTRACT = "EXTRACT"
+    DATE_TRUNC = "DATE_TRUNC"
 
 
 @dataclass(frozen=True)

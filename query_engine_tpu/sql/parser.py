@@ -30,7 +30,7 @@ _WINDOW_KWS = {
 _SCALAR_KWS = {
     "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
     "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
-    "TO_TSVECTOR", "TO_TSQUERY",
+    "TO_TSVECTOR", "TO_TSQUERY", "EXTRACT", "DATE_TRUNC",
 }
 _TYPE_START_KWS = {
     "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT", "REAL",
@@ -733,6 +733,18 @@ class Parser:
     def parse_scalar_function(self) -> ast.Expr:
         func = ast.ScalarFunction[self.advance().value]
         self.expect_op("(")
+        if func is ast.ScalarFunction.EXTRACT:
+            # EXTRACT(field FROM expr) — PG special syntax
+            ft = self.cur
+            if ft.kind not in ("IDENT", "KEYWORD", "STRING"):
+                raise ParseError(f"bad EXTRACT field {ft.value!r}")
+            self.advance()
+            self.expect_kw("FROM")
+            inner = self.parse_expr()
+            self.expect_op(")")
+            return ast.ScalarFunctionCall(
+                func, (ast.StringLit(ft.value.lower()), inner)
+            )
         args: List[ast.Expr] = []
         if not self.cur.is_op(")"):
             args.append(self.parse_expr())
