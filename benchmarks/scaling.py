@@ -96,10 +96,19 @@ def main() -> None:
         rate = r["rows"] / r["best_s"]
         print(f"N={n}: {r['best_s']*1e3:8.1f} ms  {rate/1e6:6.2f}M rows/s")
     t1 = results[1]["best_s"]
-    print("\nstrong-scaling efficiency (t1 / (N * tN)):")
+    print(
+        "\nVirtual CPU devices execute sequentially on one host, so wall"
+        "-clock cannot drop with N here. The meaningful number is total-work"
+        "\ninflation t(N)/t(1): every percent above 1.0 is exchange overhead"
+        " + partition imbalance. On real hardware, where the N shards run"
+        "\nconcurrently, projected scaling efficiency ~= t(1)/t(N):"
+    )
     for n in (2, 4, 8):
-        eff = t1 / (n * results[n]["best_s"])
-        print(f"  N={n}: speedup={t1/results[n]['best_s']:.2f}x  eff={eff:.0%}")
+        infl = results[n]["best_s"] / t1
+        print(
+            f"  N={n}: work inflation={infl:.2f}x  "
+            f"projected parallel efficiency={1/infl:.0%}"
+        )
 
 
 if __name__ == "__main__":
