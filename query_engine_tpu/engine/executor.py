@@ -68,7 +68,7 @@ def _expr_has_host_dependency(e: lp.LogicalExpr) -> bool:
     def visit(x):
         if isinstance(
             x, (lp.ScalarSubqueryExpr, lp.InSubqueryExpr, lp.ExistsExpr,
-                lp.UdfExpr),
+                lp.CorrelatedLookupExpr, lp.UdfExpr),
         ):
             found.append(x)
 

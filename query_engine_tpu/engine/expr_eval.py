@@ -297,6 +297,8 @@ class Evaluator:
             return self._eval_in_subquery(e, batch)
         if isinstance(e, lp.ExistsExpr):
             return self._eval_exists(e, batch)
+        if isinstance(e, lp.CorrelatedLookupExpr):
+            return self._eval_correlated_lookup(e, batch)
         if isinstance(e, lp.AggregateExpr):
             raise ExecutionError(
                 "aggregate expression outside aggregation context"
@@ -845,6 +847,49 @@ class Evaluator:
         if e.negated:
             data = ~data
         return Val(data, valid, DataType.boolean())
+
+    def _eval_correlated_lookup(self, e: lp.CorrelatedLookupExpr, batch) -> Val:
+        """Vectorized decorrelated-subquery evaluation: run the grouped
+        subplan once, rank-match the outer batch's key expressions against
+        its key columns, gather the value column (or the found mask for
+        EXISTS). One subplan execution + one match for the whole batch —
+        never per-row re-execution."""
+        sub = self._run_subplan(e.plan)
+        nk = len(e.outer_keys)
+        okeys, skeys = [], []
+        for i, ke in enumerate(e.outer_keys):
+            ov = self.eval(ke, batch)
+            sc = sub.columns[i]
+            sv = Val(jnp.asarray(sc.data), jnp.asarray(sc.validity),
+                     sc.dtype, sc.dictionary)
+            if ov.dictionary is not None or sc.dictionary is not None:
+                ov, sv = unify_dicts(ov, sv)
+            okeys.append((ov.data, ov.validity))
+            skeys.append((sv.data, sv.validity))
+        lr, rr = K.join_ranks(okeys, skeys, batch.num_rows, sub.num_rows)
+        cap_r = sub.capacity
+        rr_ok = K.live_mask(cap_r, sub.num_rows) & (rr >= 0)
+        big = jnp.iinfo(rr.dtype).max
+        rr_m = jnp.where(rr_ok, rr, big)
+        rr_sorted, ridx = jax.lax.sort(
+            [rr_m, jnp.arange(cap_r, dtype=jnp.int32)], num_keys=1,
+            is_stable=True,
+        )
+        pos = jnp.searchsorted(rr_sorted, lr)
+        pos_c = jnp.clip(pos, 0, cap_r - 1)
+        found = (lr >= 0) & (rr_sorted[pos_c] == lr)
+        if e.mode == "exists":
+            data = ~found if e.negated else found
+            return Val(data, jnp.ones(batch.capacity, dtype=bool),
+                       DataType.boolean())
+        vcol = sub.columns[nk]
+        row = ridx[pos_c]
+        data = jnp.asarray(vcol.data)[row]
+        valid = found & jnp.asarray(vcol.validity)[row]
+        if e.miss_value is not None and e.miss_value.value is not None:
+            data = jnp.where(found, data, e.miss_value.value)
+            valid = valid | ~found
+        return Val(data, valid, e.dtype, vcol.dictionary)
 
     def _eval_exists(self, e: lp.ExistsExpr, batch) -> Val:
         sub = self._run_subplan(e.plan)

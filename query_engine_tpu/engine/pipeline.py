@@ -204,7 +204,7 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
         if isinstance(
             x,
             (lp.ScalarSubqueryExpr, lp.InSubqueryExpr, lp.ExistsExpr,
-             lp.UdfExpr),
+             lp.CorrelatedLookupExpr, lp.UdfExpr),
         ):
             bad.append(x)
         elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.CONCAT:

@@ -435,6 +435,40 @@ class InSubqueryExpr(LogicalExpr):
 
 
 @dataclass
+class CorrelatedLookupExpr(LogicalExpr):
+    """Decorrelated subquery (the reference leaves correlated subqueries
+    unimplemented; operators.rs:34-52 errors on all subquery forms).
+
+    The subplan computes (key columns..., value column?) — one row per
+    distinct correlation key — and evaluation joins the OUTER batch's key
+    expressions against those keys, vectorized (one rank-match + gather for
+    the whole batch instead of a subquery execution per row).
+
+    mode 'value': result is the value column; misses yield NULL, or
+    `miss_value` when set (COUNT over an empty correlated set is 0).
+    mode 'exists': result is the found mask (EXISTS never yields NULL).
+    """
+
+    outer_keys: List[LogicalExpr]  # evaluated against the outer batch
+    plan: "LogicalPlan"  # schema: key cols [0..n_keys), then value col
+    mode: str = "value"  # value | exists
+    negated: bool = False
+    miss_value: Optional[ScalarValue] = None
+
+    def __post_init__(self):
+        if self.mode == "exists":
+            self.dtype = DataType.boolean()
+            self.nullable = False
+        else:
+            f = self.plan.schema().field(len(self.outer_keys))
+            self.dtype = f.data_type
+            self.nullable = True
+
+    def name(self) -> str:
+        return "(correlated subquery)"
+
+
+@dataclass
 class ExistsExpr(LogicalExpr):
     plan: "LogicalPlan"
     negated: bool = False
@@ -742,6 +776,8 @@ def walk_exprs(expr: LogicalExpr, visit) -> None:
         children = (expr.expr,) + tuple(expr.items)
     elif isinstance(expr, (InSubqueryExpr,)):
         children = (expr.expr,)
+    elif isinstance(expr, CorrelatedLookupExpr):
+        children = tuple(expr.outer_keys)
     for c in children:
         walk_exprs(c, visit)
 

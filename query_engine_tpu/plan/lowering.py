@@ -327,6 +327,16 @@ class Lowering:
             e2.dtype = e.dtype
             e2.nullable = e.nullable
             return e2
+        if isinstance(e, lp.CorrelatedLookupExpr):
+            e2 = lp.CorrelatedLookupExpr.__new__(lp.CorrelatedLookupExpr)
+            e2.outer_keys = [self._lower_expr(k) for k in e.outer_keys]
+            e2.plan = self.lower(e.plan)
+            e2.mode = e.mode
+            e2.negated = e.negated
+            e2.miss_value = e.miss_value
+            e2.dtype = e.dtype
+            e2.nullable = e.nullable
+            return e2
         if isinstance(e, lp.BinaryExpr):
             return lp.BinaryExpr(
                 self._lower_expr(e.left), e.op, self._lower_expr(e.right)

@@ -520,12 +520,22 @@ class Planner:
             )
             return lp.UnaryExpr(lp.UnOp.NOT, rng) if e.negated else rng
         if isinstance(e, ast.ScalarSubquery):
-            return lp.ScalarSubqueryExpr(self.plan_select(e.query, ctes))
+            try:
+                return lp.ScalarSubqueryExpr(self.plan_select(e.query, ctes))
+            except PlanError:
+                # inner-scope resolution failed: SQL scoping falls back to
+                # the outer query -> try decorrelation
+                return self._plan_correlated_scalar(e.query, scope, ctes)
         if isinstance(e, ast.InSubquery):
             inner = self.plan_expr(e.expr, scope, ctes)
             return lp.InSubqueryExpr(inner, self.plan_select(e.query, ctes), e.negated)
         if isinstance(e, ast.Exists):
-            return lp.ExistsExpr(self.plan_select(e.query, ctes), e.negated)
+            try:
+                return lp.ExistsExpr(self.plan_select(e.query, ctes), e.negated)
+            except PlanError:
+                return self._plan_correlated_exists(
+                    e.query, scope, ctes, e.negated
+                )
         if isinstance(e, ast.WindowFunction):
             raise PlanError("window function not allowed in this context")
         if isinstance(e, ast.Wildcard):
@@ -566,6 +576,110 @@ class Planner:
         return lp.WindowExpr(
             lp.WindowFn[e.func.name], args, partition_by, order_by, e.over.frame
         )
+
+    # ---- correlated subquery decorrelation ------------------------------
+    # The reference errors on every subquery form (operators.rs:34-52); we
+    # additionally support the classic correlated patterns by rewriting them
+    # into grouped subplans joined back on the correlation keys:
+    #   expr CMP (SELECT AGG(x) FROM t2 WHERE t2.k = outer.k [AND p])
+    #     ->  lookup into (SELECT t2.k, AGG(x) FROM t2 WHERE p GROUP BY t2.k)
+    #   [NOT] EXISTS (SELECT ... FROM t2 WHERE t2.k = outer.k [AND p])
+    #     ->  membership in (SELECT t2.k FROM t2 WHERE p GROUP BY t2.k)
+    # evaluated as one vectorized rank-match over the whole outer batch.
+
+    @staticmethod
+    def _split_conjuncts(e):
+        if isinstance(e, ast.BinaryOp) and e.op is ast.BinaryOperator.AND:
+            return (Planner._split_conjuncts(e.left)
+                    + Planner._split_conjuncts(e.right))
+        return [e]
+
+    def _correlation_split(self, sel, outer_scope, ctes):
+        """-> (from_plan, inner_scope, inner conjunct ASTs,
+        [(inner key AST, outer key LogicalExpr)])."""
+        if sel.union_clause is not None or sel.group_by or sel.having:
+            raise PlanError("unsupported correlated subquery shape")
+        from_plan = self._plan_from(sel, ctes)
+        inner_scope = Resolver(from_plan.schema())
+
+        def plans_inner(a) -> bool:
+            try:
+                self.plan_expr(a, inner_scope, ctes)
+                return True
+            except PlanError:
+                return False
+
+        inner_conj, pairs = [], []
+        for c in self._split_conjuncts(sel.selection) if sel.selection else []:
+            if plans_inner(c):
+                inner_conj.append(c)
+                continue
+            if isinstance(c, ast.BinaryOp) and c.op is ast.BinaryOperator.EQ:
+                if plans_inner(c.left) and not plans_inner(c.right):
+                    inner_ast, outer_ast = c.left, c.right
+                elif plans_inner(c.right) and not plans_inner(c.left):
+                    inner_ast, outer_ast = c.right, c.left
+                else:
+                    raise PlanError(
+                        "unsupported correlated predicate "
+                        "(both sides reference the outer query)"
+                    )
+                # raises with the true error if the outer side is bogus
+                outer_le = self.plan_expr(outer_ast, outer_scope, ctes)
+                pairs.append((inner_ast, outer_le))
+                continue
+            raise PlanError(
+                "correlated subqueries support equality correlation only"
+            )
+        if not pairs:
+            raise PlanError("subquery references an unknown column")
+        return from_plan, inner_scope, inner_conj, pairs
+
+    def _correlated_subplan(self, sel, outer_scope, ctes):
+        from_plan, inner_scope, inner_conj, pairs = self._correlation_split(
+            sel, outer_scope, ctes
+        )
+        plan = from_plan
+        if inner_conj:
+            pred = None
+            for c in inner_conj:
+                le = self.plan_expr(c, inner_scope, ctes)
+                pred = le if pred is None else lp.BinaryExpr(
+                    pred, lp.BinOp.AND, le
+                )
+            plan = lp.Filter(plan, pred)
+        key_lexprs = [
+            self.plan_expr(a, inner_scope, ctes) for a, _ in pairs
+        ]
+        outer_keys = [o for _, o in pairs]
+        return plan, key_lexprs, outer_keys
+
+    def _plan_correlated_scalar(self, sel, outer_scope, ctes):
+        items = [it for it in sel.projection if isinstance(it, ast.ExprItem)]
+        if len(items) != 1 or not isinstance(items[0].expr, ast.Aggregate):
+            raise PlanError(
+                "correlated scalar subquery must select a single aggregate"
+            )
+        plan, key_lexprs, outer_keys = self._correlated_subplan(
+            sel, outer_scope, ctes
+        )
+        inner_scope = Resolver(plan.schema())
+        agg_le = self._plan_aggregate(items[0].expr, inner_scope, ctes)
+        plan = lp.Aggregate(plan, key_lexprs, [agg_le])
+        miss = (
+            lp.ScalarValue.int64(0)
+            if agg_le.func is lp.AggFunc.COUNT else None
+        )
+        return lp.CorrelatedLookupExpr(outer_keys, plan, "value", False, miss)
+
+    def _plan_correlated_exists(self, sel, outer_scope, ctes, negated: bool):
+        if sel.limit is not None and sel.limit == 0:
+            raise PlanError("EXISTS (... LIMIT 0) is never true")
+        plan, key_lexprs, outer_keys = self._correlated_subplan(
+            sel, outer_scope, ctes
+        )
+        plan = lp.Aggregate(plan, key_lexprs, [])  # distinct correlation keys
+        return lp.CorrelatedLookupExpr(outer_keys, plan, "exists", negated)
 
     # ---- aggregate rewriting -------------------------------------------
     def _plan_expr_agg(
