@@ -961,9 +961,14 @@ class CompiledPipeline:
                 continue
             f = schema.field(fi)
             fi += 1
+            vb = None
+            if func in (lp.AggFunc.MIN, lp.AggFunc.MAX) and agg.expr is not None:
+                b = _proj_bounds(agg.expr, t)
+                if b is not None:
+                    vb = (b[0], b[0] + b[1] - 1)
             vals, valid = K.segment_aggregate(
                 fname, data, validity, gid, sel, S,
-                distinct_first=distinct_first,
+                distinct_first=distinct_first, value_bounds=vb,
             )
             out_d = vals[:S]
             out_v = valid[:S]

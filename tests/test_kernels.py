@@ -194,3 +194,60 @@ def test_segment_sum_i64_chunked_exact():
             jnp.where(ok, vals, 0), gid, num_segments=nseg
         )
         assert bool(jnp.all(got == ref)), cap
+
+
+# ---- min/max through the orderable-integer image (32-bit scatter paths) ----
+def test_segment_minmax_all_dtypes_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from query_engine_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(0)
+    n, S = 5000, 64
+    gid_np = rng.integers(0, S, n)
+    gid = jnp.asarray(gid_np, jnp.int32)
+    ok_np = rng.random(n) > 0.1
+    ok = jnp.asarray(ok_np)
+    cases = {
+        "i64_extreme": rng.choice(
+            [0, 1, -1, 2**62, -2**62, 2**63 - 1, -(2**63), 12345, -98765], n
+        ).astype(np.int64),
+        "i64_rand": rng.integers(-(2**60), 2**60, n),
+        "i32": rng.integers(-(2**31), 2**31 - 1, n).astype(np.int32),
+        "f64": np.where(
+            rng.random(n) < 0.05,
+            np.choose(rng.integers(0, 4, n), [np.inf, -np.inf, 0.0, -0.0]),
+            rng.normal(0, 1e10, n),
+        ),
+        "f32": rng.normal(0, 1e5, n).astype(np.float32),
+        "bool": rng.random(n) > 0.5,
+    }
+    for name, data in cases.items():
+        dj = jnp.asarray(data)
+        for fn, red in (("min", np.min), ("max", np.max)):
+            got, has = K.segment_aggregate(fn, dj, ok, gid, n, S)
+            got, has = np.asarray(got), np.asarray(has)
+            for g in range(S):
+                m = ok_np & (gid_np == g)
+                assert has[g] == m.any()
+                if m.any():
+                    assert got[g] == red(data[m]), (name, fn, g)
+
+
+def test_segment_sum_i64_chunk_tiers_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from query_engine_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(1)
+    for cap_exp in (15, 20, 24, 25):
+        cap = 1 << cap_exp
+        m = min(cap, 1 << 16)
+        vals = rng.integers(-(2**62), 2**62, m)
+        gids = rng.integers(0, 8, m)
+        d = jnp.zeros(cap, jnp.int64).at[:m].set(jnp.asarray(vals))
+        okm = jnp.zeros(cap, bool).at[:m].set(True)
+        g = jnp.zeros(cap, jnp.int32).at[:m].set(jnp.asarray(gids, jnp.int32))
+        got = np.asarray(K._segment_sum_i64(d, okm, g, 8))
+        want = np.array([vals[gids == i].sum() for i in range(8)])
+        assert (got == want).all(), cap_exp
