@@ -27,10 +27,13 @@ Programs are cached by (plan structure, leaf capacities/dtypes/dictionary
 identities): steady-state serving reuses one executable per query shape per
 pow2 capacity bucket.
 
-Unsupported constructs (subqueries, UDFs, string concatenation, joins and
-set-ops for now) fall back to the eager executor — per *subtree*, not per
-query: the segment above an eagerly-executed join still compiles, with the
-join result fed in as a leaf.
+Equi-joins with a statically unique side trace in-segment with a static
+emit bound; set operations trace as concatenation (UNION [ALL]) or mask
+refinement (INTERSECT/EXCEPT). Unsupported constructs (subqueries, UDFs,
+string concatenation, joins with no unique side) fall back to the eager
+executor — per *subtree*, not per query: the segment above an
+eagerly-executed join still compiles, with the join result fed in as a
+leaf.
 
 This is the TPU answer to the reference's interpreter-style recursive
 executor (crates/query-executor/src/executor.rs:19-91, one materialized
@@ -157,6 +160,36 @@ def _col_unique(col, num_rows: int) -> bool:
     u = bool(len(np.unique(vals)) == len(vals))
     col._qe_unique = (num_rows, u)
     return u
+
+
+def _cols_unique(batch, idxs) -> bool:
+    """Multi-column variant of _col_unique: are the live fully-valid key
+    TUPLES distinct? (lexsort + adjacent compare; cached per batch)."""
+    cache = getattr(batch.columns[idxs[0]], "_qe_tuple_unique", None)
+    key = (tuple(idxs), batch.num_rows)
+    if cache is not None and key in cache:
+        return cache[key]
+    n = batch.num_rows
+    planes, valid = [], np.ones(n, dtype=bool)
+    for i in idxs:
+        c = batch.columns[i]
+        planes.append(np.asarray(c.data)[:n])
+        valid &= np.asarray(c.validity)[:n]
+    rows = [p[valid] for p in planes]
+    if rows and len(rows[0]):
+        order = np.lexsort(rows[::-1])
+        srt = [r[order] for r in rows]
+        eq = np.ones(len(order) - 1, dtype=bool)
+        for r in srt:
+            eq &= r[1:] == r[:-1]
+        u = not eq.any()
+    else:
+        u = True
+    if cache is None:
+        cache = {}
+        batch.columns[idxs[0]]._qe_tuple_unique = cache
+    cache[key] = bool(u)
+    return bool(u)
 
 
 def _proj_bounds(e: "lp.LogicalExpr", t: _TTable):
@@ -336,9 +369,9 @@ class CompiledPipeline:
             demoted = False
             for jnode, lprov, rprov in ctx.checks:
                 side = None
-                if self._prov_unique(rprov, batch_by_node):
+                if self._prov_unique_multi(rprov, batch_by_node):
                     side = "R"  # prefer the right (build) side
-                elif self._prov_unique(lprov, batch_by_node):
+                elif self._prov_unique_multi(lprov, batch_by_node):
                     side = "L"
                 if side is None:
                     forced.add(id(jnode))
@@ -552,7 +585,14 @@ class CompiledPipeline:
         if isinstance(plan, pp.PSubquery):
             body, leaves, n = self._child(plan.input, ctx)
             return ("subq", tuple(plan.out_schema.names()), body), leaves, n
-        # anything else: eager leaf boundary (set-op, index scan, values, ...)
+        if isinstance(plan, pp.PSetOp):
+            lbody, lleaves, ln = self._child(plan.left, ctx)
+            rbody, rleaves, rn = self._child(plan.right, ctx)
+            return (
+                ("setop", plan.kind.value, lbody, rbody),
+                lleaves + rleaves, ln + rn + 1,
+            )
+        # anything else: eager leaf boundary (index scan, values, ...)
         raise _Unsupported(type(plan).__name__)
 
     def _plan_key_join(self, plan: pp.PHashJoin, ctx):
@@ -564,15 +604,19 @@ class CompiledPipeline:
         filters/sorts/limits between leaf and join — subsets stay unique).
         Joins with no unique side are demoted to eager leaves by the
         try_execute loop (the segment above them still compiles)."""
-        if plan.join_type is lp.JoinType.CROSS or len(plan.key_pairs) != 1:
-            raise _Unsupported("cross or multi-key join")
-        le, re_ = plan.key_pairs[0]
-        if not (_expr_traceable(le) and _expr_traceable(re_)):
-            raise _Unsupported("join key exprs")
+        if plan.join_type is lp.JoinType.CROSS or not plan.key_pairs:
+            raise _Unsupported("cross join")
+        for le, re_ in plan.key_pairs:
+            if not (_expr_traceable(le) and _expr_traceable(re_)):
+                raise _Unsupported("join key exprs")
         if plan.residual is not None and not _expr_traceable(plan.residual):
             raise _Unsupported("join residual")
-        lprov = self._unique_prov(plan.left, le, ctx)
-        rprov = self._unique_prov(plan.right, re_, ctx)
+        lprov = self._unique_prov_multi(
+            plan.left, [le for le, _ in plan.key_pairs], ctx
+        )
+        rprov = self._unique_prov_multi(
+            plan.right, [re_ for _, re_ in plan.key_pairs], ctx
+        )
         if lprov is None and rprov is None:
             raise _Unsupported("no statically unique join side")
         lbody, lleaves, ln = self._child(plan.left, ctx)
@@ -580,12 +624,66 @@ class CompiledPipeline:
         ctx.checks.append((plan, lprov, rprov))
         body = (
             "join", plan.join_type.value,
-            _expr_key(le), _expr_key(re_),
+            tuple(
+                (_expr_key(le), _expr_key(re_)) for le, re_ in plan.key_pairs
+            ),
             None if plan.residual is None else _expr_key(plan.residual),
             tuple(plan.out_schema.names()),
             lbody, rbody,
         )
         return body, lleaves + rleaves, ln + rn + 1
+
+    def _unique_prov_multi(self, plan, key_exprs, ctx):
+        """Provenance for a key TUPLE: structurally unique when the keys
+        are exactly a child aggregate's group columns; otherwise a stat
+        check when all keys trace to columns of ONE materialized node."""
+        if len(key_exprs) == 1:
+            return self._unique_prov(plan, key_exprs[0], ctx)
+        provs = [self._unique_prov(plan, k, ctx) for k in key_exprs]
+        if any(p is None for p in provs):
+            # tuple-level structural check: keys cover all group columns of
+            # a single-aggregate child
+            idxs = []
+            for k in key_exprs:
+                e = k
+                while isinstance(e, lp.AliasExpr):
+                    e = e.expr
+                if not isinstance(e, lp.ColumnRef):
+                    return None
+                idxs.append(e.index)
+            node = plan
+            while isinstance(node, (pp.PFilter, pp.PSort, pp.PLimit,
+                                    pp.PDistinct, pp.PSubquery)):
+                node = node.input
+            if (
+                isinstance(node, pp.PHashAggregate)
+                and node.mode == "single"
+                and sorted(idxs) == list(range(len(node.group_exprs)))
+            ):
+                return ("unique",)
+            return None
+        if any(p[0] == "unique" for p in provs):
+            return ("unique",)  # any singly-unique key makes the tuple unique
+        nodes = {id(p[1]) for p in provs}
+        if len(nodes) != 1:
+            return None
+        return ("stat_multi", provs[0][1], tuple(p[2] for p in provs))
+
+    def _prov_unique_multi(self, prov, batch_by_node) -> bool:
+        if prov is None:
+            return False
+        if prov[0] == "stat_multi":
+            _, node, idxs = prov
+            b = batch_by_node.get(id(node))
+            if b is None:
+                if isinstance(node, pp.PScan):
+                    b = self._materialize_leaf(node)
+                else:
+                    return False
+            if any(i >= b.num_columns for i in idxs):
+                return False
+            return _cols_unique(b, list(idxs))
+        return self._prov_unique(prov, batch_by_node)
 
     def _unique_prov(self, plan, key_expr, ctx):
         """Provenance of a join-key expr: ("unique",) if unique by
@@ -706,6 +804,8 @@ class CompiledPipeline:
             return self._trace_aggregate(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PHashJoin):
             return self._trace_join(plan, tables, leaf_ids, res)
+        if isinstance(plan, pp.PSetOp):
+            return self._trace_setop(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PSubquery):
             t = self._trace(plan.input, tables, leaf_ids, res)
             return _TTable(plan.out_schema, t.cols, t.sel, t.capacity,
@@ -736,17 +836,18 @@ class CompiledPipeline:
         else:  # outer joins touching the non-unique side's unmatched rows
             out_cap = cap_l + cap_r
 
-        le, re_ = plan.key_pairs[0]
-        lv = ex.evaluator.eval(le, _ShimBatch(lt))
-        rv = ex.evaluator.eval(re_, _ShimBatch(rt))
         from query_engine_tpu.engine.expr_eval import unify_dicts
 
-        if lv.dictionary is not None or rv.dictionary is not None:
-            lv, rv = unify_dicts(lv, rv)
+        lkeys, rkeys = [], []
+        for le, re_ in plan.key_pairs:
+            lv = ex.evaluator.eval(le, _ShimBatch(lt))
+            rv = ex.evaluator.eval(re_, _ShimBatch(rt))
+            if lv.dictionary is not None or rv.dictionary is not None:
+                lv, rv = unify_dicts(lv, rv)
+            lkeys.append((lv.data, lv.validity))
+            rkeys.append((rv.data, rv.validity))
 
-        lr, rr = K.join_ranks(
-            [(lv.data, lv.validity)], [(rv.data, rv.validity)], lt.sel, rt.sel
-        )
+        lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
         (total, counts, _off, rank_start, right_by_rank,
          lmatched, rmatched) = K.join_counts(lr, rr, lt.sel, rt.sel)
 
@@ -801,6 +902,66 @@ class CompiledPipeline:
             out = _TTable(out.schema, out.cols, out.sel & mask, out_cap,
                           False, out.bounds)
         return out
+
+    def _trace_setop(self, plan: pp.PSetOp, tables, leaf_ids, res) -> _TTable:
+        """UNION [ALL]: plane concatenation at cap_l + cap_r (UNION's dedup
+        is the Distinct node the planner adds above). INTERSECT/EXCEPT:
+        membership mask on the left side (rank match, NULLs compare equal)
+        then first-occurrence dedup — both pure mask refinements."""
+        from query_engine_tpu.engine.expr_eval import unify_dicts, Val
+
+        lt = self._trace(plan.left, tables, leaf_ids, res)
+        rt = self._trace(plan.right, tables, leaf_ids, res)
+        if plan.kind in (lp.SetOpKind.UNION, lp.SetOpKind.UNION_ALL):
+            cols = []
+            for lc, rc in zip(lt.cols, rt.cols):
+                if lc.dictionary is not None or rc.dictionary is not None:
+                    lv = Val(lc.data, lc.validity, lc.dtype, lc.dictionary)
+                    rv = Val(rc.data, rc.validity, rc.dtype, rc.dictionary)
+                    lv, rv = unify_dicts(lv, rv)
+                    d = jnp.concatenate([lv.data, rv.data])
+                    v = jnp.concatenate([lc.validity, rc.validity])
+                    cols.append(Column(d, v, lc.dtype, lv.dictionary))
+                else:
+                    d = jnp.concatenate([lc.data, rc.data])
+                    v = jnp.concatenate([lc.validity, rc.validity])
+                    cols.append(Column(d, v, lc.dtype, None))
+            sel = jnp.concatenate([lt.sel, rt.sel])
+            return _TTable(
+                lt.schema, cols, sel, lt.capacity + rt.capacity, False,
+                [None] * len(cols),
+            )
+        # INTERSECT / EXCEPT: rank-match left rows against right rows
+        lkeys, rkeys = [], []
+        for lc, rc in zip(lt.cols, rt.cols):
+            lv = Val(lc.data, lc.validity, lc.dtype, lc.dictionary)
+            rv = Val(rc.data, rc.validity, rc.dtype, rc.dictionary)
+            if lc.dictionary is not None or rc.dictionary is not None:
+                lv, rv = unify_dicts(lv, rv)
+            lkeys.append((lv.data, lv.validity))
+            rkeys.append((rv.data, rv.validity))
+        lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel, null_equal=True)
+        cap_r = rt.capacity
+        rr_ok = rt.sel & (rr >= 0)
+        big = jnp.iinfo(rr.dtype).max
+        rr_sorted = jnp.sort(jnp.where(rr_ok, rr, big))
+        pos = jnp.searchsorted(rr_sorted, lr)
+        pos_c = jnp.clip(pos, 0, cap_r - 1)
+        member = (lr >= 0) & (rr_sorted[pos_c] == lr)
+        keep = member if plan.kind is lp.SetOpKind.INTERSECT else ~member
+        sel = lt.sel & keep
+        # set ops return distinct rows: keep first occurrence per key
+        gid, ng, rep = K.group_ids(
+            [k for k, _ in lkeys], [v for _, v in lkeys], sel
+        )
+        cap = lt.capacity
+        first_mask = (
+            jnp.zeros(cap, dtype=bool)
+            .at[jnp.where(jnp.arange(cap) < ng, rep, cap)]
+            .set(True, mode="drop")
+        )
+        return _TTable(lt.schema, lt.cols, sel & first_mask, cap, False,
+                       lt.bounds)
 
     def _trace_sort(self, plan: pp.PSort, tables, leaf_ids, res) -> _TTable:
         t = self._trace(plan.input, tables, leaf_ids, res)

@@ -91,9 +91,17 @@ QUERIES = [
     # subquery predicates fall back per-subtree
     "SELECT name FROM employees WHERE salary > "
     "(SELECT AVG(salary) FROM employees)",
-    # set ops: eager node, compiled segments above/below
+    # set ops trace in-segment (UNION concat; INTERSECT/EXCEPT mask-based)
     "SELECT name FROM employees WHERE age > 30 UNION "
     "SELECT name FROM employees WHERE dept_id = 101 ORDER BY name",
+    "SELECT name FROM employees WHERE age > 27 UNION ALL "
+    "SELECT name FROM employees WHERE salary > 80000 ORDER BY name",
+    "SELECT dept_id FROM employees INTERSECT SELECT dept_id FROM departments "
+    "ORDER BY dept_id",
+    "SELECT dept_id FROM departments EXCEPT SELECT dept_id FROM employees",
+    # multi-key join with a unique composite build side (id, dept_id)
+    "SELECT a.name, b.salary FROM employees a JOIN employees b "
+    "ON a.id = b.id AND a.dept_id = b.dept_id ORDER BY a.id",
     # null semantics on a table with NULL keys and values
     ("nulls", "SELECT k, COUNT(*), SUM(v), AVG(v), MIN(v), MAX(v) FROM nv "
               "GROUP BY k ORDER BY k"),
