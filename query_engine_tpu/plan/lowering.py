@@ -295,9 +295,11 @@ class Lowering:
         import copy
 
         e = copy.deepcopy(e)
+        seen = set()  # shared subexprs mutate once
 
         def fix(x):
-            if isinstance(x, lp.ColumnRef):
+            if isinstance(x, lp.ColumnRef) and id(x) not in seen:
+                seen.add(id(x))
                 x.index -= n_left
 
         lp.walk_exprs(e, fix)

@@ -55,9 +55,11 @@ def _substitute(expr: lp.LogicalExpr, mapping: List[lp.LogicalExpr]) -> lp.Logic
 
 def _shift_columns(expr: lp.LogicalExpr, delta: int) -> lp.LogicalExpr:
     e = copy.deepcopy(expr)
+    seen = set()  # shared subexprs (e.g. BETWEEN's operand) mutate ONCE
 
     def fix(x):
-        if isinstance(x, lp.ColumnRef):
+        if isinstance(x, lp.ColumnRef) and id(x) not in seen:
+            seen.add(id(x))
             x.index += delta
 
     lp.walk_exprs(e, fix)
@@ -229,9 +231,11 @@ class ProjectionPushdown(OptimizationRule):
 
             def remapped(e):
                 e2 = copy.deepcopy(e)
+                seen = set()  # shared subexprs mutate once
 
                 def fix(x):
-                    if isinstance(x, lp.ColumnRef):
+                    if isinstance(x, lp.ColumnRef) and id(x) not in seen:
+                        seen.add(id(x))
                         x.index = remap[x.index]
 
                 lp.walk_exprs(e2, fix)

@@ -510,13 +510,16 @@ class Planner:
         if isinstance(e, ast.IsNull):
             return lp.IsNullExpr(self.plan_expr(e.expr, scope, ctes), e.negated)
         if isinstance(e, ast.Between):
-            inner = self.plan_expr(e.expr, scope, ctes)
+            # plan the operand twice: rewrite passes mutate expression trees
+            # in place, so conjuncts must not share nodes
+            inner_lo = self.plan_expr(e.expr, scope, ctes)
+            inner_hi = self.plan_expr(e.expr, scope, ctes)
             low = self.plan_expr(e.low, scope, ctes)
             high = self.plan_expr(e.high, scope, ctes)
             rng = lp.BinaryExpr(
-                lp.BinaryExpr(inner, lp.BinOp.GTE, low),
+                lp.BinaryExpr(inner_lo, lp.BinOp.GTE, low),
                 lp.BinOp.AND,
-                lp.BinaryExpr(inner, lp.BinOp.LTE, high),
+                lp.BinaryExpr(inner_hi, lp.BinOp.LTE, high),
             )
             return lp.UnaryExpr(lp.UnOp.NOT, rng) if e.negated else rng
         if isinstance(e, ast.ScalarSubquery):

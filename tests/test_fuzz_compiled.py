@@ -1,0 +1,153 @@
+"""Generative differential fuzz: random queries over random tables, compiled
+pipeline vs eager executor. Shapes cover filters, projections with scalar
+exprs, grouped/global aggregates (all functions, DISTINCT), HAVING, sorts
+with mixed directions, LIMIT/OFFSET, DISTINCT, unique- and non-unique-side
+joins, set operations, and window functions — the full compiled-segment
+surface. Results must match exactly (rows as multisets when unordered)."""
+
+import random
+
+import numpy as np
+import pytest
+
+import query_engine_tpu  # noqa: F401
+from query_engine_tpu.engine.session import Session
+
+N_QUERIES = 120
+
+
+def make_session(compiled: bool) -> Session:
+    rng = np.random.default_rng(42)
+    n, m = 700, 50
+    s = Session()
+    k = [int(x) if ok else None for x, ok in
+         zip(rng.integers(0, 20, n), rng.random(n) > 0.08)]
+    v = [int(x) if ok else None for x, ok in
+         zip(rng.integers(-500, 500, n), rng.random(n) > 0.08)]
+    f = [round(float(x), 3) if ok else None for x, ok in
+         zip(rng.normal(0, 100, n), rng.random(n) > 0.05)]
+    strs = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    sv = [strs[i] if ok else None for i, ok in
+          zip(rng.integers(0, 5, n), rng.random(n) > 0.1)]
+    s.register_table("t1", {
+        "id": list(range(n)), "k": k, "v": v, "f": f, "s": sv,
+    })
+    s.register_table("t2", {
+        "k": list(range(20)),  # unique build side
+        "w": [int(x) for x in rng.integers(0, 100, 20)],
+        "lbl": [strs[i % 5] for i in range(20)],
+    })
+    s.register_table("t3", {  # non-unique on k
+        "k": [int(x) for x in rng.integers(0, 20, m)],
+        "u": [int(x) for x in rng.integers(0, 10, m)],
+    })
+    s.executor._compiled = compiled
+    return s
+
+
+PREDICATES = [
+    "v > 0", "k < 10", "f IS NOT NULL", "s = 'alpha'", "v % 3 = 0",
+    "k IS NULL", "v BETWEEN -100 AND 250", "s IN ('beta', 'gamma')",
+    "ABS(f) < 50", "k > 5 AND v < 100", "v > 200 OR k = 3",
+    "s LIKE 'a%'", "CASE WHEN k > 10 THEN v ELSE -v END > 0",
+]
+PROJ = [
+    "id", "k", "v", "f", "s", "v + k", "v * 2", "ABS(v)",
+    "COALESCE(v, 0)", "CASE WHEN v > 0 THEN 'p' ELSE 'n' END",
+    "UPPER(s)", "LENGTH(s)", "v / 10",
+]
+AGGS = [
+    "COUNT(*)", "COUNT(v)", "SUM(v)", "AVG(v)", "MIN(v)", "MAX(v)",
+    "MIN(f)", "MAX(f)", "AVG(f)", "COUNT(DISTINCT v)", "MIN(s)", "MAX(s)",
+]
+GROUPS = ["k", "s", "k % 4", "v % 5"]
+WINDOWS = [
+    "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS w1",
+    "RANK() OVER (ORDER BY v DESC) AS w1",
+    "LAG(v, 1) OVER (PARTITION BY s ORDER BY id) AS w1",
+    "SUM(1) OVER ()" if False else
+    "DENSE_RANK() OVER (PARTITION BY k ORDER BY f) AS w1",
+]
+
+
+def gen_query(rnd: random.Random) -> tuple:
+    """Returns (sql, ordered: bool)."""
+    shape = rnd.random()
+    where = f" WHERE {rnd.choice(PREDICATES)}" if rnd.random() < 0.7 else ""
+    if shape < 0.30:  # select/filter/sort/limit
+        cols = ", ".join(rnd.sample(PROJ, rnd.randint(1, 4)))
+        q = f"SELECT {cols} FROM t1{where}"
+        ordered = False
+        if rnd.random() < 0.7:
+            q += " ORDER BY id" if "id" in cols else " ORDER BY 1"
+            ordered = True
+        if rnd.random() < 0.4:
+            q += f" LIMIT {rnd.randint(1, 40)}"
+            if rnd.random() < 0.5:
+                q += f" OFFSET {rnd.randint(0, 10)}"
+        # LIMIT without ORDER BY picks implementation-defined rows -> both
+        # engines agree (same input order) so exact compare still holds
+        return q, ordered
+    if shape < 0.55:  # aggregate
+        g = rnd.choice(GROUPS)
+        aggs = ", ".join(rnd.sample(AGGS, rnd.randint(1, 3)))
+        having = " HAVING COUNT(*) > 1" if rnd.random() < 0.3 else ""
+        q = (f"SELECT {g} AS gk, {aggs} FROM t1{where} "
+             f"GROUP BY {g}{having}")
+        if rnd.random() < 0.6:
+            q += " ORDER BY gk"
+        return q, False
+    if shape < 0.70:  # join (unique or non-unique side)
+        tbl = rnd.choice(["t2", "t3"])
+        jt = rnd.choice(["JOIN", "LEFT JOIN"])
+        cols = "t1.id, t1.v, b.k" + (", b.w" if tbl == "t2" else ", b.u")
+        # only predicates over columns that stay unambiguous after the join
+        safe = [p for p in PREDICATES if "k" not in p.replace("k =", "k=")
+                .split() and " k " not in f" {p} " and not p.startswith("k")]
+        jwhere = f" WHERE {rnd.choice(safe)}" if rnd.random() < 0.6 else ""
+        q = f"SELECT {cols} FROM t1 {jt} {tbl} b ON t1.k = b.k{jwhere}"
+        return q, False
+    if shape < 0.78:  # join + aggregate
+        q = (f"SELECT b.k AS gk, COUNT(*), SUM(t1.v) FROM t1 "
+             f"JOIN t2 b ON t1.k = b.k{' WHERE t1.v > 0' if rnd.random() < 0.5 else ''} "
+             f"GROUP BY b.k ORDER BY gk")
+        return q, False
+    if shape < 0.88:  # set ops
+        op = rnd.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        p1, p2 = rnd.sample(PREDICATES[:8], 2)
+        q = (f"SELECT k, v FROM t1 WHERE {p1} {op} "
+             f"SELECT k, v FROM t1 WHERE {p2}")
+        return q, False
+    if shape < 0.94:  # window
+        w = rnd.choice(WINDOWS)
+        q = f"SELECT id, v, {w} FROM t1{where} ORDER BY id"
+        return q, True
+    # distinct
+    cols = rnd.choice(["k", "s", "k, s"])
+    q = f"SELECT DISTINCT {cols} FROM t1{where}"
+    return q, False
+
+
+def _key(row):
+    return tuple(
+        (x is None, repr(type(x)), x if x is not None else 0) for x in row
+    )
+
+
+@pytest.fixture(scope="module")
+def sessions():
+    return make_session(True), make_session(False)
+
+
+@pytest.mark.parametrize("seed", range(N_QUERIES))
+def test_fuzz_compiled_vs_eager(sessions, seed):
+    rnd = random.Random(seed)
+    q, ordered = gen_query(rnd)
+    fast, slow = sessions
+    a = fast.sql(q)
+    b = slow.sql(q)
+    assert a.schema.names() == b.schema.names(), q
+    ra, rb = a.to_pylist(), b.to_pylist()
+    if not ordered:
+        ra, rb = sorted(ra, key=_key), sorted(rb, key=_key)
+    assert ra == rb, q
