@@ -458,6 +458,13 @@ class QueryExecutor:
                 arg_dict = None
             else:
                 av = self.evaluator.eval(agg.expr, batch)
+                if (
+                    av.dtype.kind.name == "DECIMAL128"
+                    and func is lp.AggFunc.AVG
+                ):
+                    from query_engine_tpu.engine.expr_eval import _descale
+
+                    av = _descale(av)  # mean of scaled ints is not the mean
                 data, validity, arg_dict = av.data, av.validity, av.dictionary
                 fname = func.value.lower()
             distinct_first = None

@@ -245,6 +245,47 @@ def _temporal_split(v: "Val"):
     return days, data - days * _US_DAY
 
 
+def _dec_scale(t: DataType) -> int:
+    return t.params[1] if t.params else 0
+
+
+def _descale(v: "Val") -> "Val":
+    """Decimal scaled-int plane -> float64 value plane."""
+    s = _dec_scale(v.dtype)
+    return Val(
+        v.data.astype(jnp.float64) / (10.0 ** s), v.validity,
+        DataType.float64(),
+    )
+
+
+def _coerce_decimals(op, l: "Val", r: "Val"):
+    """Scale-aware decimal arithmetic/comparison (the stored lane is an
+    int64 scaled by 10^scale). Division or a float operand descales to
+    float64; otherwise both sides become int64 planes at the RESULT scale
+    (max for add/sub/mod/compare; untouched for mul, whose scales add) so
+    the generic integer path computes the correctly-scaled plane."""
+    l_dec = l.dtype.kind is TypeKind.DECIMAL128
+    r_dec = r.dtype.kind is TypeKind.DECIMAL128
+    if not (l_dec or r_dec):
+        return l, r
+    if op is lp.BinOp.DIV or l.dtype.is_float or r.dtype.is_float:
+        return (_descale(l) if l_dec else l), (_descale(r) if r_dec else r)
+    s1 = _dec_scale(l.dtype) if l_dec else 0
+    s2 = _dec_scale(r.dtype) if r_dec else 0
+    if op is lp.BinOp.MUL:
+        tgt1, tgt2 = s1, s2  # result scale = s1 + s2, no rescaling needed
+    else:
+        tgt1 = tgt2 = max(s1, s2)
+
+    def rescale(v, frm, to):
+        d = v.data.astype(jnp.int64)
+        if to > frm:
+            d = d * (10 ** (to - frm))
+        return Val(d, v.validity, DataType.int64())
+
+    return rescale(l, s1, tgt1), rescale(r, s2, tgt2)
+
+
 _ARITH = {lp.BinOp.ADD, lp.BinOp.SUB, lp.BinOp.MUL, lp.BinOp.DIV, lp.BinOp.MOD}
 _CMP = {lp.BinOp.EQ, lp.BinOp.NEQ, lp.BinOp.LT, lp.BinOp.LTE, lp.BinOp.GT, lp.BinOp.GTE}
 
@@ -345,6 +386,7 @@ class Evaluator:
         # temporal column vs string literal: parse the literal as a date/
         # timestamp so WHERE d > '2024-01-01' works
         l, r = _coerce_temporal_literal(l, r)
+        l, r = _coerce_decimals(op, l, r)
         if l.dictionary is not None or r.dictionary is not None:
             # string comparison via merged sorted dictionary -> code compare
             if op not in _CMP:
@@ -508,8 +550,20 @@ class Evaluator:
             return Val(v.data.astype(bool), v.validity, t)
         if t.kind is TypeKind.DECIMAL128 and t.params:
             scale = t.params[1]
-            scaled = jnp.round(v.data.astype(jnp.float64) * (10 ** scale))
+            src = (
+                _descale(v).data if v.dtype.kind is TypeKind.DECIMAL128
+                else v.data.astype(jnp.float64)
+            )
+            scaled = jnp.round(src * (10 ** scale))
             return Val(scaled.astype(jnp.int64), v.validity, t)
+        if v.dtype.kind is TypeKind.DECIMAL128:
+            f = _descale(v)
+            if t.is_float:
+                return Val(f.data.astype(jnp.dtype(np_t)), v.validity, t)
+            # toward zero, like PG numeric -> int casts truncate? PG rounds;
+            # round half away from zero for parity with our ROUND
+            d = jnp.sign(f.data) * jnp.floor(jnp.abs(f.data) + 0.5)
+            return Val(d.astype(jnp.dtype(np_t)), v.validity, t)
         return Val(v.data.astype(jnp.dtype(np_t)), v.validity, t)
 
     # ---- scalar functions ----------------------------------------------
@@ -552,6 +606,8 @@ class Evaluator:
             return Val(jnp.abs(v.data), v.validity, v.dtype)
         if f in (F.CEIL, F.FLOOR, F.SQRT):
             v = args[0]
+            if v.dtype.kind is TypeKind.DECIMAL128:
+                v = _descale(v)
             x = v.data.astype(jnp.float64)
             fn = {F.CEIL: jnp.ceil, F.FLOOR: jnp.floor, F.SQRT: jnp.sqrt}[f]
             out = fn(x)
@@ -561,6 +617,8 @@ class Evaluator:
             return Val(out, valid, DataType.float64())
         if f is F.ROUND:
             v = args[0]
+            if v.dtype.kind is TypeKind.DECIMAL128:
+                v = _descale(v)
             x = v.data.astype(jnp.float64)
             if len(args) > 1:
                 nd = int(self._literal_num(args[1], "ROUND"))

@@ -1081,6 +1081,13 @@ class CompiledPipeline:
                 arg_dict = None
             else:
                 av = ex.evaluator.eval(agg.expr, shim)
+                if (
+                    av.dtype.kind.name == "DECIMAL128"
+                    and agg.func is lp.AggFunc.AVG
+                ):
+                    from query_engine_tpu.engine.expr_eval import _descale
+
+                    av = _descale(av)
                 data, validity, arg_dict = av.data, av.validity, av.dictionary
                 fname = func.value.lower()
             distinct_first = None

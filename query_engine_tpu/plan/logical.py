@@ -136,6 +136,26 @@ def coerce_numeric(l: DataType, r: DataType) -> DataType:
     return DataType.int64()
 
 
+def _dec_scale(t: DataType) -> int:
+    return t.params[1] if t.params else 0
+
+
+def coerce_arith(op: "BinOp", l: DataType, r: DataType) -> DataType:
+    """Arithmetic result type. Decimals follow PG-style scale rules:
+    add/sub/mod keep max scale, mul adds scales, div (and any float
+    operand) goes to float64."""
+    l_dec = l.kind is TypeKind.DECIMAL128
+    r_dec = r.kind is TypeKind.DECIMAL128
+    if l_dec or r_dec:
+        if op is BinOp.DIV or l.is_float or r.is_float:
+            return DataType.float64()
+        s1 = _dec_scale(l) if l_dec else 0
+        s2 = _dec_scale(r) if r_dec else 0
+        scale = s1 + s2 if op is BinOp.MUL else max(s1, s2)
+        return DataType.decimal128(38, scale)
+    return coerce_numeric(l, r)
+
+
 @dataclass
 class BinaryExpr(LogicalExpr):
     left: LogicalExpr
@@ -152,7 +172,7 @@ class BinaryExpr(LogicalExpr):
             if lt.is_dictionary or rt.is_dictionary:
                 self.dtype = DataType.utf8()
             else:
-                self.dtype = coerce_numeric(lt, rt)
+                self.dtype = coerce_arith(self.op, lt, rt)
         self.nullable = self.left.nullable or self.right.nullable
 
     def name(self) -> str:
@@ -202,7 +222,10 @@ class AggregateExpr(LogicalExpr):
             self.dtype = DataType.float64()
         elif f is AggFunc.SUM:
             t = self.expr.dtype
-            self.dtype = DataType.float64() if t.is_float else DataType.int64()
+            if t.kind is TypeKind.DECIMAL128:
+                self.dtype = t  # scaled-int sum keeps the scale
+            else:
+                self.dtype = DataType.float64() if t.is_float else DataType.int64()
         else:  # MIN/MAX keep input type
             self.dtype = self.expr.dtype
         if f is not AggFunc.COUNT:
