@@ -145,27 +145,31 @@ def ensure_device(batch: ColumnBatch) -> ColumnBatch:
     return batch
 
 
-def _col_unique(col, num_rows: int) -> bool:
-    """Cached: are the column's live valid values all distinct? Subsetting
-    (filter/limit/distinct) preserves uniqueness, so the stat computed on a
-    leaf batch stays valid anywhere above it in the plan. Drives the static
-    join-emit bound: probing a unique build side yields <= one match per
-    probe row."""
-    cached = getattr(col, "_qe_unique", None)
+def _col_max_dup(col, num_rows: int) -> int:
+    """Cached: maximum multiplicity of any live valid value in the column
+    (1 == unique). Subsetting (filter/limit/distinct) can only shrink
+    multiplicities, so the stat computed on a leaf batch stays a valid
+    bound anywhere above it in the plan. Drives the static join-emit bound:
+    probing a side with max-dup d yields <= d matches per probe row."""
+    cached = getattr(col, "_qe_max_dup", None)
     if cached is not None and cached[0] == num_rows:
         return cached[1]
     host = np.asarray(col.data)[:num_rows]
     valid = np.asarray(col.validity)[:num_rows]
     vals = host[valid]
-    u = bool(len(np.unique(vals)) == len(vals))
-    col._qe_unique = (num_rows, u)
-    return u
+    if len(vals):
+        _, counts = np.unique(vals, return_counts=True)
+        d = int(counts.max())
+    else:
+        d = 1
+    col._qe_max_dup = (num_rows, d)
+    return d
 
 
-def _cols_unique(batch, idxs) -> bool:
-    """Multi-column variant of _col_unique: are the live fully-valid key
-    TUPLES distinct? (lexsort + adjacent compare; cached per batch)."""
-    cache = getattr(batch.columns[idxs[0]], "_qe_tuple_unique", None)
+def _cols_max_dup(batch, idxs) -> int:
+    """Multi-column variant of _col_max_dup: max multiplicity of any live
+    fully-valid key TUPLE (lexsort + run length; cached per batch)."""
+    cache = getattr(batch.columns[idxs[0]], "_qe_tuple_max_dup", None)
     key = (tuple(idxs), batch.num_rows)
     if cache is not None and key in cache:
         return cache[key]
@@ -176,20 +180,34 @@ def _cols_unique(batch, idxs) -> bool:
         planes.append(np.asarray(c.data)[:n])
         valid &= np.asarray(c.validity)[:n]
     rows = [p[valid] for p in planes]
-    if rows and len(rows[0]):
+    if rows and len(rows[0]) > 1:
         order = np.lexsort(rows[::-1])
         srt = [r[order] for r in rows]
         eq = np.ones(len(order) - 1, dtype=bool)
         for r in srt:
             eq &= r[1:] == r[:-1]
-        u = not eq.any()
+        # longest run of equal adjacent tuples + 1
+        d, run = 1, 1
+        # vectorized: run lengths from the boundary positions
+        bounds = np.flatnonzero(~eq)
+        run_lens = np.diff(np.concatenate([[-1], bounds, [len(eq)]]))
+        d = int(run_lens.max())
     else:
-        u = True
+        d = 1
     if cache is None:
         cache = {}
-        batch.columns[idxs[0]]._qe_tuple_unique = cache
-    cache[key] = bool(u)
-    return bool(u)
+        batch.columns[idxs[0]]._qe_tuple_max_dup = cache
+    cache[key] = d
+    return d
+
+
+def _dup_bucket(d: int):
+    """Bucket a max-duplication stat to {1,2,4,8,16}; above that the emit
+    capacity blowup isn't worth it (demote to eager count-then-emit)."""
+    for b in (1, 2, 4, 8, 16):
+        if d <= b:
+            return b
+    return None
 
 
 def _proj_bounds(e: "lp.LogicalExpr", t: _TTable):
@@ -363,17 +381,21 @@ class CompiledPipeline:
             leaves = [self._materialize_leaf(n) for n in leaf_nodes]
             batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
 
-            # resolve join uniqueness stats; demote joins with no unique side
+            # resolve join duplication stats; demote unboundable joins
             res = {}
             sides = []
             demoted = False
             for jnode, lprov, rprov in ctx.checks:
+                dl = self._prov_max_dup(lprov, batch_by_node)
+                dr = self._prov_max_dup(rprov, batch_by_node)
                 side = None
-                if self._prov_unique_multi(rprov, batch_by_node):
-                    side = "R"  # prefer the right (build) side
-                elif self._prov_unique_multi(lprov, batch_by_node):
-                    side = "L"
-                if side is None:
+                # prefer the right (build) side on ties; bucket to pow2 so
+                # data drift within a bucket reuses the program
+                if dr is not None and (dl is None or dr <= dl):
+                    side = ("R", _dup_bucket(dr))
+                elif dl is not None:
+                    side = ("L", _dup_bucket(dl))
+                if side is None or side[1] is None:
                     forced.add(id(jnode))
                     demoted = True
                 else:
@@ -596,14 +618,16 @@ class CompiledPipeline:
         raise _Unsupported(type(plan).__name__)
 
     def _plan_key_join(self, plan: pp.PHashJoin, ctx):
-        """A join joins the segment when one side's equi-key is statically
-        unique: the emit size is then bounded by the other side's capacity
-        (<=1 match per probe row), so no count sync is needed. Uniqueness
-        comes from a GROUP BY above the key (structural) or a cached
-        distinct-count stat on the leaf column (conservative under the
-        filters/sorts/limits between leaf and join — subsets stay unique).
-        Joins with no unique side are demoted to eager leaves by the
-        try_execute loop (the segment above them still compiles)."""
+        """A join joins the segment when one side's key multiplicity is
+        statically bounded: with max-dup d on the build side the emit size
+        is <= d * probe rows — a static capacity, so no count sync is
+        needed (d == 1 is the unique/FK case). The bound comes from a GROUP
+        BY above the key (structural, d=1) or a cached multiplicity stat on
+        the leaf column (valid under the filters/sorts/limits between leaf
+        and join — subsets only shrink multiplicities). Joins with no
+        bounded side (d > 16 or unknown provenance) are demoted to eager
+        leaves by the try_execute loop (the segment above still compiles).
+        """
         if plan.join_type is lp.JoinType.CROSS or not plan.key_pairs:
             raise _Unsupported("cross join")
         for le, re_ in plan.key_pairs:
@@ -618,7 +642,7 @@ class CompiledPipeline:
             plan.right, [re_ for _, re_ in plan.key_pairs], ctx
         )
         if lprov is None and rprov is None:
-            raise _Unsupported("no statically unique join side")
+            raise _Unsupported("no statically bounded join side")
         lbody, lleaves, ln = self._child(plan.left, ctx)
         rbody, rleaves, rn = self._child(plan.right, ctx)
         ctx.checks.append((plan, lprov, rprov))
@@ -669,21 +693,7 @@ class CompiledPipeline:
             return None
         return ("stat_multi", provs[0][1], tuple(p[2] for p in provs))
 
-    def _prov_unique_multi(self, prov, batch_by_node) -> bool:
-        if prov is None:
-            return False
-        if prov[0] == "stat_multi":
-            _, node, idxs = prov
-            b = batch_by_node.get(id(node))
-            if b is None:
-                if isinstance(node, pp.PScan):
-                    b = self._materialize_leaf(node)
-                else:
-                    return False
-            if any(i >= b.num_columns for i in idxs):
-                return False
-            return _cols_unique(b, list(idxs))
-        return self._prov_unique(prov, batch_by_node)
+
 
     def _unique_prov(self, plan, key_expr, ctx):
         """Provenance of a join-key expr: ("unique",) if unique by
@@ -725,21 +735,29 @@ class CompiledPipeline:
             # opaque boundary (join/set-op/...): stat on its output batch
             return ("stat", node, idx)
 
-    def _prov_unique(self, prov, batch_by_node) -> bool:
+    def _prov_max_dup(self, prov, batch_by_node):
+        """-> max key multiplicity for this provenance, or None."""
         if prov is None:
-            return False
+            return None
         if prov[0] == "unique":
-            return True
+            return 1
+        if prov[0] == "stat_multi":
+            _, node, idxs = prov
+            b = self._prov_batch(node, batch_by_node)
+            if b is None or any(i >= b.num_columns for i in idxs):
+                return None
+            return _cols_max_dup(b, list(idxs))
         _, node, idx = prov
+        b = self._prov_batch(node, batch_by_node)
+        if b is None or idx >= b.num_columns:
+            return None
+        return _col_max_dup(b.columns[idx], b.num_rows)
+
+    def _prov_batch(self, node, batch_by_node):
         b = batch_by_node.get(id(node))
-        if b is None:
-            if isinstance(node, pp.PScan):
-                b = self._materialize_leaf(node)  # cheap: stored batch
-            else:
-                return False
-        if idx >= b.num_columns:
-            return False
-        return _col_unique(b.columns[idx], b.num_rows)
+        if b is None and isinstance(node, pp.PScan):
+            b = self._materialize_leaf(node)  # cheap: stored batch
+        return b
 
     def _materialize_leaf(self, node) -> ColumnBatch:
         if isinstance(node, pp.PScan):
@@ -822,19 +840,23 @@ class CompiledPipeline:
         ex = self.executor
         lt = self._trace(plan.left, tables, leaf_ids, res)
         rt = self._trace(plan.right, tables, leaf_ids, res)
-        side = (res or {}).get(id(plan))
-        if side is None:
+        resolution = (res or {}).get(id(plan))
+        if resolution is None:
             raise _Unsupported("join resolution missing")
+        side, dup = resolution
         jt = plan.join_type
         cap_l, cap_r = lt.capacity, rt.capacity
 
-        # static emit bound from the unique side
-        if side == "R" and jt in (lp.JoinType.INNER, lp.JoinType.LEFT):
-            out_cap = cap_l
-        elif side == "L" and jt is lp.JoinType.INNER:
-            out_cap = cap_r
-        else:  # outer joins touching the non-unique side's unmatched rows
-            out_cap = cap_l + cap_r
+        # static emit bound: each probe-side row contributes <= max(dup, 1)
+        # outputs (its matches, or its single outer-pad row), so probe_cap *
+        # dup covers INNER plus the probe side's outer rows; outer rows from
+        # the BOUNDED side need their own slots on top.
+        probe_cap = cap_l if side == "R" else cap_r
+        out_cap = probe_cap * dup
+        if side == "R" and jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+            out_cap += cap_r
+        if side == "L" and jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+            out_cap += cap_l
 
         from query_engine_tpu.engine.expr_eval import unify_dicts
 

@@ -169,3 +169,36 @@ def test_pipeline_after_dml():
     s.sql("INSERT INTO t VALUES (4, 40)")
     assert s.sql("SELECT x FROM t WHERE y >= 20 ORDER BY x DESC").to_pylist() \
         == [(4,), (3,), (2,)]
+
+
+def test_bounded_dup_join_emit_capacity():
+    """Joins with a bounded-duplication (non-unique) side compile with a
+    static emit capacity; covers the bounded-LEFT outer-join bound where
+    the right side is larger than the left."""
+    s = make_session(True)
+    # left: small, k duplicated twice; right: bigger, k heavily duplicated
+    s.register_table("lt", {
+        "k": [1, 1, 2, 2, 3], "a": [10, 11, 20, 21, 30],
+    })
+    s.register_table("rt", {
+        "k": [1, 2, 2, 9] * 60,  # dup 180 on k=2 -> right side unboundable
+        "b": list(range(240)),
+    })
+    e = make_session(False)
+    e.register_table("lt", {
+        "k": [1, 1, 2, 2, 3], "a": [10, 11, 20, 21, 30],
+    })
+    e.register_table("rt", {
+        "k": [1, 2, 2, 9] * 60, "b": list(range(240)),
+    })
+    for q in [
+        "SELECT lt.a, rt.b FROM rt JOIN lt ON rt.k = lt.k ORDER BY rt.b, lt.a",
+        "SELECT lt.a, rt.b FROM lt RIGHT JOIN rt ON lt.k = rt.k "
+        "ORDER BY rt.b, lt.a",
+        "SELECT lt.a, rt.b FROM rt LEFT JOIN lt ON rt.k = lt.k "
+        "ORDER BY rt.b, lt.a",
+        "SELECT lt.a, rt.b FROM lt FULL JOIN rt ON lt.k = rt.k "
+        "ORDER BY lt.a, rt.b",
+    ]:
+        assert s.sql(q).to_pylist() == e.sql(q).to_pylist(), q
+    assert s.executor.pipeline.stats["compiles"] >= 3
