@@ -100,6 +100,46 @@ def _shim_batch(schema, datas, valids, dtypes, dicts) -> "_ShimBatch":
     return _ShimBatch(schema, cols, datas[0].shape[0])
 
 
+def classify_window_frame(frame, has_order: bool):
+    """Map an ast.WindowFrame (or None) onto the kernel's frame descriptor.
+    PG defaults: no frame + ORDER BY => RANGE UNBOUNDED PRECEDING..CURRENT
+    ROW (current row and its peers); no ORDER BY => whole partition."""
+    if frame is None:
+        return ("range_current",) if has_order else ("partition",)
+    start, end = frame.start, frame.end
+    mode = frame.mode.value if hasattr(frame.mode, "value") else str(frame.mode)
+    if mode == "RANGE":
+        if not (start.kind == "PRECEDING" and start.offset is None):
+            raise ExecutionError(
+                "RANGE frames support UNBOUNDED PRECEDING starts only"
+            )
+        if end is None or end.kind == "CURRENT":
+            return ("range_current",)
+        if end.kind == "FOLLOWING" and end.offset is None:
+            return ("partition",)
+        raise ExecutionError("unsupported RANGE frame end")
+    # ROWS
+    if start.kind == "CURRENT":
+        s_off = 0
+    elif start.kind == "PRECEDING":
+        s_off = None if start.offset is None else int(start.offset)
+    else:
+        raise ExecutionError("FOLLOWING frame starts not supported")
+    if end is None or end.kind == "CURRENT":
+        e_off = 0
+    elif end.kind == "FOLLOWING":
+        e_off = None if end.offset is None else int(end.offset)
+    else:
+        raise ExecutionError("PRECEDING frame ends not supported")
+    return ("rows", s_off, e_off)
+
+
+_WINDOW_AGGS = {
+    lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.AVG,
+    lp.WindowFn.MIN, lp.WindowFn.MAX,
+}
+
+
 class QueryExecutor:
     """Executes physical plans against in-memory/device tables."""
 
@@ -707,6 +747,35 @@ class QueryExecutor:
                     svals = jnp.where(svalid, svals, dv.data[perm])
                     svalid = svalid | dv.validity[perm]
                 out_dict = av.dictionary
+            elif fn in _WINDOW_AGGS:
+                if wexpr.args:
+                    av = self.evaluator.eval(wexpr.args[0], batch)
+                    if (
+                        av.dtype.kind.name == "DECIMAL128"
+                        and fn is lp.WindowFn.AVG
+                    ):
+                        from query_engine_tpu.engine.expr_eval import _descale
+
+                        av = _descale(av)
+                    vals, vok = av.data[perm], av.validity[perm]
+                    if fn in (lp.WindowFn.MIN, lp.WindowFn.MAX):
+                        out_dict = av.dictionary
+                    fname = fn.value.lower()
+                else:
+                    vals = vok = None
+                    fname = "count_star"
+                fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
+                if (
+                    fn in (lp.WindowFn.MIN, lp.WindowFn.MAX)
+                    and fdesc[0] == "rows" and fdesc[1] is not None
+                ):
+                    raise ExecutionError(
+                        "window MIN/MAX requires an UNBOUNDED PRECEDING start"
+                    )
+                svals, svalid = K.window_aggregate_sorted(
+                    fname, vals, vok, seg_change, peer_change, pad_sorted,
+                    fdesc,
+                )
             elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
                 av = self.evaluator.eval(wexpr.args[0], batch)
                 sd, sv = av.data[perm], av.validity[perm]

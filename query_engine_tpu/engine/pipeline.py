@@ -1263,6 +1263,40 @@ class CompiledPipeline:
                     svals = jnp.where(svalid, svals, dv.data[perm])
                     svalid = svalid | dv.validity[perm]
                 out_dict = av.dictionary
+            elif fn in (lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.AVG,
+                        lp.WindowFn.MIN, lp.WindowFn.MAX):
+                from query_engine_tpu.engine.executor import (
+                    classify_window_frame,
+                )
+
+                if wexpr.args:
+                    av = ex.evaluator.eval(wexpr.args[0], shim)
+                    if (
+                        av.dtype.kind.name == "DECIMAL128"
+                        and fn is lp.WindowFn.AVG
+                    ):
+                        from query_engine_tpu.engine.expr_eval import _descale
+
+                        av = _descale(av)
+                    wvals, wok = av.data[perm], av.validity[perm]
+                    if fn in (lp.WindowFn.MIN, lp.WindowFn.MAX):
+                        out_dict = av.dictionary
+                    fname = fn.value.lower()
+                else:
+                    wvals = wok = None
+                    fname = "count_star"
+                fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
+                if (
+                    fn in (lp.WindowFn.MIN, lp.WindowFn.MAX)
+                    and fdesc[0] == "rows" and fdesc[1] is not None
+                ):
+                    raise ExecutionError(
+                        "window MIN/MAX requires an UNBOUNDED PRECEDING start"
+                    )
+                svals, svalid = K.window_aggregate_sorted(
+                    fname, wvals, wok, seg_change, peer_change, pad_sorted,
+                    fdesc,
+                )
             elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
                 av = ex.evaluator.eval(wexpr.args[0], shim)
                 sd, sv = av.data[perm], av.validity[perm]

@@ -760,6 +760,105 @@ def ntile_sorted(seg_change: jnp.ndarray, n_tiles, pad_sorted) -> jnp.ndarray:
     return bucket + 1
 
 
+def _segment_running_extreme(
+    vals: jnp.ndarray, ok: jnp.ndarray, seg_change: jnp.ndarray, is_min: bool
+) -> jnp.ndarray:
+    """Running min/max within segments (segmented scan via associative_scan
+    over (reset-flag, value) pairs)."""
+    if jnp.issubdtype(vals.dtype, jnp.floating):
+        x = vals.astype(jnp.float64)
+        neutral = jnp.float64(np.inf if is_min else -np.inf)
+    else:
+        x = vals.astype(jnp.int64)
+        neutral = _INT_MAX if is_min else _INT_MIN
+    x = jnp.where(ok, x, neutral)
+    pick = jnp.minimum if is_min else jnp.maximum
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, pick(va, vb))
+
+    _, out = jax.lax.associative_scan(combine, (seg_change, x))
+    return out
+
+
+def window_aggregate_sorted(
+    func: str,                      # count_star|count|sum|avg|min|max
+    vals: Optional[jnp.ndarray],    # sorted order; None for count_star
+    ok: Optional[jnp.ndarray],      # validity in sorted order
+    seg_change: jnp.ndarray,
+    peer_change: jnp.ndarray,
+    pad_sorted: jnp.ndarray,
+    frame,                          # ("partition",) | ("range_current",) |
+                                    # ("rows", start, end): None=UNBOUNDED,
+                                    # int = row offset (0 = CURRENT ROW)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregate window functions over rows already in window order:
+    running totals and rolling frames as prefix-sum differences; MIN/MAX as
+    a segmented scan (unbounded start) or per-segment reduce (whole
+    partition). Returns (values, valid) in sorted order.
+
+    Beyond the reference: its WindowFunctionType has no aggregate members
+    (ast.rs:236-245) and its executor passes windows through unchanged."""
+    cap = seg_change.shape[0]
+    i32 = jnp.arange(cap, dtype=jnp.int32)
+    live = ~pad_sorted
+    ok_live = live if (ok is None or vals is None) else (ok & live)
+    seg_start = _seg_start_pos(seg_change)
+    seg_end = _seg_end_pos(seg_change)
+
+    kind = frame[0]
+    if kind == "partition":
+        lo, hi = seg_start, seg_end
+    elif kind == "range_current":
+        lo, hi = seg_start, _seg_end_pos(peer_change)
+    else:
+        _, s_off, e_off = frame
+        lo = seg_start if s_off is None else jnp.maximum(i32 - s_off, seg_start)
+        hi = seg_end if e_off is None else jnp.minimum(i32 + e_off, seg_end)
+    empty = hi < lo
+
+    def frame_range(P):
+        lo_prev = jnp.where(lo > 0, P[jnp.clip(lo - 1, 0, cap - 1)], 0)
+        return P[jnp.clip(hi, 0, cap - 1)] - lo_prev
+
+    cnt = jnp.where(
+        empty, 0, frame_range(jnp.cumsum(ok_live.astype(jnp.int64)))
+    )
+    if func in ("count", "count_star"):
+        return cnt, jnp.ones(cap, dtype=bool)
+    assert vals is not None
+    if func in ("sum", "avg"):
+        acc_t = (
+            jnp.float64 if jnp.issubdtype(vals.dtype, jnp.floating)
+            else jnp.int64
+        )
+        x = jnp.where(ok_live, vals.astype(acc_t), jnp.zeros((), acc_t))
+        ssum = jnp.where(empty, 0, frame_range(jnp.cumsum(x)))
+        if func == "avg":
+            return (
+                ssum.astype(jnp.float64) / jnp.maximum(cnt, 1).astype(jnp.float64),
+                cnt > 0,
+            )
+        return ssum, cnt > 0
+    # min / max
+    is_min = func == "min"
+    whole = kind == "partition" or (
+        kind == "rows" and frame[1] is None and frame[2] is None
+    )
+    if whole:
+        seg32 = (jnp.cumsum(seg_change.astype(jnp.int32)) - 1)
+        per_seg = _segment_extreme(vals, ok_live, seg32, cap, is_min)
+        return per_seg[seg32], cnt > 0
+    if kind == "rows" and frame[1] is not None:
+        raise ValueError(
+            "window MIN/MAX requires an UNBOUNDED PRECEDING frame start"
+        )
+    run = _segment_running_extreme(vals, ok_live, seg_change, is_min)
+    return run[jnp.clip(hi, 0, cap - 1)], cnt > 0
+
+
 def shift_in_segment(
     values: jnp.ndarray,
     valid: jnp.ndarray,

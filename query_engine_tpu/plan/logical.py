@@ -355,6 +355,17 @@ class WindowFn(enum.Enum):
     LEAD = "LEAD"
     FIRST_VALUE = "FIRST_VALUE"
     LAST_VALUE = "LAST_VALUE"
+    # aggregates over window frames (running totals / rolling windows)
+    SUM = "SUM"
+    COUNT = "COUNT"
+    AVG = "AVG"
+    MIN = "MIN"
+    MAX = "MAX"
+
+
+WINDOW_AGG_FNS = {
+    WindowFn.SUM, WindowFn.COUNT, WindowFn.AVG, WindowFn.MIN, WindowFn.MAX,
+}
 
 
 @dataclass
@@ -382,7 +393,22 @@ class WindowExpr(LogicalExpr):
                          WindowFn.DENSE_RANK, WindowFn.NTILE):
             self.dtype = DataType.int64()
             self.nullable = False
-        else:  # LAG/LEAD/FIRST_VALUE/LAST_VALUE track arg type
+        elif self.func is WindowFn.COUNT:
+            self.dtype = DataType.int64()
+            self.nullable = False
+        elif self.func is WindowFn.AVG:
+            self.dtype = DataType.float64()
+            self.nullable = True
+        elif self.func is WindowFn.SUM:
+            t = self.args[0].dtype
+            if t.kind is TypeKind.DECIMAL128:
+                self.dtype = t
+            else:
+                self.dtype = (
+                    DataType.float64() if t.is_float else DataType.int64()
+                )
+            self.nullable = True
+        else:  # LAG/LEAD/FIRST_VALUE/LAST_VALUE/MIN/MAX track arg type
             self.dtype = self.args[0].dtype if self.args else DataType.int64()
             self.nullable = True
 

@@ -569,8 +569,13 @@ class Planner:
         inner = self.plan_expr(e.expr, scope, ctes)
         return lp.AggregateExpr(func, inner, e.distinct)
 
-    def _plan_window(self, e: ast.WindowFunction, scope, ctes, plan_post_agg):
-        args = [plan_post_agg(a) for a in e.args]
+    def _plan_window(self, e, scope, ctes, plan_post_agg):
+        if isinstance(e, ast.WindowAggregate):
+            if e.distinct:
+                raise PlanError("DISTINCT is not supported in window aggregates")
+            args = [] if e.arg is None else [plan_post_agg(e.arg)]
+        else:
+            args = [plan_post_agg(a) for a in e.args]
         partition_by = [plan_post_agg(p) for p in e.over.partition_by]
         order_by = [
             lp.SortKey(plan_post_agg(ob.expr), ob.asc, ob.nulls_first)
@@ -771,7 +776,7 @@ class Planner:
 
     @classmethod
     def _ast_collect_windows(cls, e: ast.Expr, out: List[ast.Expr]) -> None:
-        if isinstance(e, ast.WindowFunction):
+        if isinstance(e, (ast.WindowFunction, ast.WindowAggregate)):
             out.append(e)
             return
         for c in cls._ast_children(e):
@@ -787,6 +792,10 @@ class Planner:
             return (e.expr,)
         if isinstance(e, ast.Aggregate):
             return (e.expr,)
+        if isinstance(e, ast.WindowAggregate):
+            # NOT an ast.Aggregate: must not trigger GROUP BY detection;
+            # its arg may contain real grouped aggregates (SUM(SUM(x)) OVER)
+            return (e.arg,) if e.arg is not None else ()
         if isinstance(e, (ast.ScalarFunctionCall, ast.UdfCall)):
             return tuple(e.args)
         if isinstance(e, ast.Case):

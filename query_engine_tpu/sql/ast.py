@@ -215,6 +215,18 @@ class WindowSpec:
 
 
 @dataclass(frozen=True)
+class WindowAggregate(Expr):
+    """Aggregate used as a window function: SUM(x) OVER (...) etc.
+    (beyond the reference, whose WindowFunctionType has ranking/offset
+    functions only — ast.rs:236-245)."""
+
+    func: AggregateFunction
+    arg: Optional[Expr]  # None for COUNT(*)
+    distinct: bool
+    over: WindowSpec
+
+
+@dataclass(frozen=True)
 class WindowFunction(Expr):
     func: WindowFunctionType
     args: Tuple[Expr, ...]

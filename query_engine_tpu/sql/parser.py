@@ -662,7 +662,13 @@ class Parser:
             self.expect_op(")")
             return ast.Exists(query, negated=True)
         if t.kind == "KEYWORD" and t.value in _AGG_KWS:
-            return self.parse_aggregate()
+            agg = self.parse_aggregate()
+            if self.cur.is_kw("OVER"):
+                self.advance()
+                over = self.parse_window_spec()
+                arg = None if isinstance(agg.expr, ast.Wildcard) else agg.expr
+                return ast.WindowAggregate(agg.func, arg, agg.distinct, over)
+            return agg
         if t.kind == "KEYWORD" and t.value in _WINDOW_KWS:
             return self.parse_window_function()
         if t.kind == "KEYWORD" and t.value in _SCALAR_KWS:

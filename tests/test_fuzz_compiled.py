@@ -65,8 +65,12 @@ WINDOWS = [
     "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS w1",
     "RANK() OVER (ORDER BY v DESC) AS w1",
     "LAG(v, 1) OVER (PARTITION BY s ORDER BY id) AS w1",
-    "SUM(1) OVER ()" if False else
     "DENSE_RANK() OVER (PARTITION BY k ORDER BY f) AS w1",
+    "SUM(v) OVER (PARTITION BY k ORDER BY id) AS w1",
+    "AVG(v) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w1",
+    "COUNT(v) OVER (PARTITION BY s) AS w1",
+    "MAX(v) OVER (PARTITION BY k ORDER BY id) AS w1",
+    "MIN(f) OVER (ORDER BY id) AS w1",
 ]
 
 
