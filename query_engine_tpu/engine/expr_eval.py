@@ -371,6 +371,12 @@ class Evaluator:
                 )
             return Val(data, valid, DataType.boolean())
 
+        if op in (lp.BinOp.ADD, lp.BinOp.SUB) and (
+            isinstance(e.left, lp.IntervalLiteral)
+            or isinstance(e.right, lp.IntervalLiteral)
+        ):
+            return self._eval_temporal_interval(e, batch)
+
         l = self.eval(e.left, batch)
         r = self.eval(e.right, batch)
 
@@ -453,6 +459,54 @@ class Evaluator:
         else:
             raise ExecutionError(f"unhandled operator {op.value}")
         return Val(data, valid, e.dtype)
+
+    def _eval_temporal_interval(self, e: lp.BinaryExpr, batch) -> Val:
+        """date/timestamp +/- INTERVAL literal. Months use calendar math
+        with day-of-month clamping (Jan 31 + 1 month = Feb 28/29, like PG);
+        days and sub-day micros are direct."""
+        if isinstance(e.right, lp.IntervalLiteral):
+            tv = self.eval(e.left, batch)
+            iv = e.right
+            sign = 1 if e.op is lp.BinOp.ADD else -1
+        else:
+            if e.op is lp.BinOp.SUB:
+                raise ExecutionError("cannot subtract a timestamp from an interval")
+            tv = self.eval(e.right, batch)
+            iv = e.left
+            sign = 1
+        if not tv.dtype.is_temporal:
+            raise ExecutionError(
+                f"interval arithmetic needs a date/timestamp, got {tv.dtype}"
+            )
+        k = tv.dtype.kind
+        if k is TypeKind.DATE32 and iv.micros:
+            raise ExecutionError(
+                "date +/- sub-day interval: cast the date to TIMESTAMP first"
+            )
+        days, tod = _temporal_split(tv)
+        m, d, us = iv.months * sign, iv.days * sign, iv.micros * sign
+        if m:
+            y, mo, dd = _civil_from_days(days)
+            t = y * 12 + (mo - 1) + m
+            y2 = t // 12
+            mo2 = t % 12 + 1
+            nxt_y = jnp.where(mo2 == 12, y2 + 1, y2)
+            nxt_m = jnp.where(mo2 == 12, 1, mo2 + 1)
+            one = jnp.ones_like(y2)
+            dim = _days_from_civil(nxt_y, nxt_m, one) - _days_from_civil(
+                y2, mo2, one
+            )
+            days = _days_from_civil(y2, mo2, jnp.minimum(dd, dim))
+        days = days + d
+        tod = tod + us
+        extra = tod // _US_DAY
+        days = days + extra
+        tod = tod - extra * _US_DAY
+        if k is TypeKind.DATE32:
+            return Val(days.astype(jnp.int32), tv.validity, tv.dtype)
+        if k is TypeKind.DATE64:
+            return Val(days * 86_400_000 + tod // 1000, tv.validity, tv.dtype)
+        return Val(days * _US_DAY + tod, tv.validity, tv.dtype)
 
     def _eval_ts_match(self, l: Val, r: Val, batch: ColumnBatch) -> Val:
         if l.dictionary is None or r.dictionary is None:

@@ -287,6 +287,8 @@ def _expr_key(e: lp.LogicalExpr):
         return ("col", e.index, str(e.dtype))
     if isinstance(e, lp.Literal):
         return ("lit", str(e.value.dtype), repr(e.value.value))
+    if isinstance(e, lp.IntervalLiteral):
+        return ("ival", e.months, e.days, e.micros)
     if isinstance(e, lp.AliasExpr):
         # alias names land in the output schema -> they are part of the key
         return ("as", e.alias, _expr_key(e.expr))

@@ -99,6 +99,24 @@ class Literal(LogicalExpr):
         return "NULL" if v is None else str(v)
 
 
+@dataclass
+class IntervalLiteral(LogicalExpr):
+    """Interval literal carried statically (months, days, micros) — PG's
+    interval triple. Only valid as an operand of temporal +/-; it never
+    materializes a device plane."""
+
+    months: int
+    days: int
+    micros: int
+
+    def __post_init__(self):
+        self.dtype = DataType(TypeKind.INTERVAL)
+        self.nullable = False
+
+    def name(self) -> str:
+        return f"INTERVAL '{self.months}mo {self.days}d {self.micros}us'"
+
+
 class BinOp(enum.Enum):
     ADD = "+"
     SUB = "-"
@@ -141,6 +159,17 @@ def _dec_scale(t: DataType) -> int:
 
 
 def coerce_arith(op: "BinOp", l: DataType, r: DataType) -> DataType:
+    if l.kind is TypeKind.INTERVAL or r.kind is TypeKind.INTERVAL:
+        # temporal +/- interval keeps the temporal type (interval + temporal
+        # commutes); handled before generic coercion
+        other = r if l.kind is TypeKind.INTERVAL else l
+        return other
+    if (
+        op is BinOp.SUB and l.kind is TypeKind.DATE32
+        and r.kind is TypeKind.DATE32
+    ):
+        return DataType.int64()  # date - date -> days (PG integer)
+
     """Arithmetic result type. Decimals follow PG-style scale rules:
     add/sub/mod keep max scale, mul adds scales, div (and any float
     operand) goes to float64."""

@@ -474,6 +474,8 @@ class Planner:
             return lp.Literal(lp.ScalarValue.boolean(e.value))
         if isinstance(e, ast.NullLit):
             return lp.Literal(lp.ScalarValue.null())
+        if isinstance(e, ast.IntervalLit):
+            return lp.IntervalLiteral(e.months, e.days, e.micros)
         if isinstance(e, ast.Param):
             raise PlanError(
                 f"unbound parameter ${e.index} (bind parameters before planning)"

@@ -215,6 +215,16 @@ class WindowSpec:
 
 
 @dataclass(frozen=True)
+class IntervalLit(Expr):
+    """INTERVAL '...' literal, parsed into PG's (months, days, micros)
+    triple at parse time."""
+
+    months: int
+    days: int
+    micros: int
+
+
+@dataclass(frozen=True)
 class WindowAggregate(Expr):
     """Aggregate used as a window function: SUM(x) OVER (...) etc.
     (beyond the reference, whose WindowFunctionType has ranking/offset

@@ -32,6 +32,57 @@ _SCALAR_KWS = {
     "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
     "TO_TSVECTOR", "TO_TSQUERY", "EXTRACT", "DATE_TRUNC",
 }
+_INTERVAL_UNITS = {
+    "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
+    "millisecond": (0, 0, 1000), "milliseconds": (0, 0, 1000),
+    "second": (0, 0, 1_000_000), "seconds": (0, 0, 1_000_000),
+    "minute": (0, 0, 60_000_000), "minutes": (0, 0, 60_000_000),
+    "hour": (0, 0, 3_600_000_000), "hours": (0, 0, 3_600_000_000),
+    "day": (0, 1, 0), "days": (0, 1, 0),
+    "week": (0, 7, 0), "weeks": (0, 7, 0),
+    "month": (1, 0, 0), "months": (1, 0, 0),
+    "year": (12, 0, 0), "years": (12, 0, 0),
+}
+
+
+def _parse_interval(text: str) -> "ast.IntervalLit":
+    """Parse "<n> <unit> [<n> <unit> ...]" or "HH:MM:SS[.ffffff]" into PG's
+    (months, days, micros) triple."""
+    months = days = micros = 0
+    toks = text.strip().split()
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        if ":" in tok:  # HH:MM:SS[.us]
+            parts = tok.split(":")
+            if len(parts) not in (2, 3):
+                raise ParseError(f"bad interval time {tok!r}")
+            h = int(parts[0])
+            m = int(parts[1])
+            sec = float(parts[2]) if len(parts) == 3 else 0.0
+            sign = -1 if tok.startswith("-") else 1
+            micros += sign * (
+                abs(h) * 3_600_000_000 + m * 60_000_000 + int(round(sec * 1e6))
+            )
+            i += 1
+            continue
+        try:
+            n = float(tok) if "." in tok else int(tok)
+        except ValueError:
+            raise ParseError(f"bad interval quantity {tok!r}")
+        if i + 1 >= len(toks):
+            raise ParseError(f"interval quantity {tok!r} needs a unit")
+        unit = toks[i + 1].lower()
+        if unit not in _INTERVAL_UNITS:
+            raise ParseError(f"unknown interval unit {unit!r}")
+        um, ud, uu = _INTERVAL_UNITS[unit]
+        months += int(n * um)
+        days += int(n * ud)
+        micros += int(n * uu)
+        i += 2
+    return ast.IntervalLit(months, days, micros)
+
+
 _TYPE_START_KWS = {
     "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT", "REAL",
     "DOUBLE", "TEXT", "VARCHAR", "CHAR", "BOOLEAN", "BOOL", "DATE",
@@ -638,6 +689,10 @@ class Parser:
         if t.is_kw("NULL"):
             self.advance()
             return ast.NullLit()
+        if t.is_kw("INTERVAL") and self.peek().kind == "STRING":
+            self.advance()
+            text = self.advance().value
+            return _parse_interval(text)
         if t.is_kw("CAST"):
             self.advance()
             self.expect_op("(")
