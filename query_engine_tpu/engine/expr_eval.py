@@ -297,6 +297,9 @@ class Evaluator:
     def __init__(self, subquery_exec=None, udfs=None, params=None):
         self.subquery_exec = subquery_exec
         self.udfs = udfs
+        # trace-time map id(Literal) -> traced scalar (compiled pipelines
+        # parameterize eligible literals so programs are value-independent)
+        self._dyn_literals = None
 
     # ---- public --------------------------------------------------------
     def eval(self, e: lp.LogicalExpr, batch: ColumnBatch) -> Val:
@@ -308,6 +311,16 @@ class Evaluator:
                 e.dtype, col.dictionary,
             )
         if isinstance(e, lp.Literal):
+            if self._dyn_literals is not None:
+                dv = self._dyn_literals.get(id(e))
+                if dv is not None:
+                    dt = {
+                        "b": DataType.boolean(), "i": DataType.int64(),
+                        "f": DataType.float64(),
+                    }[dv.dtype.kind]
+                    return Val(
+                        jnp.full(cap, dv), jnp.ones(cap, dtype=bool), dt
+                    )
             return _bcast(e.value.value, e.value.dtype, cap)
         if isinstance(e, lp.AliasExpr):
             return self.eval(e.expr, batch)

@@ -279,58 +279,103 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
     return not bad
 
 
-def _expr_key(e: lp.LogicalExpr):
+def _mark_static_literals(e: lp.LogicalExpr, out: set) -> None:
+    """Literals that are consumed as STATIC values during tracing (string
+    function offsets, window function parameters) must stay baked into the
+    program; everything else can become a traced scalar input."""
+    def visit(x):
+        args = None
+        if isinstance(x, lp.ScalarFnExpr) and x.func in (
+            lp.ScalarFn.SUBSTRING, lp.ScalarFn.ROUND,
+        ):
+            args = x.args[1:]
+        elif isinstance(x, lp.WindowExpr):
+            if x.func is lp.WindowFn.NTILE:
+                args = x.args[:1]
+            elif x.func in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
+                args = x.args[1:2]
+        if args:
+            for a in args:
+                lp.walk_exprs(a, lambda y: out.add(id(y)))
+
+    lp.walk_exprs(e, visit)
+
+
+def _expr_key(e: lp.LogicalExpr, ctx=None):
     """Structural key: equal keys => identical computation over identical
     input planes. (Unlike LogicalExpr.name(), aliases do not hide the inner
-    expression and column references key on their resolved index.)"""
+    expression and column references key on their resolved index.)
+
+    With a _SegCtx, eligible numeric/bool literals key as ("dynlit", kind)
+    and their VALUES are collected into ctx.dyn_vals — they become traced
+    scalar inputs, so one compiled program serves every parameter value
+    (prepared statements / dashboards do not recompile per constant)."""
     if isinstance(e, lp.ColumnRef):
         return ("col", e.index, str(e.dtype))
     if isinstance(e, lp.Literal):
-        return ("lit", str(e.value.dtype), repr(e.value.value))
+        v = e.value.value
+        if (
+            ctx is not None and v is not None and not isinstance(v, str)
+            and id(e) not in ctx.static_ids
+            and isinstance(v, (bool, int, float, np.bool_, np.integer,
+                               np.floating))
+            and not e.value.dtype.is_dictionary
+        ):
+            if isinstance(v, (bool, np.bool_)):
+                tag, sv = "b", np.bool_(v)
+            elif isinstance(v, (int, np.integer)) and not e.value.dtype.is_float:
+                tag, sv = "i", np.int64(v)
+            else:
+                tag, sv = "f", np.float64(float(v))
+            ctx.dyn_vals.append(sv)
+            ctx.dyn_ids.append(id(e))
+            ctx.dyn_exprs.append(e)
+            return ("dynlit", tag)
+        return ("lit", str(e.value.dtype), repr(v))
     if isinstance(e, lp.IntervalLiteral):
         return ("ival", e.months, e.days, e.micros)
     if isinstance(e, lp.AliasExpr):
         # alias names land in the output schema -> they are part of the key
-        return ("as", e.alias, _expr_key(e.expr))
+        return ("as", e.alias, _expr_key(e.expr, ctx))
     if isinstance(e, lp.BinaryExpr):
-        return ("bin", e.op.value, _expr_key(e.left), _expr_key(e.right))
+        return ("bin", e.op.value, _expr_key(e.left, ctx), _expr_key(e.right, ctx))
     if isinstance(e, lp.UnaryExpr):
-        return ("un", e.op.value, _expr_key(e.expr))
+        return ("un", e.op.value, _expr_key(e.expr, ctx))
     if isinstance(e, lp.CastExpr):
-        return ("cast", str(e.target), _expr_key(e.expr))
+        return ("cast", str(e.target), _expr_key(e.expr, ctx))
     if isinstance(e, lp.ScalarFnExpr):
-        return ("fn", e.func.value, tuple(_expr_key(a) for a in e.args))
+        return ("fn", e.func.value, tuple(_expr_key(a, ctx) for a in e.args))
     if isinstance(e, lp.AggregateExpr):
         return (
             "agg", e.func.value, e.distinct,
-            None if e.expr is None else _expr_key(e.expr),
+            None if e.expr is None else _expr_key(e.expr, ctx),
         )
     if isinstance(e, lp.CaseExpr):
         return (
             "case",
-            tuple((_expr_key(c), _expr_key(v)) for c, v in e.branches),
-            None if e.else_expr is None else _expr_key(e.else_expr),
+            tuple((_expr_key(c, ctx), _expr_key(v, ctx)) for c, v in e.branches),
+            None if e.else_expr is None else _expr_key(e.else_expr, ctx),
         )
     if isinstance(e, lp.InListExpr):
         return (
-            "inlist", e.negated, _expr_key(e.expr),
-            tuple(_expr_key(i) for i in e.items),
+            "inlist", e.negated, _expr_key(e.expr, ctx),
+            tuple(_expr_key(i, ctx) for i in e.items),
         )
     if isinstance(e, lp.IsNullExpr):
-        return ("isnull", e.negated, _expr_key(e.expr))
+        return ("isnull", e.negated, _expr_key(e.expr, ctx))
     if isinstance(e, lp.WindowExpr):
         return (
             "win", e.func.value,
-            tuple(_expr_key(a) for a in e.args),
-            tuple(_expr_key(p) for p in e.partition_by),
-            tuple(_sort_key_key(k) for k in e.order_by),
+            tuple(_expr_key(a, ctx) for a in e.args),
+            tuple(_expr_key(p, ctx) for p in e.partition_by),
+            tuple(_sort_key_key(k, ctx) for k in e.order_by),
             repr(e.frame),
         )
     raise _Unsupported(f"expr {type(e).__name__}")
 
 
-def _sort_key_key(k: lp.SortKey):
-    return (_expr_key(k.expr), k.asc, k.resolved_nulls_first())
+def _sort_key_key(k: lp.SortKey, ctx=None):
+    return (_expr_key(k.expr, ctx), k.asc, k.resolved_nulls_first())
 
 
 # ---------------------------------------------------------------------------
@@ -345,14 +390,20 @@ _COMPUTE_NODES = (
 
 
 class _SegCtx:
-    """Per-analysis context: joins forced to eager boundaries (no unique
-    side) and the uniqueness checks collected for joins in the segment."""
+    """Per-analysis context: joins forced to eager boundaries, join
+    duplication checks, and dynamic-literal collection (parameterized
+    programs)."""
 
-    __slots__ = ("forced", "checks")
+    __slots__ = ("forced", "checks", "static_ids", "dyn_vals", "dyn_ids",
+                 "dyn_exprs")
 
     def __init__(self, forced):
         self.forced = forced
         self.checks = []  # (join node, left provenance, right provenance)
+        self.static_ids = set()  # literal ids that must stay baked
+        self.dyn_vals = []   # np scalars, traversal order
+        self.dyn_ids = []    # id(expr) per dyn literal (this plan)
+        self.dyn_exprs = []  # the literal exprs (kept alive via entry.plan)
 
 
 class CompiledPipeline:
@@ -423,14 +474,16 @@ class CompiledPipeline:
             }
             for b in leaves
         ]
+        dyn_args = tuple(ctx.dyn_vals)  # traced scalars, traversal order
 
         if entry is None:
             entry = _Entry(plan, leaves)
             entry.leaf_ids = frozenset(map(id, leaf_nodes))
             entry.res = res
+            entry.dyn_exprs = list(ctx.dyn_exprs)
 
             @jax.jit
-            def fn(args):
+            def fn(args, dyn):
                 tables = [
                     _TTable(
                         schema=b.schema,
@@ -450,7 +503,14 @@ class CompiledPipeline:
                     for a, b in zip(args, entry.leaves)
                 ]
                 it = iter(tables)
-                t = self._trace(entry.plan, it, entry.leaf_ids, entry.res)
+                ev = self.executor.evaluator
+                ev._dyn_literals = {
+                    id(e): v for e, v in zip(entry.dyn_exprs, dyn)
+                }
+                try:
+                    t = self._trace(entry.plan, it, entry.leaf_ids, entry.res)
+                finally:
+                    ev._dyn_literals = None
                 if not entry.meta:
                     entry.meta.update(
                         schema=t.schema,
@@ -469,7 +529,7 @@ class CompiledPipeline:
 
             entry.fn = fn
             try:
-                out = fn(leaf_args)
+                out = fn(leaf_args, dyn_args)
             except _TRACE_ERRORS:
                 self._eager_bodies.add(key_body)
                 self.stats["fallbacks"] += 1
@@ -478,7 +538,7 @@ class CompiledPipeline:
             self.stats["compiles"] += 1
         else:
             self.stats["hits"] += 1
-            out = entry.fn(leaf_args)
+            out = entry.fn(leaf_args, dyn_args)
 
         datas, valids, sel, count = out
         count = int(count)
@@ -516,11 +576,16 @@ class CompiledPipeline:
     def _child(self, plan, ctx):
         """Key a child subtree; an unsupported child becomes a leaf boundary
         (executed eagerly) instead of abandoning the segment above it."""
-        checkpoint = len(ctx.checks)
+        cp_checks, cp_dyn = len(ctx.checks), len(ctx.dyn_vals)
         try:
             return self._plan_key(plan, ctx)
         except _Unsupported:
-            del ctx.checks[checkpoint:]  # drop checks from the failed subtree
+            # drop state collected by the failed subtree: phantom dyn
+            # literals would misalign values against the key's slots
+            del ctx.checks[cp_checks:]
+            del ctx.dyn_vals[cp_dyn:]
+            del ctx.dyn_ids[cp_dyn:]
+            del ctx.dyn_exprs[cp_dyn:]
             return ("leaf",), [plan], 0
 
     def _plan_key(self, plan, ctx):
@@ -537,7 +602,11 @@ class CompiledPipeline:
             if not _expr_traceable(plan.predicate):
                 raise _Unsupported("filter predicate")
             body, leaves, n = self._child(plan.input, ctx)
-            return ("filter", _expr_key(plan.predicate), body), leaves, n + 1
+            _mark_static_literals(plan.predicate, ctx.static_ids)
+            return (
+                ("filter", _expr_key(plan.predicate, ctx), body),
+                leaves, n + 1,
+            )
         if isinstance(plan, pp.PProjection):
             if not all(_expr_traceable(e) for e in plan.exprs):
                 raise _Unsupported("projection exprs")
@@ -547,8 +616,10 @@ class CompiledPipeline:
                 or (isinstance(e, lp.AliasExpr) and isinstance(e.expr, lp.ColumnRef))
                 for e in plan.exprs
             )
+            for e in plan.exprs:
+                _mark_static_literals(e, ctx.static_ids)
             return (
-                ("proj", tuple(_expr_key(e) for e in plan.exprs), body),
+                ("proj", tuple(_expr_key(e, ctx) for e in plan.exprs), body),
                 leaves,
                 n if trivial else n + 1,
             )
@@ -556,8 +627,10 @@ class CompiledPipeline:
             if not all(_expr_traceable(k.expr) for k in plan.keys):
                 raise _Unsupported("sort keys")
             body, leaves, n = self._child(plan.input, ctx)
+            for k in plan.keys:
+                _mark_static_literals(k.expr, ctx.static_ids)
             return (
-                ("sort", tuple(_sort_key_key(k) for k in plan.keys), body),
+                ("sort", tuple(_sort_key_key(k, ctx) for k in plan.keys), body),
                 leaves, n + 1,
             )
         if isinstance(plan, pp.PLimit):
@@ -568,16 +641,21 @@ class CompiledPipeline:
             if on is not None and not all(_expr_traceable(e) for e in on):
                 raise _Unsupported("distinct exprs")
             body, leaves, n = self._child(plan.input, ctx)
-            okey = None if on is None else tuple(_expr_key(e) for e in on)
+            if on is not None:
+                for e in on:
+                    _mark_static_literals(e, ctx.static_ids)
+            okey = None if on is None else tuple(_expr_key(e, ctx) for e in on)
             return ("distinct", okey, body), leaves, n + 1
         if isinstance(plan, pp.PWindow):
             if not all(_expr_traceable(w) for w in plan.window_exprs):
                 raise _Unsupported("window exprs")
             body, leaves, n = self._child(plan.input, ctx)
+            for w in plan.window_exprs:
+                _mark_static_literals(w, ctx.static_ids)
             return (
                 (
                     "window",
-                    tuple(_expr_key(w) for w in plan.window_exprs),
+                    tuple(_expr_key(w, ctx) for w in plan.window_exprs),
                     tuple(plan.names),
                     body,
                 ),
@@ -592,13 +670,15 @@ class CompiledPipeline:
             if not all(_expr_traceable(e) for e in exprs):
                 raise _Unsupported("aggregate exprs")
             body, leaves, n = self._child(plan.input, ctx)
+            for e in exprs:
+                _mark_static_literals(e, ctx.static_ids)
             return (
                 (
                     "agg",
-                    tuple(_expr_key(g) for g in plan.group_exprs),
+                    tuple(_expr_key(g, ctx) for g in plan.group_exprs),
                     tuple(
                         (a.func.value, a.distinct,
-                         None if a.expr is None else _expr_key(a.expr))
+                         None if a.expr is None else _expr_key(a.expr, ctx))
                         for a in plan.agg_exprs
                     ),
                     tuple(plan.schema().names()),
@@ -648,12 +728,18 @@ class CompiledPipeline:
         lbody, lleaves, ln = self._child(plan.left, ctx)
         rbody, rleaves, rn = self._child(plan.right, ctx)
         ctx.checks.append((plan, lprov, rprov))
+        for le, re_ in plan.key_pairs:
+            _mark_static_literals(le, ctx.static_ids)
+            _mark_static_literals(re_, ctx.static_ids)
+        if plan.residual is not None:
+            _mark_static_literals(plan.residual, ctx.static_ids)
         body = (
             "join", plan.join_type.value,
             tuple(
-                (_expr_key(le), _expr_key(re_)) for le, re_ in plan.key_pairs
+                (_expr_key(le, ctx), _expr_key(re_, ctx))
+                for le, re_ in plan.key_pairs
             ),
-            None if plan.residual is None else _expr_key(plan.residual),
+            None if plan.residual is None else _expr_key(plan.residual, ctx),
             tuple(plan.out_schema.names()),
             lbody, rbody,
         )
@@ -1335,13 +1421,15 @@ class CompiledPipeline:
 class _Entry:
     """Cached compiled program + trace-captured output metadata."""
 
-    __slots__ = ("plan", "leaves", "leaf_ids", "res", "fn", "meta")
+    __slots__ = ("plan", "leaves", "leaf_ids", "res", "dyn_exprs", "fn",
+                 "meta")
 
     def __init__(self, plan, leaves):
         self.plan = plan
         self.leaves = leaves  # holds dictionary refs so leaf ids stay unique
         self.leaf_ids = frozenset()
         self.res = {}
+        self.dyn_exprs = []
         self.fn = None
         self.meta = {}
 

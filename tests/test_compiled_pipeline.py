@@ -202,3 +202,26 @@ def test_bounded_dup_join_emit_capacity():
     ]:
         assert s.sql(q).to_pylist() == e.sql(q).to_pylist(), q
     assert s.executor.pipeline.stats["compiles"] >= 3
+
+
+def test_parameterized_program_reuse():
+    """Eligible numeric literals are traced inputs: one compiled program
+    serves every parameter value (no recompile per constant)."""
+    s = make_session(True)
+    c0 = dict(s.executor.pipeline.stats)
+    outs = [
+        s.sql(f"SELECT name FROM employees WHERE age > {a} ORDER BY name")
+        for a in (25, 28, 30)
+    ]
+    c1 = s.executor.pipeline.stats
+    assert c1["compiles"] == c0["compiles"] + 1
+    assert c1["hits"] == c0["hits"] + 2
+    assert outs[2].to_pylist() == [("Charlie",), ("Eve",)]
+    # bound parameters ride the same mechanism
+    a = s.sql("SELECT name FROM employees WHERE salary > $1", params=[80000])
+    b = s.sql("SELECT name FROM employees WHERE salary > $1", params=[90000])
+    assert a.to_pylist() == [("Bob",), ("Charlie",), ("Eve",)]
+    assert b.to_pylist() == [("Charlie",)]
+    # static-consumer literals (SUBSTRING offsets) stay baked and correct
+    out = s.sql("SELECT SUBSTRING(name, 1, 3) FROM employees WHERE id = 1")
+    assert out.to_pylist() == [("Ali",)]
