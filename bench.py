@@ -56,14 +56,13 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
                                        n_rows, gcap)
         avg = s.astype(jnp.float64) / jnp.maximum(c, 1)
 
-        # --- hash join: probe (filtered fact) x build (dim) + emit ---
+        # --- hash join: probe (filtered fact) x build (dim, unique keys) ---
+        # FK fast path: rank -> right-row lookup, no count/emit passes
         lr, rr = K.join_ranks([(dept, dept_v & keep)], [(bdept, bdept_v)],
                               n_rows, n_build)
-        (total, counts, _off, rank_start, right_by_rank,
-         _lm, _rm) = K.join_counts(lr, rr, n_rows, n_build)
-        li, ri, jvalid = K.join_emit_inner(
-            counts, rank_start, right_by_rank, lr, total, cap)
-        joined_val = jnp.where(jvalid, bval[ri] + salary[li], 0)
+        ri, jvalid = K.fk_join_right_lookup(lr, rr, n_rows, n_build)
+        total = jnp.sum(jvalid.astype(jnp.int64))
+        joined_val = jnp.where(jvalid, bval[ri] + salary, 0)
 
         # --- sort: ORDER BY salary DESC ---
         perm = K.sort_permutation([salary], [salary_v], [False], [False],

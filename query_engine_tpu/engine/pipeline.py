@@ -958,6 +958,33 @@ class CompiledPipeline:
             rkeys.append((rv.data, rv.validity))
 
         lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
+
+        if dup == 1 and side == "R" and jt in (
+            lp.JoinType.INNER, lp.JoinType.LEFT,
+        ):
+            # FK fast path: <=1 match per probe row -> direct rank lookup;
+            # left planes pass through untouched, output rows keep their
+            # left positions (identical order to the general left-major
+            # emit after compaction)
+            ri, matched = K.fk_join_right_lookup(lr, rr, lt.sel, rt.sel)
+            rd = [c.data for c in rt.cols]
+            rvs = [c.validity for c in rt.cols]
+            gr_d, gr_v = K.gather_columns(rd, rvs, ri, matched)
+            cols = list(lt.cols) + [
+                Column(d, v, c.dtype, c.dictionary)
+                for d, v, c in zip(gr_d, gr_v, rt.cols)
+            ]
+            sel = lt.sel if jt is lp.JoinType.LEFT else (lt.sel & matched)
+            out = _TTable(plan.out_schema, cols, sel, cap_l, False,
+                          lt.bounds + rt.bounds)
+            if plan.residual is not None:
+                mask = ex.evaluator.eval_predicate_mask(
+                    plan.residual, _ShimBatch(out)
+                )
+                out = _TTable(out.schema, out.cols, out.sel & mask, cap_l,
+                              False, out.bounds)
+            return out
+
         (total, counts, _off, rank_start, right_by_rank,
          lmatched, rmatched) = K.join_counts(lr, rr, lt.sel, rt.sel)
 
