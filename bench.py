@@ -67,7 +67,7 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
         # --- sort: ORDER BY salary DESC ---
         perm = K.sort_permutation([salary], [salary_v], [False], [False],
                                   n_rows)
-        top = salary[perm][:128]
+        top = salary[perm[:128]]  # top-k: gather only the fetched window
 
         return s[:128], c[:128], avg[:128], total, jnp.sum(joined_val), top, ng
 

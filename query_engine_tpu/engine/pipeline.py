@@ -892,6 +892,8 @@ class CompiledPipeline:
         if isinstance(plan, pp.PSort):
             return self._trace_sort(plan, tables, leaf_ids, res)
         if isinstance(plan, pp.PLimit):
+            if isinstance(plan.input, pp.PSort) and plan.fetch is not None:
+                return self._trace_topk(plan, tables, leaf_ids, res)
             t = self._trace(plan.input, tables, leaf_ids, res)
             rank = jnp.cumsum(t.sel.astype(jnp.int32)) - 1
             sel = t.sel
@@ -1099,6 +1101,38 @@ class CompiledPipeline:
         )
         return _TTable(lt.schema, lt.cols, sel & first_mask, cap, False,
                        lt.bounds)
+
+    def _trace_topk(self, plan: pp.PLimit, tables, leaf_ids, res) -> _TTable:
+        """ORDER BY ... LIMIT k: gather only the fetched window of the sort
+        permutation (k rows per column) instead of materializing the whole
+        sorted table — the window bounds are static plan fields."""
+        sort_plan = plan.input
+        t = self._trace(sort_plan.input, tables, leaf_ids, res)
+        shim = _ShimBatch(t)
+        datas, valids, ascs, nfs = [], [], [], []
+        for k in sort_plan.keys:
+            v = self.executor.evaluator.eval(k.expr, shim)
+            datas.append(v.data)
+            valids.append(v.validity)
+            ascs.append(k.asc)
+            nfs.append(k.resolved_nulls_first())
+        perm = K.sort_permutation(datas, valids, ascs, nfs, t.sel)
+        lo = min(plan.skip, t.capacity)
+        hi = min(plan.skip + plan.fetch, t.capacity)
+        wlen = hi - lo
+        wcap = padded_capacity(max(wlen, 1))
+        win = jnp.zeros(wcap, dtype=jnp.int32).at[:wlen].set(perm[lo:hi])
+        n_live = jnp.sum(t.sel.astype(jnp.int32))
+        # live rows pack to the front of the permutation: window position i
+        # holds a live row iff lo + i < n_live (and i < wlen)
+        sel = (jnp.arange(wcap, dtype=jnp.int32) + lo) < jnp.minimum(
+            n_live, hi
+        )
+        cols = [
+            Column(c.data[win], c.validity[win], c.dtype, c.dictionary)
+            for c in t.cols
+        ]
+        return _TTable(t.schema, cols, sel, wcap, True, t.bounds)
 
     def _trace_sort(self, plan: pp.PSort, tables, leaf_ids, res) -> _TTable:
         t = self._trace(plan.input, tables, leaf_ids, res)
