@@ -57,10 +57,15 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
         avg = s.astype(jnp.float64) / jnp.maximum(c, 1)
 
         # --- hash join: probe (filtered fact) x build (dim, unique keys) ---
-        # FK fast path: rank -> right-row lookup, no count/emit passes
-        lr, rr = K.join_ranks([(dept, dept_v & keep)], [(bdept, bdept_v)],
-                              n_rows, n_build)
-        ri, jvalid = K.fk_join_right_lookup(lr, rr, n_rows, n_build)
+        # FK fast path with direct ranks (keys bounded in [0, bcap)):
+        # rank = key, then one rank -> right-row lookup. No sorts, no
+        # count/emit passes — what the compiled pipeline derives from
+        # column min/max stats.
+        iota_l = jnp.arange(cap, dtype=jnp.int32)
+        iota_r = jnp.arange(bcap, dtype=jnp.int32)
+        lr = jnp.where(dept_v & keep, dept, -(iota_l + 2))
+        rr = jnp.where(bdept_v, bdept, -(iota_r + cap + 2))
+        ri, jvalid = K.fk_join_right_lookup(lr, rr, n_rows, n_build, bcap)
         total = jnp.sum(jvalid.astype(jnp.int64))
         joined_val = jnp.where(jvalid, bval[ri] + salary, 0)
 

@@ -959,7 +959,16 @@ class CompiledPipeline:
             lkeys.append((lv.data, lv.validity))
             rkeys.append((rv.data, rv.validity))
 
-        lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
+        # direct ranks when the single key's value range is statically
+        # bounded (dictionary codes or int min/max stats): rank = key - lo,
+        # skipping join_ranks' joint sort entirely
+        n_ranks = None
+        if len(plan.key_pairs) == 1:
+            n_ranks, lr, rr = self._direct_join_ranks(
+                plan, lkeys[0], rkeys[0], lt, rt
+            )
+        if n_ranks is None:
+            lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
 
         if dup == 1 and side == "R" and jt in (
             lp.JoinType.INNER, lp.JoinType.LEFT,
@@ -968,7 +977,9 @@ class CompiledPipeline:
             # left planes pass through untouched, output rows keep their
             # left positions (identical order to the general left-major
             # emit after compaction)
-            ri, matched = K.fk_join_right_lookup(lr, rr, lt.sel, rt.sel)
+            ri, matched = K.fk_join_right_lookup(
+                lr, rr, lt.sel, rt.sel, n_ranks
+            )
             rd = [c.data for c in rt.cols]
             rvs = [c.validity for c in rt.cols]
             gr_d, gr_v = K.gather_columns(rd, rvs, ri, matched)
@@ -1133,6 +1144,40 @@ class CompiledPipeline:
             for c in t.cols
         ]
         return _TTable(t.schema, cols, sel, wcap, True, t.bounds)
+
+    def _direct_join_ranks(self, plan, lkey, rkey, lt, rt):
+        """(n_ranks, lr, rr) via rank = key - lo when the key range is
+        statically bounded and fits the downstream rank space; (None, ..)
+        otherwise. NULL keys get unique negative ranks (never match), same
+        convention as join_ranks."""
+        (ld, lv), (rd, rv) = lkey, rkey
+        cap_l, cap_r = lt.capacity, rt.capacity
+        if (
+            jnp.issubdtype(ld.dtype, jnp.integer)
+            and jnp.issubdtype(rd.dtype, jnp.integer)
+        ):
+            le, re_ = plan.key_pairs[0]
+            bl = _proj_bounds(le, lt)
+            br = _proj_bounds(re_, rt)
+            if bl is None or br is None:
+                return None, None, None
+            lo = min(bl[0], br[0])
+            hi = max(bl[0] + bl[1], br[0] + br[1])
+            rng = hi - lo
+            # downstream consumers size rank tables at cap_l + cap_r
+            if rng > min(1 << 21, cap_l + cap_r):
+                return None, None, None
+            iota_l = jnp.arange(cap_l, dtype=jnp.int32)
+            iota_r = jnp.arange(cap_r, dtype=jnp.int32)
+            lr = jnp.where(
+                lt.sel & lv, (ld - lo).astype(jnp.int32), -(iota_l + 2)
+            )
+            rr = jnp.where(
+                rt.sel & rv, (rd - lo).astype(jnp.int32),
+                -(iota_r + cap_l + 2),
+            )
+            return rng, lr, rr
+        return None, None, None
 
     def _trace_sort(self, plan: pp.PSort, tables, leaf_ids, res) -> _TTable:
         t = self._trace(plan.input, tables, leaf_ids, res)

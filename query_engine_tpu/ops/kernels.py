@@ -670,6 +670,7 @@ def fk_join_right_lookup(
     right_ranks: jnp.ndarray,
     n_left,
     n_right,
+    n_ranks: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FK fast path for joins whose build (right) side is UNIQUE per key:
     each probe row has at most one match, so the emit is a direct rank ->
@@ -679,7 +680,8 @@ def fk_join_right_lookup(
     16.7M rows. Returns (right_row per left row, matched mask)."""
     cap_l = left_ranks.shape[0]
     cap_r = right_ranks.shape[0]
-    n_ranks = cap_l + cap_r
+    if n_ranks is None:
+        n_ranks = cap_l + cap_r
     lm_r = live_mask(cap_r, n_right)
     r_ok = lm_r & (right_ranks >= 0)
     rows_r = jnp.arange(cap_r, dtype=jnp.int32)
