@@ -64,8 +64,6 @@ class _Unsupported(Exception):
     """Raised during segment analysis/tracing: fall back to eager."""
 
 
-_EAGER = object()  # cache sentinel: this plan shape is known untraceable
-
 # trace-time failures that mean "host-dependent value inside jit" — fall back
 _TRACE_ERRORS = (
     _Unsupported,
