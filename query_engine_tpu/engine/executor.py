@@ -331,29 +331,14 @@ class QueryExecutor:
             )
             return out
 
-        lkeys, rkeys = [], []
-        for le, re_ in plan.key_pairs:
-            lv = self.evaluator.eval(le, left)
-            rv = self.evaluator.eval(re_, right)
-            if lv.dictionary is not None or rv.dictionary is not None:
-                lv, rv = unify_dicts(lv, rv)
-            lkeys.append((lv.data, lv.validity))
-            rkeys.append((rv.data, rv.validity))
-
-        lr, rr = K.join_ranks(lkeys, rkeys, nl, nr)
-        (
-            total, counts, _offsets, rank_start, right_by_rank,
-            lmatched, rmatched,
-        ) = K.join_counts(lr, rr, nl, nr)
-        total = int(total)
-
-        extra_l = extra_r = 0
-        if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
-            extra_l = int(jnp.sum((~lmatched & K.live_mask(left.capacity, nl)).astype(jnp.int64)))
-        if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
-            extra_r = int(
-                jnp.sum((~rmatched & K.live_mask(right.capacity, nr)).astype(jnp.int64))
-            )
+        # pass 1 (one dispatch): key eval + ranks + counts, fused and cached
+        # per plan shape — the host syncs only the three output sizes
+        state = self._join_count_pass(plan, left, right)
+        (lr, counts, rank_start, right_by_rank, lmatched, rmatched,
+         total_t, extra_l_t, extra_r_t) = state
+        total = int(total_t)
+        extra_l = int(extra_l_t)
+        extra_r = int(extra_r_t)
 
         out_rows = total + extra_l + extra_r
         out_cap = padded_capacity(out_rows)
@@ -388,6 +373,110 @@ class QueryExecutor:
         if plan.residual is not None:
             out = self._filter_batch(out, plan.residual)
         return out
+
+    def _join_count_pass(self, plan, left, right):
+        """Fused, cached count pass for the eager join: one device program
+        for key evaluation + rank assignment + match counting (the eager
+        path previously dispatched each step separately)."""
+        from query_engine_tpu.engine.pipeline import _expr_key, _Unsupported
+
+        jt = plan.join_type
+        try:
+            kkey = tuple(
+                (_expr_key(a), _expr_key(b)) for a, b in plan.key_pairs
+            )
+        except _Unsupported:
+            kkey = None
+        if kkey is None or any(
+            _expr_has_host_dependency(e)
+            for pair in plan.key_pairs for e in pair
+        ):
+            return self._join_count_eager(plan, left, right)
+        key = (
+            "joincount", jt.value, kkey,
+            left.capacity, right.capacity,
+            tuple(str(c.data.dtype) for c in left.columns),
+            tuple(str(c.data.dtype) for c in right.columns),
+            tuple(id(c.dictionary) for c in left.columns),
+            tuple(id(c.dictionary) for c in right.columns),
+        )
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            evaluator = self.evaluator
+            lschema, rschema = plan.left.schema(), plan.right.schema()
+            ldts = [c.dtype for c in left.columns]
+            rdts = [c.dtype for c in right.columns]
+            ldics = [c.dictionary for c in left.columns]
+            rdics = [c.dictionary for c in right.columns]
+            key_pairs = plan.key_pairs
+            jtt = jt
+
+            @jax.jit
+            def fn(ld, lv, rd, rv, nl, nr):
+                lb = _shim_batch(lschema, ld, lv, ldts, ldics)
+                rb = _shim_batch(rschema, rd, rv, rdts, rdics)
+                lkeys, rkeys = [], []
+                for le, re_ in key_pairs:
+                    a = evaluator.eval(le, lb)
+                    b = evaluator.eval(re_, rb)
+                    if a.dictionary is not None or b.dictionary is not None:
+                        a, b = unify_dicts(a, b)
+                    lkeys.append((a.data, a.validity))
+                    rkeys.append((b.data, b.validity))
+                lr, rr = K.join_ranks(lkeys, rkeys, nl, nr)
+                (total, counts, _off, rank_start, right_by_rank,
+                 lmatched, rmatched) = K.join_counts(lr, rr, nl, nr)
+                extra_l = jnp.int64(0)
+                extra_r = jnp.int64(0)
+                if jtt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+                    extra_l = jnp.sum(
+                        (~lmatched & K.live_mask(lr.shape[0], nl)).astype(jnp.int64)
+                    )
+                if jtt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+                    extra_r = jnp.sum(
+                        (~rmatched & K.live_mask(rr.shape[0], nr)).astype(jnp.int64)
+                    )
+                return (lr, counts, rank_start, right_by_rank, lmatched,
+                        rmatched, total, extra_l, extra_r)
+
+            self._fused_cache[key] = fn
+        try:
+            return fn(
+                [jnp.asarray(c.data) for c in left.columns],
+                [jnp.asarray(c.validity) for c in left.columns],
+                [jnp.asarray(c.data) for c in right.columns],
+                [jnp.asarray(c.validity) for c in right.columns],
+                np.int64(left.num_rows), np.int64(right.num_rows),
+            )
+        except ExecutionError:
+            return self._join_count_eager(plan, left, right)
+
+    def _join_count_eager(self, plan, left, right):
+        nl, nr = left.num_rows, right.num_rows
+        lkeys, rkeys = [], []
+        for le, re_ in plan.key_pairs:
+            lv = self.evaluator.eval(le, left)
+            rv = self.evaluator.eval(re_, right)
+            if lv.dictionary is not None or rv.dictionary is not None:
+                lv, rv = unify_dicts(lv, rv)
+            lkeys.append((lv.data, lv.validity))
+            rkeys.append((rv.data, rv.validity))
+        lr, rr = K.join_ranks(lkeys, rkeys, nl, nr)
+        (total, counts, _off, rank_start, right_by_rank,
+         lmatched, rmatched) = K.join_counts(lr, rr, nl, nr)
+        jt = plan.join_type
+        extra_l = jnp.int64(0)
+        extra_r = jnp.int64(0)
+        if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+            extra_l = jnp.sum(
+                (~lmatched & K.live_mask(left.capacity, nl)).astype(jnp.int64)
+            )
+        if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+            extra_r = jnp.sum(
+                (~rmatched & K.live_mask(right.capacity, nr)).astype(jnp.int64)
+            )
+        return (lr, counts, rank_start, right_by_rank, lmatched, rmatched,
+                total, extra_l, extra_r)
 
     def _assemble_join(
         self, plan, left, right, li, ri, lvalid, rvalid, num_rows
@@ -564,10 +653,18 @@ class QueryExecutor:
                 continue
             f = schema.field(fi)
             fi += 1
-            vals, valid = K.segment_aggregate(
-                fname, data, validity, gid, batch.num_rows, cap,
-                distinct_first=distinct_first,
-            )
+            if not plan.group_exprs and distinct_first is None:
+                vals, valid = K.global_aggregate(
+                    fname,
+                    data if data is not None else jnp.zeros(cap, jnp.int64),
+                    validity if validity is not None else jnp.ones(cap, bool),
+                    batch.num_rows, out_cap,
+                )
+            else:
+                vals, valid = K.segment_aggregate(
+                    fname, data, validity, gid, batch.num_rows, cap,
+                    distinct_first=distinct_first,
+                )
             out_d = vals[:out_cap]
             out_v = valid[:out_cap]
             out_dict = (

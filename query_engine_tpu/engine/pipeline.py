@@ -94,11 +94,55 @@ class _TTable:
     bounds: List[Optional[Tuple[int, int]]]
 
 
+def _stats_eligible(col) -> bool:
+    return (
+        col.dictionary is None
+        and np.issubdtype(np.dtype(col.data.dtype), np.integer)
+    )
+
+
+_minmax_jits = {}
+
+
+def ensure_bounds(batch: ColumnBatch) -> None:
+    """Populate integer-column bounds caches. Host-backed planes use numpy;
+    device-backed planes (intermediate results, device-resident tables) use
+    ONE fused device reduction for the whole batch — never a device->host
+    plane transfer (a 32M-row join output would ship ~1GB through the
+    tunnel per query otherwise)."""
+    pending = []
+    for c in batch.columns:
+        if getattr(c, "_qe_bounds", False) is not False:
+            continue
+        dt = np.dtype(c.data.dtype)
+        if c.dictionary is not None or not np.issubdtype(dt, np.integer):
+            c._qe_bounds = (0, 1) if dt == np.bool_ else None
+        elif isinstance(c.data, np.ndarray):
+            c._qe_bounds = (
+                (int(c.data.min()), int(c.data.max())) if c.data.size else None
+            )
+        else:
+            pending.append(c)
+    if not pending:
+        return
+    key = tuple((c.data.shape[0], str(c.data.dtype)) for c in pending)
+    fn = _minmax_jits.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda planes: [(jnp.min(p), jnp.max(p)) for p in planes]
+        )
+        _minmax_jits[key] = fn
+    outs = fn([c.data for c in pending])
+    for c, (lo, hi) in zip(pending, outs):
+        c._qe_bounds = (int(lo), int(hi)) if c.data.shape[0] else None
+
+
 def _col_bounds(col) -> Optional[Tuple[int, int]]:
     """Cached raw (min, max) over an integer column's full data plane
     (padding included — a conservative cover is all direct grouping needs).
     Cached on the Column object; DML replaces batches, so staleness is
-    impossible."""
+    impossible. Device-backed planes without a cache entry return None —
+    ensure_bounds() fills them in one fused dispatch per batch."""
     b = getattr(col, "_qe_bounds", False)
     if b is not False:
         return b
@@ -107,11 +151,12 @@ def _col_bounds(col) -> Optional[Tuple[int, int]]:
         b = None
     elif dt == np.bool_:
         b = (0, 1)
-    elif np.issubdtype(dt, np.integer):
-        host = np.asarray(col.data)
-        b = (int(host.min()), int(host.max())) if host.size else None
-    else:
+    elif not np.issubdtype(dt, np.integer):
         b = None
+    elif isinstance(col.data, np.ndarray):
+        b = (int(col.data.min()), int(col.data.max())) if col.data.size else None
+    else:
+        return None  # no cache write: ensure_bounds may fill it later
     col._qe_bounds = b
     return b
 
@@ -152,6 +197,8 @@ def _col_max_dup(col, num_rows: int) -> int:
     cached = getattr(col, "_qe_max_dup", None)
     if cached is not None and cached[0] == num_rows:
         return cached[1]
+    if not isinstance(col.data, np.ndarray):
+        return None  # never ship device planes to host for a stat
     host = np.asarray(col.data)[:num_rows]
     valid = np.asarray(col.validity)[:num_rows]
     vals = host[valid]
@@ -171,6 +218,8 @@ def _cols_max_dup(batch, idxs) -> int:
     key = (tuple(idxs), batch.num_rows)
     if cache is not None and key in cache:
         return cache[key]
+    if any(not isinstance(batch.columns[i].data, np.ndarray) for i in idxs):
+        return None  # never ship device planes to host for a stat
     n = batch.num_rows
     planes, valid = [], np.ones(n, dtype=bool)
     for i in idxs:
@@ -430,6 +479,8 @@ class CompiledPipeline:
 
             # materialize leaves (table scans + eager subtrees)
             leaves = [self._materialize_leaf(n) for n in leaf_nodes]
+            for b in leaves:
+                ensure_bounds(b)  # one fused dispatch per device-backed batch
             batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
 
             # resolve join duplication stats; demote unboundable joins
@@ -1348,10 +1399,18 @@ class CompiledPipeline:
                 b = _proj_bounds(agg.expr, t)
                 if b is not None:
                     vb = (b[0], b[0] + b[1] - 1)
-            vals, valid = K.segment_aggregate(
-                fname, data, validity, gid, sel, S,
-                distinct_first=distinct_first, value_bounds=vb,
-            )
+            if not plan.group_exprs and distinct_first is None:
+                vals, valid = K.global_aggregate(
+                    fname,
+                    data if data is not None else jnp.zeros(cap, jnp.int64),
+                    validity if validity is not None else jnp.ones(cap, bool),
+                    sel, S,
+                )
+            else:
+                vals, valid = K.segment_aggregate(
+                    fname, data, validity, gid, sel, S,
+                    distinct_first=distinct_first, value_bounds=vb,
+                )
             out_d = vals[:S]
             out_v = valid[:S]
             out_dict = (

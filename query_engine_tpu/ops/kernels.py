@@ -468,6 +468,52 @@ def _segment_extreme(
     return from_orderable(g, data.dtype)
 
 
+def global_aggregate(
+    func: str,
+    data: Optional[jnp.ndarray],
+    validity: Optional[jnp.ndarray],
+    num_rows,
+    out_len: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ungrouped aggregate as a plain tree reduction. The grouped kernel
+    with a constant group id degenerates to a scatter-add where EVERY row
+    collides on one address — measured multiple seconds at 32M rows on TPU;
+    a reduction is milliseconds. Returns [out_len] planes with the result
+    in slot 0 (same layout the executors slice)."""
+    capacity = (data if data is not None else validity).shape[0] \
+        if (data is not None or validity is not None) else None
+    if capacity is None:
+        raise ValueError("global_aggregate needs data or validity")
+    lm = live_mask(capacity, num_rows)
+    ok = lm if (validity is None or data is None) else (lm & validity)
+    cnt = jnp.sum(ok.astype(jnp.int64))
+    if func in ("count_star", "count"):
+        out = jnp.zeros(out_len, dtype=jnp.int64).at[0].set(cnt)
+        return out, jnp.ones(out_len, dtype=bool)
+    has = cnt > 0
+    if func in ("sum", "avg"):
+        if func == "avg" or jnp.issubdtype(data.dtype, jnp.floating):
+            tot = jnp.sum(jnp.where(ok, data.astype(jnp.float64), 0.0))
+        else:
+            tot = jnp.sum(jnp.where(ok, data.astype(jnp.int64), 0))
+        if func == "avg":
+            tot = tot / jnp.maximum(cnt, 1).astype(jnp.float64)
+        out = jnp.zeros(out_len, dtype=tot.dtype).at[0].set(tot)
+    elif func in ("min", "max"):
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            fill = jnp.float64(np.inf if func == "min" else -np.inf)
+            x = jnp.where(ok, data.astype(jnp.float64), fill)
+        else:
+            fill = _INT_MAX if func == "min" else _INT_MIN
+            x = jnp.where(ok, data.astype(jnp.int64), fill)
+        red = jnp.min if func == "min" else jnp.max
+        out = jnp.zeros(out_len, dtype=x.dtype).at[0].set(red(x))
+    else:
+        raise ValueError(f"unknown aggregate {func}")
+    valid = jnp.zeros(out_len, dtype=bool).at[0].set(has)
+    return out, valid
+
+
 def distinct_first_flags(
     key_datas: Sequence[jnp.ndarray],
     key_valids: Sequence[jnp.ndarray],
