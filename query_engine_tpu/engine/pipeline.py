@@ -188,6 +188,49 @@ def ensure_device(batch: ColumnBatch) -> ColumnBatch:
     return batch
 
 
+_maxdup_jits = {}
+
+
+def _device_max_dup(cols, num_rows: int) -> int:
+    """Max multiplicity of the live fully-valid key tuple, computed on
+    device (one jitted sort + run-length scan) — device planes never ship
+    to host for stats."""
+    cap = cols[0].data.shape[0]
+    key = tuple((cap, str(c.data.dtype)) for c in cols)
+    fn = _maxdup_jits.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(datas, valids, n):
+            lm = K.live_mask(cap, n)
+            okall = lm
+            for v in valids:
+                okall = okall & v
+            ops = [(~okall).astype(jnp.int32)]
+            for d in datas:
+                ops.append(jnp.where(okall, K.orderable_i64(d),
+                                     jnp.zeros((), K.orderable_i64(d).dtype)))
+            srt = jax.lax.sort(
+                ops + [okall.astype(jnp.int32)], num_keys=len(ops),
+                is_stable=True,
+            )
+            keys_sorted = srt[:-1]
+            ok_sorted = srt[-1].astype(bool)
+            idx = jnp.arange(cap)
+            change = jnp.zeros(cap, dtype=bool).at[0].set(True)
+            for k2 in keys_sorted:
+                change = change | (idx > 0) & (k2 != jnp.roll(k2, 1))
+            start = K._seg_start_pos(change)
+            end = K._seg_end_pos(change)
+            runlen = end - start + 1
+            return jnp.max(jnp.where(ok_sorted, runlen, 0))
+
+        _maxdup_jits[key] = fn
+    d = int(fn([c.data for c in cols], [c.validity for c in cols],
+               np.int64(num_rows)))
+    return max(d, 1)
+
+
 def _col_max_dup(col, num_rows: int) -> int:
     """Cached: maximum multiplicity of any live valid value in the column
     (1 == unique). Subsetting (filter/limit/distinct) can only shrink
@@ -197,16 +240,17 @@ def _col_max_dup(col, num_rows: int) -> int:
     cached = getattr(col, "_qe_max_dup", None)
     if cached is not None and cached[0] == num_rows:
         return cached[1]
-    if not isinstance(col.data, np.ndarray):
-        return None  # never ship device planes to host for a stat
-    host = np.asarray(col.data)[:num_rows]
-    valid = np.asarray(col.validity)[:num_rows]
-    vals = host[valid]
-    if len(vals):
-        _, counts = np.unique(vals, return_counts=True)
-        d = int(counts.max())
+    if isinstance(col.data, np.ndarray):
+        host = col.data[:num_rows]
+        valid = np.asarray(col.validity)[:num_rows]
+        vals = host[valid]
+        if len(vals):
+            _, counts = np.unique(vals, return_counts=True)
+            d = int(counts.max())
+        else:
+            d = 1
     else:
-        d = 1
+        d = _device_max_dup([col], num_rows)
     col._qe_max_dup = (num_rows, d)
     return d
 
@@ -218,9 +262,15 @@ def _cols_max_dup(batch, idxs) -> int:
     key = (tuple(idxs), batch.num_rows)
     if cache is not None and key in cache:
         return cache[key]
-    if any(not isinstance(batch.columns[i].data, np.ndarray) for i in idxs):
-        return None  # never ship device planes to host for a stat
     n = batch.num_rows
+    if any(not isinstance(batch.columns[i].data, np.ndarray) for i in idxs):
+        d = _device_max_dup([batch.columns[i] for i in idxs], n)
+        cache = getattr(batch.columns[idxs[0]], "_qe_tuple_max_dup", None)
+        if cache is None:
+            cache = {}
+            batch.columns[idxs[0]]._qe_tuple_max_dup = cache
+        cache[key] = d
+        return d
     planes, valid = [], np.ones(n, dtype=bool)
     for i in idxs:
         c = batch.columns[i]
@@ -234,8 +284,6 @@ def _cols_max_dup(batch, idxs) -> int:
         for r in srt:
             eq &= r[1:] == r[:-1]
         # longest run of equal adjacent tuples + 1
-        d, run = 1, 1
-        # vectorized: run lengths from the boundary positions
         bounds = np.flatnonzero(~eq)
         run_lens = np.diff(np.concatenate([[-1], bounds, [len(eq)]]))
         d = int(run_lens.max())
@@ -459,7 +507,8 @@ class CompiledPipeline:
         self._cache = {}  # plan key -> _Entry
         self._eager_bodies = set()  # structural keys known to fail tracing
         self._compact_cache = {}  # (cap, out_cap, dtypes) -> jitted fn
-        self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0}
+        self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0,
+                      "joins_inlined": 0, "joins_demoted": 0}
 
     # ---- entry -----------------------------------------------------------
     def try_execute(self, plan: pp.PhysicalPlan) -> Optional[ColumnBatch]:
@@ -499,6 +548,7 @@ class CompiledPipeline:
                     side = ("L", _dup_bucket(dl))
                 if side is None or side[1] is None:
                     forced.add(id(jnode))
+                    self.stats["joins_demoted"] += 1
                     demoted = True
                 else:
                     res[id(jnode)] = side
@@ -977,6 +1027,7 @@ class CompiledPipeline:
         sort-merge join (engine/executor.py _exec_join; the claimed hash-join
         behavior the reference stubs at executor.rs:363-435)."""
         ex = self.executor
+        self.stats["joins_inlined"] += 1
         lt = self._trace(plan.left, tables, leaf_ids, res)
         rt = self._trace(plan.right, tables, leaf_ids, res)
         resolution = (res or {}).get(id(plan))

@@ -225,3 +225,17 @@ def test_parameterized_program_reuse():
     # static-consumer literals (SUBSTRING offsets) stay baked and correct
     out = s.sql("SELECT SUBSTRING(name, 1, 3) FROM employees WHERE id = 1")
     assert out.to_pylist() == [("Ali",)]
+
+
+def test_joins_compile_in_segment_not_silently_demoted():
+    """Regression: device-resident tables once lost their duplication stats
+    and every join silently demoted to the eager path while the query still
+    returned correct rows. Assert the FK join actually traces in-segment."""
+    s = make_session(True)
+    q = ("SELECT departments.dept_name, COUNT(*) FROM employees "
+         "JOIN departments ON employees.dept_id = departments.dept_id "
+         "GROUP BY departments.dept_name ORDER BY departments.dept_name")
+    s.sql(q)
+    st = s.executor.pipeline.stats
+    assert st["joins_inlined"] >= 1, st
+    assert st["joins_demoted"] == 0, st
