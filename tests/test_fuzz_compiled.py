@@ -126,6 +126,18 @@ def gen_query(rnd: random.Random) -> tuple:
         w = rnd.choice(WINDOWS)
         q = f"SELECT id, v, {w} FROM t1{where} ORDER BY id"
         return q, True
+    if shape < 0.97:  # CTE / derived-table / subquery shapes
+        kind = rnd.randrange(3)
+        if kind == 0:
+            q = (f"WITH f AS (SELECT k, v FROM t1{where}) "
+                 f"SELECT k, COUNT(*), SUM(v) FROM f GROUP BY k")
+        elif kind == 1:
+            q = (f"SELECT sub.k, sub.m FROM (SELECT k, MAX(v) AS m FROM t1 "
+                 f"GROUP BY k) sub WHERE sub.m > 100 ORDER BY sub.k")
+        else:
+            q = ("SELECT id, v FROM t1 WHERE v > "
+                 "(SELECT AVG(v) FROM t1) ORDER BY id LIMIT 20")
+        return q, kind == 2
     # distinct
     cols = rnd.choice(["k", "s", "k, s"])
     q = f"SELECT DISTINCT {cols} FROM t1{where}"
