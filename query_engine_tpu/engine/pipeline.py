@@ -546,6 +546,12 @@ class CompiledPipeline:
                     side = ("R", _dup_bucket(dr))
                 elif dl is not None:
                     side = ("L", _dup_bucket(dl))
+                # HBM guard: the emit capacity is probe_cap * dup; demote
+                # rather than allocate beyond ~64M-row planes
+                if side is not None and side[1] is not None and leaves:
+                    cap_est = max(b.capacity for b in leaves)
+                    if cap_est * side[1] > (1 << 26):
+                        side = (side[0], None)
                 if side is None or side[1] is None:
                     forced.add(id(jnode))
                     self.stats["joins_demoted"] += 1
