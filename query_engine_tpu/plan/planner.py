@@ -210,7 +210,12 @@ class Planner:
             for ob in sel.order_by:
                 collect(ob.expr)
 
-            plan = lp.Aggregate(plan, group_lexprs, agg_exprs)
+            if sel.grouping_sets:
+                plan = self._plan_grouping_sets(
+                    plan, group_lexprs, agg_exprs, sel.grouping_sets
+                )
+            else:
+                plan = lp.Aggregate(plan, group_lexprs, agg_exprs)
             scope = Resolver(plan.schema())
 
         def plan_post_agg(e: ast.Expr) -> lp.LogicalExpr:
@@ -586,6 +591,51 @@ class Planner:
         return lp.WindowExpr(
             lp.WindowFn[e.func.name], args, partition_by, order_by, e.over.frame
         )
+
+    def _plan_grouping_sets(self, base, group_lexprs, agg_exprs, sets):
+        """GROUP BY ROLLUP/CUBE/GROUPING SETS: one Aggregate per grouping
+        set, each projected onto the full key layout (absent keys become
+        typed NULLs), combined with UNION ALL. Branch subtrees are deep
+        copies — rewrite passes mutate plans in place, so branches must not
+        share nodes. XLA's common-subexpression elimination dedupes the
+        repeated input computation inside one compiled program."""
+        import copy
+
+        branches = []
+        for set_idxs in sets:
+            b_base = copy.deepcopy(base)
+            keys = [copy.deepcopy(group_lexprs[i]) for i in set_idxs]
+            aggs = copy.deepcopy(agg_exprs)
+            agg = lp.Aggregate(b_base, keys, aggs)
+            aschema = agg.schema()
+            exprs: List[lp.LogicalExpr] = []
+            for gi, g in enumerate(group_lexprs):
+                if gi in set_idxs:
+                    pos = set_idxs.index(gi)
+                    f = aschema.field(pos)
+                    exprs.append(lp.AliasExpr(
+                        lp.ColumnRef(pos, f.name, f.data_type, True),
+                        g.name(),
+                    ))
+                else:
+                    exprs.append(lp.AliasExpr(
+                        lp.CastExpr(
+                            lp.Literal(lp.ScalarValue.null()), g.dtype
+                        ),
+                        g.name(),
+                    ))
+            for ai in range(len(agg_exprs)):
+                pos = len(set_idxs) + ai
+                f = aschema.field(pos)
+                exprs.append(lp.AliasExpr(
+                    lp.ColumnRef(pos, f.name, f.data_type, True),
+                    agg_exprs[ai].name(),
+                ))
+            branches.append(lp.Projection(agg, exprs))
+        plan = branches[0]
+        for b in branches[1:]:
+            plan = lp.SetOp(plan, b, lp.SetOpKind.UNION_ALL)
+        return plan
 
     # ---- correlated subquery decorrelation ------------------------------
     # The reference errors on every subquery form (operators.rs:34-52); we

@@ -367,6 +367,8 @@ class SelectStatement:
     distinct: bool = False
     distinct_on: Optional[List[Expr]] = None  # DISTINCT ON (...) — PG extension
     union_clause: Optional[UnionClause] = None
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS: index lists into group_by
+    grouping_sets: Optional[List[List[int]]] = None
 
 
 # ---------------------------------------------------------------------------

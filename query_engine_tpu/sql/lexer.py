@@ -34,7 +34,7 @@ KEYWORDS = {
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",
     "UNION", "ALL", "TO_TSVECTOR", "TO_TSQUERY", "CAST",
-    "EXTRACT", "DATE_TRUNC",
+    "EXTRACT", "DATE_TRUNC", "ROLLUP", "CUBE", "GROUPING", "SETS",
     "CASE", "WHEN", "THEN", "ELSE", "END",
     "INTERSECT", "EXCEPT",
     # type names (parsed as keywords for CAST/DDL)

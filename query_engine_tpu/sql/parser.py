@@ -275,9 +275,60 @@ class Parser:
         if self.cur.is_kw("GROUP"):
             self.advance()
             self.expect_kw("BY")
-            sel.group_by.append(self.parse_expr())
-            while self.match_op(","):
+            if self.cur.is_kw("ROLLUP", "CUBE"):
+                kind = self.advance().value
+                self.expect_op("(")
                 sel.group_by.append(self.parse_expr())
+                while self.match_op(","):
+                    sel.group_by.append(self.parse_expr())
+                self.expect_op(")")
+                n = len(sel.group_by)
+                if kind == "ROLLUP":
+                    sel.grouping_sets = [
+                        list(range(k)) for k in range(n, -1, -1)
+                    ]
+                else:  # CUBE: all subsets, larger sets first
+                    import itertools
+
+                    sel.grouping_sets = [
+                        list(c)
+                        for k in range(n, -1, -1)
+                        for c in itertools.combinations(range(n), k)
+                    ]
+            elif self.cur.is_kw("GROUPING"):
+                self.advance()
+                self.expect_kw("SETS")
+                self.expect_op("(")
+                sets_exprs: List[List[ast.Expr]] = []
+                while True:
+                    one: List[ast.Expr] = []
+                    if self.match_op("("):
+                        if not self.cur.is_op(")"):
+                            one.append(self.parse_expr())
+                            while self.match_op(","):
+                                one.append(self.parse_expr())
+                        self.expect_op(")")
+                    else:
+                        one.append(self.parse_expr())
+                    sets_exprs.append(one)
+                    if not self.match_op(","):
+                        break
+                self.expect_op(")")
+                # distinct exprs (frozen dataclasses compare by value)
+                sel.grouping_sets = []
+                for one in sets_exprs:
+                    idxs = []
+                    for e in one:
+                        if e in sel.group_by:
+                            idxs.append(sel.group_by.index(e))
+                        else:
+                            sel.group_by.append(e)
+                            idxs.append(len(sel.group_by) - 1)
+                    sel.grouping_sets.append(idxs)
+            else:
+                sel.group_by.append(self.parse_expr())
+                while self.match_op(","):
+                    sel.group_by.append(self.parse_expr())
         if self.match_kw("HAVING"):
             sel.having = self.parse_expr()
         if self.cur.is_kw("ORDER"):
