@@ -577,6 +577,8 @@ class Planner:
         return lp.AggregateExpr(func, inner, e.distinct)
 
     def _plan_window(self, e, scope, ctes, plan_post_agg):
+        if isinstance(e, ast.GroupingCall):
+            return ()  # args are key references, not value expressions
         if isinstance(e, ast.WindowAggregate):
             if e.distinct:
                 raise PlanError("DISTINCT is not supported in window aggregates")
@@ -631,6 +633,15 @@ class Planner:
                     lp.ColumnRef(pos, f.name, f.data_type, True),
                     agg_exprs[ai].name(),
                 ))
+            # hidden bitmask: bit i set when key i is aggregated away —
+            # GROUPING() reads it to tell rollup NULLs from data NULLs
+            mask = sum(
+                1 << gi for gi in range(len(group_lexprs))
+                if gi not in set_idxs
+            )
+            exprs.append(lp.AliasExpr(
+                lp.Literal(lp.ScalarValue.int64(mask)), "__grouping"
+            ))
             branches.append(lp.Projection(agg, exprs))
         plan = branches[0]
         for b in branches[1:]:
@@ -760,6 +771,39 @@ class Planner:
             key = le.name() + ("|d" if le.distinct else "")
             idx = num_groups + agg_map[key]
             return lp.ColumnRef(idx, le.name(), le.dtype, le.nullable)
+        if isinstance(e, ast.GroupingCall):
+            try:
+                gcol = agg_scope.resolve("__grouping")
+            except PlanError:
+                raise PlanError(
+                    "GROUPING() requires ROLLUP/CUBE/GROUPING SETS"
+                )
+            out = None
+            n = len(e.args)
+            for j, a in enumerate(e.args):
+                cand = self.plan_expr(a, pre_scope, ctes)
+                gi = next(
+                    (i for i, g in enumerate(group_lexprs)
+                     if self._expr_eq(cand, g)),
+                    None,
+                )
+                if gi is None:
+                    raise PlanError(
+                        "GROUPING() arguments must be grouping keys"
+                    )
+                lit = lambda v: lp.Literal(lp.ScalarValue.int64(v))
+                bit = lp.BinaryExpr(
+                    lp.BinaryExpr(gcol, lp.BinOp.DIV, lit(1 << gi)),
+                    lp.BinOp.MOD, lit(2),
+                )
+                w = 1 << (n - 1 - j)
+                term = bit if w == 1 else lp.BinaryExpr(
+                    bit, lp.BinOp.MUL, lit(w)
+                )
+                out = term if out is None else lp.BinaryExpr(
+                    out, lp.BinOp.ADD, term
+                )
+            return out
         # group expr structural match
         try:
             candidate = self.plan_expr(e, pre_scope, ctes)
@@ -844,6 +888,8 @@ class Planner:
             return (e.expr,)
         if isinstance(e, ast.Aggregate):
             return (e.expr,)
+        if isinstance(e, ast.GroupingCall):
+            return ()  # args are key references, not value expressions
         if isinstance(e, ast.WindowAggregate):
             # NOT an ast.Aggregate: must not trigger GROUP BY detection;
             # its arg may contain real grouped aggregates (SUM(SUM(x)) OVER)

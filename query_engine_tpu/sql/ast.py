@@ -215,6 +215,14 @@ class WindowSpec:
 
 
 @dataclass(frozen=True)
+class GroupingCall(Expr):
+    """GROUPING(key...): 0/1 bitmask of which keys are aggregated away in
+    the current grouping set (disambiguates rollup NULLs from data NULLs)."""
+
+    args: Tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
 class IntervalLit(Expr):
     """INTERVAL '...' literal, parsed into PG's (months, days, micros)
     triple at parse time."""

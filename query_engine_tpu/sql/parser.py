@@ -740,6 +740,14 @@ class Parser:
         if t.is_kw("NULL"):
             self.advance()
             return ast.NullLit()
+        if t.is_kw("GROUPING") and self.peek().is_op("("):
+            self.advance()
+            self.advance()
+            args = [self.parse_expr()]
+            while self.match_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return ast.GroupingCall(tuple(args))
         if t.is_kw("INTERVAL") and self.peek().kind == "STRING":
             self.advance()
             text = self.advance().value

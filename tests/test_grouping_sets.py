@@ -79,3 +79,32 @@ def test_rollup_compiled_matches_eager(sess):
     fast = sess.sql(q).to_pylist()
     sess.executor._compiled = False
     assert sess.sql(q).to_pylist() == fast
+
+
+def test_grouping_function_disambiguates(sess):
+    out = sess.sql(
+        "SELECT dept_id, GROUPING(dept_id) AS g, COUNT(*) FROM employees "
+        "GROUP BY ROLLUP(dept_id)"
+    ).to_pylist()
+    # Frank's real NULL dept has g=0; the grand total has g=1
+    assert (None, 0, 1) in out
+    assert (None, 1, 6) in out
+
+
+def test_grouping_multi_arg_bitmask(sess):
+    out = sess.sql(
+        "SELECT GROUPING(dept_id, age) AS g, COUNT(*) FROM employees "
+        "GROUP BY ROLLUP(dept_id, age)"
+    ).to_pylist()
+    masks = sorted(set(r[0] for r in out))
+    assert masks == [0, 1, 3]  # (a,b) -> 0, (a) -> 01, () -> 11
+
+
+def test_grouping_without_sets_errors(sess):
+    from query_engine_tpu.core.errors import PlanError
+
+    with pytest.raises(PlanError):
+        sess.sql(
+            "SELECT dept_id, GROUPING(dept_id) FROM employees "
+            "GROUP BY dept_id"
+        )
