@@ -537,8 +537,8 @@ class CompiledPipeline:
             sides = []
             demoted = False
             for jnode, lprov, rprov in ctx.checks:
-                dl = self._prov_max_dup(lprov, batch_by_node)
-                dr = self._prov_max_dup(rprov, batch_by_node)
+                dl = self._prov_max_dup(lprov, batch_by_node, res)
+                dr = self._prov_max_dup(rprov, batch_by_node, res)
                 side = None
                 # prefer the right (build) side on ties; bucket to pow2 so
                 # data drift within a bucket reuses the program
@@ -881,6 +881,8 @@ class CompiledPipeline:
             return None
         if any(p[0] == "unique" for p in provs):
             return ("unique",)  # any singly-unique key makes the tuple unique
+        if any(p[0] != "stat" for p in provs):
+            return None
         nodes = {id(p[1]) for p in provs}
         if len(nodes) != 1:
             return None
@@ -891,13 +893,17 @@ class CompiledPipeline:
     def _unique_prov(self, plan, key_expr, ctx):
         """Provenance of a join-key expr: ("unique",) if unique by
         construction, ("stat", node, col_idx) to check a materialized batch
-        column, or None (unknown)."""
+        column, ("via_join", node, side, inner) for columns flowing through
+        an in-segment join, or None (unknown)."""
         e = key_expr
         while isinstance(e, lp.AliasExpr):
             e = e.expr
         if not isinstance(e, lp.ColumnRef):
             return None
-        node, idx = plan, e.index
+        return self._unique_prov_idx(plan, e.index, ctx)
+
+    def _unique_prov_idx(self, plan, idx, ctx):
+        node = plan
         while True:
             if id(node) in ctx.forced:
                 return ("stat", node, idx)
@@ -925,15 +931,41 @@ class CompiledPipeline:
                         and idx == 0):
                     return ("unique",)
                 return None
-            # opaque boundary (join/set-op/...): stat on its output batch
+            if isinstance(node, pp.PHashJoin) and id(node) not in ctx.forced:
+                # through an in-segment join: a column from side X gains a
+                # multiplicity factor equal to the OTHER side's key dup —
+                # known when the child join resolved its bounded side to X's
+                # opposite. Child checks precede the parent's in ctx.checks,
+                # so its resolution is available at our resolution time.
+                n_left = len(node.left.schema())
+                if idx < n_left:
+                    inner = self._unique_prov_idx(node.left, idx, ctx)
+                    return ("via_join", node, "L", inner)
+                inner = self._unique_prov_idx(node.right, idx - n_left, ctx)
+                return ("via_join", node, "R", inner)
+            # opaque boundary (set-op, forced join, ...): stat on its batch
             return ("stat", node, idx)
 
-    def _prov_max_dup(self, prov, batch_by_node):
+    def _prov_max_dup(self, prov, batch_by_node, res=None):
         """-> max key multiplicity for this provenance, or None."""
         if prov is None:
             return None
         if prov[0] == "unique":
             return 1
+        if prov[0] == "via_join":
+            _, jnode, side, inner = prov
+            d = self._prov_max_dup(inner, batch_by_node, res)
+            if d is None:
+                return None
+            r = (res or {}).get(id(jnode))
+            if r is None:
+                return None  # child join demoted/unresolved
+            bounded_side, bdup = r
+            # each row of side X appears <= (other side's key dup) times;
+            # known only when the child's bounded side IS the other side
+            if bounded_side == side:
+                return None
+            return d * bdup
         if prov[0] == "stat_multi":
             _, node, idxs = prov
             b = self._prov_batch(node, batch_by_node)
@@ -1345,16 +1377,45 @@ class CompiledPipeline:
             # for the same information). Also shrinks every downstream
             # operator from row capacity to group capacity.
             direct = None  # (key plane, validity, lo, num_buckets)
-            if len(gvals) == 1:
-                v = gvals[0]
+            ranges = []  # per key: (lo, range) or None
+            for g, v in zip(plan.group_exprs, gvals):
                 if v.dictionary is not None:
-                    nb = max(len(v.dictionary), 1)
-                    if nb + 1 <= ex._DIRECT_GROUP_MAX_RANGE:
-                        direct = (v.data, v.validity, 0, nb)
+                    ranges.append((0, max(len(v.dictionary), 1)))
+                elif jnp.issubdtype(v.data.dtype, jnp.integer):
+                    ranges.append(_group_key_bounds(g, t))
+                elif v.data.dtype == jnp.bool_:
+                    ranges.append((0, 2))
                 else:
-                    b = _group_key_bounds(plan.group_exprs[0], t)
-                    if b is not None and b[1] + 1 <= ex._DIRECT_GROUP_MAX_RANGE:
-                        direct = (v.data, v.validity, b[0], b[1])
+                    ranges.append(None)
+            if len(gvals) == 1:
+                r0 = ranges[0]
+                if r0 is not None and r0[1] + 1 <= ex._DIRECT_GROUP_MAX_RANGE:
+                    direct = (gvals[0].data, gvals[0].validity, r0[0], r0[1])
+            elif all(r is not None for r in ranges):
+                # combined code: lexicographic packing with a null slot per
+                # key (code R_i), matching the sort-based group order
+                # (nulls last per level) so dense ids agree with the eager
+                # path
+                prod = 1
+                for _, rng_i in ranges:
+                    prod *= rng_i + 1
+                    if prod > ex._DIRECT_GROUP_MAX_RANGE:
+                        break
+                if prod <= ex._DIRECT_GROUP_MAX_RANGE:
+                    combined = None
+                    for v, (lo_i, rng_i) in zip(gvals, ranges):
+                        code = jnp.where(
+                            v.validity,
+                            jnp.clip(
+                                v.data.astype(jnp.int32) - lo_i, 0, rng_i - 1
+                            ),
+                            jnp.int32(rng_i),
+                        )
+                        combined = (
+                            code if combined is None
+                            else combined * (rng_i + 1) + code
+                        )
+                    direct = (combined, jnp.ones(cap, dtype=bool), 0, prod)
             if direct is not None:
                 kd, kv, lo, nb = direct
                 gid, ng, rep = K.group_ids_direct(kd, kv, sel, lo, nb)
