@@ -54,9 +54,11 @@ def _take(
 
 
 def _expr_struct_key(e: lp.LogicalExpr) -> str:
-    """Structural cache key for an expression (names include literals and
-    resolved column indices, so equal keys mean equal computations over the
-    same input schema)."""
+    """Rendered label for an expression — display/duplicate-detection WITHIN
+    one execution only. NOT a cache key across queries: names hide resolved
+    column indices (aliases, projection-pruned scans), so two different
+    computations can render identically. Cross-query caches must use
+    pipeline._expr_key."""
     return f"{type(e).__name__}:{e.name()}"
 
 
@@ -263,8 +265,17 @@ class QueryExecutor:
     def _fused_filter(self, batch: ColumnBatch, predicate):
         if batch.num_columns == 0 or _expr_has_host_dependency(predicate):
             return None
+        from query_engine_tpu.engine.pipeline import _expr_key, _Unsupported
+
+        try:
+            pkey = _expr_key(predicate)  # structural: resolved indices,
+            # literal values — name-based keys aliased ACROSS queries when
+            # projection pruning remapped the same column name to different
+            # indices (the cached program then filtered the wrong column)
+        except _Unsupported:
+            return None
         key = (
-            "filter", _expr_struct_key(predicate), batch.capacity,
+            "filter", pkey, batch.capacity,
             tuple(str(c.data.dtype) for c in batch.columns),
             tuple(id(c.dictionary) for c in batch.columns),
         )

@@ -44,3 +44,27 @@ def test_edge_compiled_matches_eager(sess, q):
     finally:
         sess.executor._compiled = True
     assert a == b, q
+
+
+def test_fused_filter_cache_keys_on_column_indices():
+    """Regression: the eager fused-filter cache keyed on expression NAMES;
+    after projection pruning remapped the same column name to different
+    indices in two queries, the second reused the first's program and
+    filtered the wrong column."""
+    from query_engine_tpu.engine.session import Session
+
+    for compiled in (False, True):
+        s = Session()
+        s.register_table("t", {
+            "id": list(range(100)),
+            "k": [i % 7 for i in range(100)],
+            "v": [i * 3 % 11 for i in range(100)],
+        })
+        s.executor._compiled = compiled
+        # query 1 prunes the scan to [k, v]: k lands at index 0
+        s.sql("SELECT k, v FROM t WHERE k < 3 UNION ALL "
+              "SELECT k, v FROM t WHERE v = 1")
+        # query 2 prunes to [id, k]: k lands at index 1 — same predicate name
+        out = s.sql("SELECT id FROM t WHERE k < 3 ORDER BY id").to_pylist()
+        want = [(i,) for i in range(100) if i % 7 < 3]
+        assert out == want, ("compiled" if compiled else "eager", out[:5])
