@@ -354,14 +354,31 @@ class QueryExecutor:
         out_rows = total + extra_l + extra_r
         out_cap = padded_capacity(out_rows)
 
+        if out_cap <= (1 << 22):
+            # pass 2 (one dispatch): emit + outer padding + column gathers,
+            # fused and cached per (shape, out_cap, which-extras). Gated by
+            # output size: at tens of millions of rows one mega-program
+            # holds every intermediate live and runs ~30% slower than the
+            # step-by-step kernels, while the dispatch savings stop
+            # mattering next to multi-second compute.
+            out = self._join_emit_pass(
+                plan, left, right,
+                (lr, counts, rank_start, right_by_rank, lmatched, rmatched),
+                total, extra_l, extra_r, out_cap, out_rows,
+            )
+            if plan.residual is not None:
+                out = self._filter_batch(out, plan.residual)
+            return out
+
         li, ri, valid = K.join_emit_inner(
             counts, rank_start, right_by_rank, lr, total, out_cap
         )
         lvalid = valid
         rvalid = valid
-
         if extra_l:
-            ul_idx, _ = K.unmatched_indices(lmatched, nl, padded_capacity(extra_l))
+            ul_idx, _ = K.unmatched_indices(
+                lmatched, nl, padded_capacity(extra_l)
+            )
             pos = jnp.arange(out_cap)
             in_l = (pos >= total) & (pos < total + extra_l)
             sel = jnp.clip(pos - total, 0, padded_capacity(extra_l) - 1)
@@ -369,7 +386,9 @@ class QueryExecutor:
             lvalid = lvalid | in_l
             valid = valid | in_l
         if extra_r:
-            ur_idx, _ = K.unmatched_indices(rmatched, nr, padded_capacity(extra_r))
+            ur_idx, _ = K.unmatched_indices(
+                rmatched, nr, padded_capacity(extra_r)
+            )
             pos = jnp.arange(out_cap)
             start = total + extra_l
             in_r = (pos >= start) & (pos < start + extra_r)
@@ -377,13 +396,77 @@ class QueryExecutor:
             ri = jnp.where(in_r, ur_idx[sel], ri)
             rvalid = rvalid | in_r
             valid = valid | in_r
-
         out = self._assemble_join(
             plan, left, right, li, ri, lvalid, rvalid, out_rows
         )
         if plan.residual is not None:
             out = self._filter_batch(out, plan.residual)
         return out
+
+    def _join_emit_pass(self, plan, left, right, state, total, extra_l,
+                        extra_r, out_cap: int, out_rows: int) -> ColumnBatch:
+        lr, counts, rank_start, right_by_rank, lmatched, rmatched = state
+        key = (
+            "joinemit", out_cap, extra_l > 0, extra_r > 0,
+            left.capacity, right.capacity,
+            tuple(str(c.data.dtype) for c in left.columns),
+            tuple(str(c.data.dtype) for c in right.columns),
+        )
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            has_l, has_r = extra_l > 0, extra_r > 0
+            cap_l, cap_r = left.capacity, right.capacity
+
+            @jax.jit
+            def fn(lr, counts, rank_start, right_by_rank, lmatched,
+                   rmatched, total, extra_l, extra_r, nl, nr, ld, lv, rd, rv):
+                li, ri, valid = K.join_emit_inner(
+                    counts, rank_start, right_by_rank, lr, total, out_cap
+                )
+                lvalid = valid
+                rvalid = valid
+                pos = jnp.arange(out_cap)
+                if has_l:
+                    ul_idx = K.compaction_indices(
+                        ~lmatched & K.live_mask(cap_l, nl), nl, out_cap
+                    )
+                    in_l = (pos >= total) & (pos < total + extra_l)
+                    sel = jnp.clip(pos - total, 0, out_cap - 1)
+                    li = jnp.where(in_l, ul_idx[sel], li)
+                    lvalid = lvalid | in_l
+                    valid = valid | in_l
+                if has_r:
+                    ur_idx = K.compaction_indices(
+                        ~rmatched & K.live_mask(cap_r, nr), nr, out_cap
+                    )
+                    start = total + extra_l
+                    in_r = (pos >= start) & (pos < start + extra_r)
+                    sel = jnp.clip(pos - start, 0, out_cap - 1)
+                    ri = jnp.where(in_r, ur_idx[sel], ri)
+                    rvalid = rvalid | in_r
+                    valid = valid | in_r
+                gl_d, gl_v = K.gather_columns(ld, lv, li, lvalid)
+                gr_d, gr_v = K.gather_columns(rd, rv, ri, rvalid)
+                return tuple(gl_d), tuple(gl_v), tuple(gr_d), tuple(gr_v)
+
+            self._fused_cache[key] = fn
+        gl_d, gl_v, gr_d, gr_v = fn(
+            lr, counts, rank_start, right_by_rank, lmatched, rmatched,
+            np.int64(total), np.int64(extra_l), np.int64(extra_r),
+            np.int64(left.num_rows), np.int64(right.num_rows),
+            [jnp.asarray(c.data) for c in left.columns],
+            [jnp.asarray(c.validity) for c in left.columns],
+            [jnp.asarray(c.data) for c in right.columns],
+            [jnp.asarray(c.validity) for c in right.columns],
+        )
+        cols = [
+            Column(d, v, c.dtype, c.dictionary)
+            for d, v, c in zip(
+                list(gl_d) + list(gr_d), list(gl_v) + list(gr_v),
+                list(left.columns) + list(right.columns),
+            )
+        ]
+        return ColumnBatch(plan.out_schema, cols, out_rows)
 
     def _join_count_pass(self, plan, left, right):
         """Fused, cached count pass for the eager join: one device program
