@@ -300,6 +300,10 @@ class Evaluator:
         # trace-time map id(Literal) -> traced scalar (compiled pipelines
         # parameterize eligible literals so programs are value-independent)
         self._dyn_literals = None
+        # trace-time map id(subplan) -> shim batch of traced planes
+        # (compiled pipelines feed materialized subquery results in as
+        # leaves, so subquery predicates evaluate inside the program)
+        self._subplans = None
 
     # ---- public --------------------------------------------------------
     def eval(self, e: lp.LogicalExpr, batch: ColumnBatch) -> Val:
@@ -927,17 +931,23 @@ class Evaluator:
 
     # ---- subqueries ----------------------------------------------------
     def _run_subplan(self, plan) -> ColumnBatch:
+        if self._subplans is not None and id(plan) in self._subplans:
+            return self._subplans[id(plan)]  # traced shim (compiled path)
         if self.subquery_exec is None:
             raise ExecutionError("subquery execution not available here")
         return self.subquery_exec(plan)
 
     def _eval_scalar_subquery(self, e: lp.ScalarSubqueryExpr, batch) -> Val:
         sub = self._run_subplan(e.plan)
-        if sub.num_rows == 0:
-            return _bcast(None, e.dtype, batch.capacity)
         col = sub.columns[0]
-        vals = col.to_pylist(1)
-        return _bcast(vals[0], e.dtype, batch.capacity)
+        # branchless (trace-compatible): value = first row, NULL when the
+        # subquery returned no rows
+        has = K.live_mask(sub.capacity, sub.num_rows)[0]
+        data = jnp.full(batch.capacity, jnp.asarray(col.data)[0])
+        valid = jnp.full(
+            batch.capacity, has & jnp.asarray(col.validity)[0]
+        )
+        return Val(data, valid, e.dtype, col.dictionary)
 
     def _eval_in_subquery(self, e: lp.InSubqueryExpr, batch) -> Val:
         sub = self._run_subplan(e.plan)
@@ -960,15 +970,20 @@ class Evaluator:
                 build = sdata.astype(jnp.int64)
         lm = K.live_mask(sub.capacity, sub.num_rows)
         build_ok = lm & svalid
-        sub_has_null = bool(np.asarray(jnp.any(lm & ~svalid)))
-        big = jnp.iinfo(jnp.int64).max
+        sub_has_null = jnp.any(lm & ~svalid)  # traced-compatible
+        if probe.dtype == jnp.float64 or build.dtype == jnp.float64:
+            probe = probe.astype(jnp.float64)
+            build = build.astype(jnp.float64)
+            big = jnp.float64(np.inf)
+        else:
+            big = jnp.iinfo(jnp.int64).max
         b_sorted = jnp.sort(jnp.where(build_ok, build, big))
         lo = jnp.searchsorted(b_sorted, probe, side="left")
         hi = jnp.searchsorted(b_sorted, probe, side="right")
         found = (hi > lo)
         data = found
         # 3VL: NOT found & subquery has NULL -> NULL
-        valid = v.validity & (found | (not sub_has_null))
+        valid = v.validity & (found | ~sub_has_null)
         if e.negated:
             data = ~data
         return Val(data, valid, DataType.boolean())
@@ -1018,7 +1033,11 @@ class Evaluator:
 
     def _eval_exists(self, e: lp.ExistsExpr, batch) -> Val:
         sub = self._run_subplan(e.plan)
-        hit = sub.num_rows > 0
+        hit = K.live_mask(sub.capacity, sub.num_rows)[0]  # any live row?
         if e.negated:
-            hit = not hit
-        return _bcast(hit, DataType.boolean(), batch.capacity)
+            hit = ~hit
+        return Val(
+            jnp.full(batch.capacity, hit),
+            jnp.ones(batch.capacity, dtype=bool),
+            DataType.boolean(),
+        )

@@ -347,12 +347,8 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
     bad = []
 
     def visit(x):
-        if isinstance(
-            x,
-            (lp.ScalarSubqueryExpr, lp.InSubqueryExpr, lp.ExistsExpr,
-             lp.CorrelatedLookupExpr, lp.UdfExpr),
-        ):
-            bad.append(x)
+        if isinstance(x, lp.UdfExpr):
+            bad.append(x)  # host callback
         elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.CONCAT:
             bad.append(x)  # decodes data planes to host strings
         elif isinstance(x, lp.ScalarFnExpr) and x.func is lp.ScalarFn.CONCAT:
@@ -466,6 +462,28 @@ def _expr_key(e: lp.LogicalExpr, ctx=None):
             tuple(_sort_key_key(k, ctx) for k in e.order_by),
             repr(e.frame),
         )
+    # subquery expressions: the subplan runs EAGERLY and its result batch
+    # feeds the program as an extra leaf, so the key carries only the outer
+    # computation — a different subplan with identical output shape reuses
+    # the same (correct) executable
+    if ctx is not None and isinstance(e, lp.ScalarSubqueryExpr):
+        ctx.sub_exprs.append(e)
+        return ("ssub", str(e.dtype))
+    if ctx is not None and isinstance(e, lp.InSubqueryExpr):
+        inner = _expr_key(e.expr, ctx)
+        ctx.sub_exprs.append(e)
+        return ("insub", e.negated, inner)
+    if ctx is not None and isinstance(e, lp.ExistsExpr):
+        ctx.sub_exprs.append(e)
+        return ("exists", e.negated)
+    if ctx is not None and isinstance(e, lp.CorrelatedLookupExpr):
+        okeys = tuple(_expr_key(k, ctx) for k in e.outer_keys)
+        ctx.sub_exprs.append(e)
+        return (
+            "corr", e.mode, e.negated,
+            None if e.miss_value is None else repr(e.miss_value.value),
+            okeys,
+        )
     raise _Unsupported(f"expr {type(e).__name__}")
 
 
@@ -490,7 +508,7 @@ class _SegCtx:
     programs)."""
 
     __slots__ = ("forced", "checks", "static_ids", "dyn_vals", "dyn_ids",
-                 "dyn_exprs")
+                 "dyn_exprs", "sub_exprs")
 
     def __init__(self, forced):
         self.forced = forced
@@ -499,6 +517,8 @@ class _SegCtx:
         self.dyn_vals = []   # np scalars, traversal order
         self.dyn_ids = []    # id(expr) per dyn literal (this plan)
         self.dyn_exprs = []  # the literal exprs (kept alive via entry.plan)
+        self.sub_exprs = []  # subquery exprs: plans execute eagerly, their
+        # result batches feed the program as extra leaves
 
 
 class CompiledPipeline:
@@ -562,23 +582,30 @@ class CompiledPipeline:
             if not demoted:
                 break
 
+        # subquery plans execute eagerly; their results are extra leaves
+        sub_batches = [
+            self.executor.execute(x.plan) for x in ctx.sub_exprs
+        ]
         key = (
             key_body,
             tuple(self._leaf_sig(b) for b in leaves),
+            tuple(self._leaf_sig(b) for b in sub_batches),
             tuple(sides),
         )
         entry = self._cache.get(key)
 
-        for b in leaves:
+        for b in leaves + sub_batches:
             ensure_device(b)
-        leaf_args = [
-            {
+
+        def batch_args(b):
+            return {
                 "d": [c.data for c in b.columns],
                 "v": [c.validity for c in b.columns],
                 "n": np.int64(b.num_rows),
             }
-            for b in leaves
-        ]
+
+        leaf_args = [batch_args(b) for b in leaves]
+        sub_args = [batch_args(b) for b in sub_batches]
         dyn_args = tuple(ctx.dyn_vals)  # traced scalars, traversal order
 
         if entry is None:
@@ -586,9 +613,11 @@ class CompiledPipeline:
             entry.leaf_ids = frozenset(map(id, leaf_nodes))
             entry.res = res
             entry.dyn_exprs = list(ctx.dyn_exprs)
+            entry.sub_exprs = list(ctx.sub_exprs)
+            entry.sub_batches = sub_batches  # dict/schema refs for tracing
 
             @jax.jit
-            def fn(args, dyn):
+            def fn(args, subs, dyn):
                 tables = [
                     _TTable(
                         schema=b.schema,
@@ -612,10 +641,26 @@ class CompiledPipeline:
                 ev._dyn_literals = {
                     id(e): v for e, v in zip(entry.dyn_exprs, dyn)
                 }
+                sub_shims = {}
+                for x, a, b in zip(entry.sub_exprs, subs, entry.sub_batches):
+                    st = _TTable(
+                        schema=b.schema,
+                        cols=[
+                            Column(d, v, c.dtype, c.dictionary)
+                            for d, v, c in zip(a["d"], a["v"], b.columns)
+                        ],
+                        sel=K.live_mask(b.capacity, a["n"]),
+                        capacity=b.capacity,
+                        dense=True,
+                        bounds=[None] * b.num_columns,
+                    )
+                    sub_shims[id(x.plan)] = _ShimBatch(st)
+                ev._subplans = sub_shims
                 try:
                     t = self._trace(entry.plan, it, entry.leaf_ids, entry.res)
                 finally:
                     ev._dyn_literals = None
+                    ev._subplans = None
                 if not entry.meta:
                     entry.meta.update(
                         schema=t.schema,
@@ -634,7 +679,7 @@ class CompiledPipeline:
 
             entry.fn = fn
             try:
-                out = fn(leaf_args, dyn_args)
+                out = fn(leaf_args, sub_args, dyn_args)
             except _TRACE_ERRORS:
                 self._eager_bodies.add(key_body)
                 self.stats["fallbacks"] += 1
@@ -643,7 +688,7 @@ class CompiledPipeline:
             self.stats["compiles"] += 1
         else:
             self.stats["hits"] += 1
-            out = entry.fn(leaf_args, dyn_args)
+            out = entry.fn(leaf_args, sub_args, dyn_args)
 
         datas, valids, sel, count = out
         count = int(count)
@@ -682,15 +727,17 @@ class CompiledPipeline:
         """Key a child subtree; an unsupported child becomes a leaf boundary
         (executed eagerly) instead of abandoning the segment above it."""
         cp_checks, cp_dyn = len(ctx.checks), len(ctx.dyn_vals)
+        cp_sub = len(ctx.sub_exprs)
         try:
             return self._plan_key(plan, ctx)
         except _Unsupported:
             # drop state collected by the failed subtree: phantom dyn
-            # literals would misalign values against the key's slots
+            # literals / subplans would misalign against the key's slots
             del ctx.checks[cp_checks:]
             del ctx.dyn_vals[cp_dyn:]
             del ctx.dyn_ids[cp_dyn:]
             del ctx.dyn_exprs[cp_dyn:]
+            del ctx.sub_exprs[cp_sub:]
             return ("leaf",), [plan], 0
 
     def _plan_key(self, plan, ctx):
@@ -1702,8 +1749,8 @@ class CompiledPipeline:
 class _Entry:
     """Cached compiled program + trace-captured output metadata."""
 
-    __slots__ = ("plan", "leaves", "leaf_ids", "res", "dyn_exprs", "fn",
-                 "meta")
+    __slots__ = ("plan", "leaves", "leaf_ids", "res", "dyn_exprs",
+                 "sub_exprs", "sub_batches", "fn", "meta")
 
     def __init__(self, plan, leaves):
         self.plan = plan
@@ -1711,6 +1758,8 @@ class _Entry:
         self.leaf_ids = frozenset()
         self.res = {}
         self.dyn_exprs = []
+        self.sub_exprs = []
+        self.sub_batches = []
         self.fn = None
         self.meta = {}
 
