@@ -122,10 +122,35 @@ def gen_query(rnd: random.Random) -> tuple:
         q = (f"SELECT k, v FROM t1 WHERE {p1} {op} "
              f"SELECT k, v FROM t1 WHERE {p2}")
         return q, False
-    if shape < 0.94:  # window
+    if shape < 0.92:  # window
         w = rnd.choice(WINDOWS)
         q = f"SELECT id, v, {w} FROM t1{where} ORDER BY id"
         return q, True
+    if shape < 0.94:  # correlated / uncorrelated subquery predicates
+        kind = rnd.randrange(3)
+        if kind == 0:
+            q = ("SELECT id FROM t1 WHERE v > (SELECT AVG(u) FROM t3) "
+                 "ORDER BY id")
+        elif kind == 1:
+            q = ("SELECT t1.id FROM t1 WHERE EXISTS (SELECT 1 FROM t3 "
+                 "WHERE t3.k = t1.k AND t3.u > 5) ORDER BY t1.id")
+        else:
+            q = ("SELECT t1.id, (SELECT MAX(t3.u) FROM t3 "
+                 "WHERE t3.k = t1.k) AS m FROM t1 ORDER BY t1.id LIMIT 50")
+        return q, True
+    if shape < 0.96:  # grouping sets / rollup
+        g1, g2 = rnd.sample(["k", "s"], 2)
+        kind = rnd.randrange(3)
+        if kind == 0:
+            q = (f"SELECT {g1}, COUNT(*), SUM(v) FROM t1{where} "
+                 f"GROUP BY ROLLUP({g1})")
+        elif kind == 1:
+            q = (f"SELECT {g1}, {g2}, COUNT(*) FROM t1{where} "
+                 f"GROUP BY CUBE({g1}, {g2})")
+        else:
+            q = (f"SELECT {g1}, GROUPING({g1}) AS gg, MIN(v) FROM t1{where} "
+                 f"GROUP BY ROLLUP({g1})")
+        return q, False
     if shape < 0.97:  # CTE / derived-table / subquery shapes
         kind = rnd.randrange(3)
         if kind == 0:
