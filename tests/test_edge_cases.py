@@ -68,3 +68,38 @@ def test_fused_filter_cache_keys_on_column_indices():
         out = s.sql("SELECT id FROM t WHERE k < 3 ORDER BY id").to_pylist()
         want = [(i,) for i in range(100) if i % 7 < 3]
         assert out == want, ("compiled" if compiled else "eager", out[:5])
+
+
+def test_dml_interleaved_with_cached_programs():
+    """Stats (bounds, key multiplicity) and compiled programs are cached per
+    table version; DML must invalidate them. Interleave INSERT/UPDATE/DELETE
+    with repeated queries in both modes and compare."""
+    from query_engine_tpu.engine.session import Session
+
+    def fresh(compiled):
+        s = Session()
+        s.sql("CREATE TABLE t (k INT, v INT)")
+        s.sql("CREATE TABLE d (k INT, w INT)")
+        s.sql("INSERT INTO d VALUES (1, 100), (2, 200), (3, 300)")
+        s.executor._compiled = compiled
+        return s
+
+    a, b = fresh(True), fresh(False)
+    Q = [
+        "SELECT k, COUNT(*), SUM(v) FROM t GROUP BY k ORDER BY k",
+        "SELECT t.v, d.w FROM t JOIN d ON t.k = d.k ORDER BY t.v",
+        "SELECT MIN(v), MAX(v) FROM t",
+    ]
+    steps = [
+        "INSERT INTO t VALUES (1, 10), (2, 20), (1, 30)",
+        "INSERT INTO t VALUES (3, 40), (9, 50)",   # widens k bounds
+        "UPDATE t SET v = v + 1 WHERE k = 1",
+        "DELETE FROM t WHERE k = 9",
+        "INSERT INTO t VALUES (2, 60), (2, 70), (2, 80)",  # raises k dup
+        "INSERT INTO d VALUES (1, 101)",  # d.k no longer unique
+    ]
+    for step in steps:
+        a.sql(step)
+        b.sql(step)
+        for q in Q:
+            assert a.sql(q).to_pylist() == b.sql(q).to_pylist(), (step, q)
