@@ -956,13 +956,6 @@ class QueryExecutor:
                     vals = vok = None
                     fname = "count_star"
                 fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
-                if (
-                    fn in (lp.WindowFn.MIN, lp.WindowFn.MAX)
-                    and fdesc[0] == "rows" and fdesc[1] is not None
-                ):
-                    raise ExecutionError(
-                        "window MIN/MAX requires an UNBOUNDED PRECEDING start"
-                    )
                 svals, svalid = K.window_aggregate_sorted(
                     fname, vals, vok, seg_change, peer_change, pad_sorted,
                     fdesc,

@@ -1702,13 +1702,6 @@ class CompiledPipeline:
                     wvals = wok = None
                     fname = "count_star"
                 fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
-                if (
-                    fn in (lp.WindowFn.MIN, lp.WindowFn.MAX)
-                    and fdesc[0] == "rows" and fdesc[1] is not None
-                ):
-                    raise ExecutionError(
-                        "window MIN/MAX requires an UNBOUNDED PRECEDING start"
-                    )
                 svals, svalid = K.window_aggregate_sorted(
                     fname, wvals, wok, seg_change, peer_change, pad_sorted,
                     fdesc,

@@ -931,12 +931,53 @@ def window_aggregate_sorted(
         seg32 = (jnp.cumsum(seg_change.astype(jnp.int32)) - 1)
         per_seg = _segment_extreme(vals, ok_live, seg32, cap, is_min)
         return per_seg[seg32], cnt > 0
-    if kind == "rows" and frame[1] is not None:
-        raise ValueError(
-            "window MIN/MAX requires an UNBOUNDED PRECEDING frame start"
-        )
+    if kind == "range_current" or frame[1] is None:
+        # unbounded start: running extreme, read at the frame end
+        run = _segment_running_extreme(vals, ok_live, seg_change, is_min)
+        return run[jnp.clip(hi, 0, cap - 1)], cnt > 0
+    # bounded ROWS start: van Herk / Gil-Werman block decomposition for the
+    # interior windows, with running / reverse-running extremes covering
+    # the segment-clamped edges
+    s_off, e_off = frame[1], frame[2]
+    if jnp.issubdtype(vals.dtype, jnp.floating):
+        x = vals.astype(jnp.float64)
+        neutral = jnp.float64(np.inf if is_min else -np.inf)
+    else:
+        x = vals.astype(jnp.int64)
+        neutral = _INT_MAX if is_min else _INT_MIN
+    x = jnp.where(ok_live, x, neutral)
+    pick = jnp.minimum if is_min else jnp.maximum
+    red = jax.lax.cummin if is_min else jax.lax.cummax
     run = _segment_running_extreme(vals, ok_live, seg_change, is_min)
-    return run[jnp.clip(hi, 0, cap - 1)], cnt > 0
+    # reverse running extreme (suffix within segment)
+    seg_end_flag = jnp.roll(seg_change, -1).at[cap - 1].set(True)
+    _, rev = jax.lax.associative_scan(
+        lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], pick(a[1], b[1]))),
+        (jnp.flip(seg_end_flag), jnp.flip(x)),
+    )
+    rev_run = jnp.flip(rev)
+    if e_off is None:
+        # frame = [max(i - s, seg_start), seg_end]
+        return rev_run[jnp.clip(lo, 0, cap - 1)], cnt > 0
+    k = s_off + e_off + 1
+    nb = -(-cap // k)
+    xp = jnp.concatenate([x, jnp.full(nb * k - cap, neutral, x.dtype)])
+    X = xp.reshape(nb, k)
+    pref = red(X, axis=1).reshape(-1)
+    suff = jnp.flip(red(jnp.flip(X, axis=1), axis=1), axis=1).reshape(-1)
+    # window of size k ending at j: combine(suff[j-k+1], pref[j]) — sourced
+    # positions stay inside [j-k+1, j], so interior windows never read
+    # across a segment boundary
+    j = jnp.clip(hi, 0, cap - 1)
+    start_pos = jnp.clip(j - k + 1, 0, cap - 1)
+    vh = pick(suff[start_pos], pref[jnp.clip(j, 0, nb * k - 1)])
+    start_clamped = (jnp.arange(cap, dtype=jnp.int32) - s_off) < lo
+    end_clamped = (jnp.arange(cap, dtype=jnp.int32) + e_off) > hi
+    out = jnp.where(
+        start_clamped, run[j],
+        jnp.where(end_clamped, rev_run[jnp.clip(lo, 0, cap - 1)], vh),
+    )
+    return out, cnt > 0
 
 
 def shift_in_segment(

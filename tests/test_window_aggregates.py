@@ -122,15 +122,38 @@ def test_rows_following_frame(env):
         assert got == (int(w) if ok else None)
 
 
-def test_unsupported_frames_error(env):
-    s, _ = env
-    from query_engine_tpu.core.errors import ExecutionError
+def test_rolling_min_max_frames(env):
+    """Bounded-start MIN/MAX frames (van Herk/Gil-Werman block windows with
+    running-extreme edge fallbacks) vs a brute-force oracle."""
+    s, df = env
+    import numpy as np
 
-    with pytest.raises(ExecutionError):
-        s.sql(
-            "SELECT MIN(v) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND "
-            "CURRENT ROW) FROM t"
-        )
+    g = df["g"].to_numpy()
+    v = df["v"].to_numpy()
+    n = len(df)
+    specs = [
+        ("MIN", 3, 0, True), ("MAX", 2, 2, False), ("MIN", 1, None, True),
+    ]
+    for fn_name, sp, ep, part in specs:
+        over = ("PARTITION BY g ORDER BY id" if part else "ORDER BY id")
+        end = ("UNBOUNDED FOLLOWING" if ep is None
+               else ("CURRENT ROW" if ep == 0 else f"{ep} FOLLOWING"))
+        q = (f"SELECT id, {fn_name}(v) OVER ({over} ROWS BETWEEN {sp} "
+             f"PRECEDING AND {end}) FROM t ORDER BY id")
+        got = [r[1] for r in s.sql(q).to_pylist()]
+        fn = min if fn_name == "MIN" else max
+        for i in range(n):
+            if part:
+                idxs = [j for j in range(n) if g[j] == g[i]]
+            else:
+                idxs = list(range(n))
+            pos = idxs.index(i)
+            lo = max(0, pos - sp)
+            hi = len(idxs) - 1 if ep is None else min(len(idxs) - 1, pos + ep)
+            vals = [v[idxs[x]] for x in range(lo, hi + 1)
+                    if not np.isnan(v[idxs[x]])]
+            want = fn(vals) if vals else None
+            assert got[i] == want, (q, i, got[i], want)
 
 
 def test_compiled_matches_eager(env):
