@@ -10,8 +10,15 @@ reference's only published join throughput — 813.01 QPS on the 6x4-row
 employees/departments join (README.md:693), i.e. 813 * 24 = 19,512 joined
 rows/sec (and that join is a Cartesian stub; see BASELINE.md caveat).
 
+Per-operator numbers (filter / aggregate variants / join / sort) are
+measured too and land IN the emitted JSON under "per_op", each with rows/s,
+achieved GB/s, and the fraction of the v5e HBM roofline (819 GB/s,
+BASELINE.json's >=70% target metric). Byte counts use the min-traffic
+convention: inputs read once + outputs written once; an op that moves data
+multiple times (sort passes) shows a correspondingly lower fraction.
+
 Env knobs: QE_BENCH_ROWS (default 2^24 = 16.7M), QE_BENCH_ITERS (default 3),
-QE_BENCH_OPS=1 to also print per-operator numbers on stderr.
+QE_BENCH_OPS=0 to skip the per-operator pass.
 """
 
 import json
@@ -29,6 +36,10 @@ from query_engine_tpu.ops import kernels as K
 from query_engine_tpu.ops.pallas.group_agg import grouped_sum_count_i64
 
 REFERENCE_JOIN_ROWS_PER_SEC = 813.01 * 24  # README.md:678-694 sample output
+
+from query_engine_tpu.utils.profiling import (  # noqa: E402
+    TPU_V5E_HBM_BYTES_PER_SEC as HBM_BYTES_PER_SEC,
+)
 
 
 N_GROUPS = 1024  # aggregate cardinality (dept-style grouping)
@@ -132,16 +143,22 @@ def main():
     best = min(times)
     rows_per_sec = n_rows / best
 
-    if os.environ.get("QE_BENCH_OPS") == "1":
-        _per_op(cap, bcap, args, iters)
+    per_op = {}
+    if os.environ.get("QE_BENCH_OPS", "1") != "0":
+        per_op = _per_op(cap, bcap, args, iters)
 
-    _engine_bench(iters)
+    engine = _engine_bench(iters)
 
+    # pipeline reads each input plane once: age 4+1, salary 8+1, dept 4+1,
+    # grp 4, dim-side negligible -> 23 B/row min traffic
     print(json.dumps({
         "metric": "fused_filter_agg_join_sort_pipeline",
         "value": round(rows_per_sec, 1),
         "unit": "rows/sec/chip",
         "vs_baseline": round(rows_per_sec / REFERENCE_JOIN_ROWS_PER_SEC, 2),
+        "hbm_roofline_frac": round(rows_per_sec * 23 / HBM_BYTES_PER_SEC, 4),
+        "engine_sql": engine,
+        "per_op": per_op,
     }))
 
 
@@ -183,13 +200,22 @@ def _engine_bench(iters):
         f"({min(ts)*1e3:.1f} ms/query, {n} rows)",
         file=sys.stderr,
     )
+    return {
+        "rows_per_sec": round(n / min(ts), 1),
+        "ms_per_query": round(min(ts) * 1e3, 2),
+        "rows": n,
+    }
 
 
 def _per_op(cap, bcap, args, iters):
+    """Per-operator rows/s + achieved bandwidth vs the HBM roofline.
+    Returns the dict embedded in the bench JSON (BASELINE.json metric:
+    rows/sec/chip per operator with hash join/agg >= 70% of roofline)."""
     (age, age_v, salary, salary_v, dept, dept_v, grp,
      bdept, bdept_v, bval, bval_v, n_rows, n_build) = args
+    results = {}
 
-    def timed(name, fn, *a):
+    def timed(name, bytes_per_row, fn, *a):
         f = jax.jit(fn)
 
         def materialize():
@@ -204,19 +230,30 @@ def _per_op(cap, bcap, args, iters):
             t0 = time.perf_counter()
             materialize()
             ts.append(time.perf_counter() - t0)
-        print(f"{name}: {int(n_rows) / min(ts):,.0f} rows/s", file=sys.stderr)
+        rps = int(n_rows) / min(ts)
+        gbps = rps * bytes_per_row / 1e9
+        frac = gbps * 1e9 / HBM_BYTES_PER_SEC
+        results[name] = {
+            "rows_per_sec": round(rps, 1),
+            "ms": round(min(ts) * 1e3, 2),
+            "achieved_gb_per_sec": round(gbps, 2),
+            "hbm_roofline_frac": round(frac, 4),
+        }
+        print(f"{name}: {rps:,.0f} rows/s  {gbps:.1f} GB/s "
+              f"({100 * frac:.1f}% of roofline)", file=sys.stderr)
 
-    timed("filter", lambda a, av, n: K.filter_count((a > 25) & av, n),
+    # min-traffic bytes/row: inputs read once + outputs written once
+    timed("filter", 5, lambda a, av, n: K.filter_count((a > 25) & av, n),
           age, age_v, n_rows)
     timed(
-        "hash_aggregate_sorted",
+        "hash_aggregate_sorted", 14,
         lambda d, dv, s, sv, n: K.segment_aggregate(
             "sum", s, sv, K.group_ids([d], [dv], n)[0], n, cap
         ),
         dept, dept_v, salary, salary_v, n_rows,
     )
     timed(
-        "hash_aggregate_direct",
+        "hash_aggregate_direct", 14,
         lambda d, dv, s, sv, n: K.segment_aggregate(
             "sum", s, sv, K.group_ids_direct(d, dv, n, 0, bcap)[0], n, bcap + 1
         ),
@@ -224,7 +261,7 @@ def _per_op(cap, bcap, args, iters):
     )
     if jax.devices()[0].platform != "cpu":
         timed(
-            "hash_aggregate_mxu_pallas",
+            "hash_aggregate_mxu_pallas", 13,
             lambda s, sv, g: grouped_sum_count_i64(s, sv, g, 1024),
             salary, salary_v, grp,
         )
@@ -233,11 +270,12 @@ def _per_op(cap, bcap, args, iters):
         lr, rr = K.join_ranks([(d, dv)], [(bd, bdv)], n, nb)
         return K.join_counts(lr, rr, n, nb)[0]
 
-    timed("hash_join_count", join_op, dept, dept_v, bdept, bdept_v,
+    timed("hash_join_count", 5, join_op, dept, dept_v, bdept, bdept_v,
           n_rows, n_build)
-    timed("sort", lambda s, sv, n: K.sort_permutation([s], [sv], [False],
-                                                      [False], n),
+    timed("sort", 13,
+          lambda s, sv, n: K.sort_permutation([s], [sv], [False], [False], n),
           salary, salary_v, n_rows)
+    return results
 
 
 if __name__ == "__main__":

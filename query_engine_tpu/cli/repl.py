@@ -29,7 +29,8 @@ Commands:
   .drop <table>           deregister a table
   .indexes [table]        list indexes
   .cache [stats|clear]    result-cache control
-  .timing [on|off]        toggle query timing
+  .timing [on|off]        toggle query timing (parse/plan/execute breakdown)
+  .profile [on|off|reset] per-operator counters (rows/s, HBM roofline frac)
   .plan [on|off]          show logical plans before execution
   .format <table|csv|json>  output format
   .help                   this help
@@ -116,6 +117,22 @@ class Repl:
         if cmd == ".timing":
             self.show_timing = not args or args[0] == "on"
             return f"timing {'on' if self.show_timing else 'off'}"
+        if cmd == ".profile":
+            from query_engine_tpu.utils.profiling import GLOBAL_PROFILER
+
+            if args and args[0] == "off":
+                GLOBAL_PROFILER.enabled = False
+                return "profiling off"
+            if args and args[0] == "reset":
+                GLOBAL_PROFILER.reset()
+                return "profiler reset"
+            if args and args[0] == "on":
+                GLOBAL_PROFILER.enabled = True
+                return "profiling on (per-operator counters; .profile to view)"
+            if not GLOBAL_PROFILER.enabled:
+                GLOBAL_PROFILER.enabled = True
+                return "profiling on (run queries, then .profile to view)"
+            return GLOBAL_PROFILER.report()
         if cmd == ".plan":
             self.show_plan = not args or args[0] == "on"
             return f"plan {'on' if self.show_plan else 'off'}"
@@ -140,7 +157,10 @@ class Repl:
         except QueryError as e:
             return f"Error: {e}"
         if self.show_timing:
-            out.append(f"Time: {(time.perf_counter() - t0) * 1000:.2f} ms")
+            t = self.session.last_timing
+            out.append(
+                f"Time: {(time.perf_counter() - t0) * 1000:.2f} ms ({t})"
+            )
         return "\n".join(out)
 
     def run(self):

@@ -78,6 +78,15 @@ def _expr_has_host_dependency(e: lp.LogicalExpr) -> bool:
     return bool(found)
 
 
+def _batch_nbytes(batch) -> int:
+    """Device-plane footprint of a batch (data + validity), for the
+    profiler's achieved-bandwidth accounting."""
+    total = 0
+    for c in getattr(batch, "columns", ()):
+        total += getattr(c.data, "nbytes", 0) + getattr(c.validity, "nbytes", 0)
+    return total
+
+
 class _ShimBatch:
     """Duck-typed ColumnBatch over traced arrays for in-jit evaluation."""
 
@@ -158,9 +167,33 @@ class QueryExecutor:
 
     # ---- entry ---------------------------------------------------------
     def execute(self, plan: pp.PhysicalPlan) -> ColumnBatch:
+        from query_engine_tpu.utils.profiling import GLOBAL_PROFILER
+
+        if not GLOBAL_PROFILER.enabled:
+            return self._execute_node(plan)
         if isinstance(plan, _Materialized):
             return plan.batch
+        name = type(plan).__name__
+        name = (name[1:] if name.startswith("P") else name).lower() or "node"
         if self._compiled:
+            with GLOBAL_PROFILER.op("compiled_pipeline") as rec:
+                out = self.pipeline.try_execute(plan)
+                if out is not None:
+                    rec.rows = out.num_rows
+                    rec.bytes = _batch_nbytes(out)
+                    return out
+                rec.rows = rec.bytes = 0  # fell through: charge the node
+        with GLOBAL_PROFILER.op(name) as rec:
+            out = self._execute_node(plan, _skip_compiled=True)
+            rec.rows = out.num_rows
+            rec.bytes = _batch_nbytes(out)
+        return out
+
+    def _execute_node(self, plan: pp.PhysicalPlan,
+                      _skip_compiled: bool = False) -> ColumnBatch:
+        if isinstance(plan, _Materialized):
+            return plan.batch
+        if self._compiled and not _skip_compiled:
             out = self.pipeline.try_execute(plan)
             if out is not None:
                 return out

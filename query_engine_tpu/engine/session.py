@@ -46,6 +46,11 @@ class Session:
         self.optimizer = Optimizer()
         self.executor = QueryExecutor(self.udfs)
         self.sources: Dict[str, object] = {}
+        # parse/plan/execute breakdown of the last statement (REPL .timing;
+        # reference doc example CLI_REFERENCE.md:290-292)
+        from query_engine_tpu.utils.profiling import QueryTiming
+
+        self.last_timing = QueryTiming()
         self._cache = None
         if enable_cache:
             from query_engine_tpu.cache.cache import QueryCache
@@ -91,7 +96,14 @@ class Session:
 
     # ---- SQL entry -----------------------------------------------------
     def sql(self, query: str, params: Optional[list] = None) -> ColumnBatch:
+        import time as _time
+
+        from query_engine_tpu.utils.profiling import QueryTiming
+
+        self.last_timing = QueryTiming()
+        t0 = _time.perf_counter()
         stmt = parse_sql(query)
+        self.last_timing.parse_ms = (_time.perf_counter() - t0) * 1e3
         if params:
             stmt = _bind_params(stmt, params)
             # cache key must distinguish parameter values
@@ -155,9 +167,16 @@ class Session:
             ]
             if rec:
                 return self._execute_recursive_cte(stmt, rec)
+        import time as _time
+
+        t0 = _time.perf_counter()
         plan = self._plan_query(stmt)
         pplan = Lowering(self.sources).lower(plan)
-        return self.executor.execute(pplan)
+        t1 = _time.perf_counter()
+        self.last_timing.plan_ms += (t1 - t0) * 1e3
+        out = self.executor.execute(pplan)
+        self.last_timing.execute_ms += (_time.perf_counter() - t1) * 1e3
+        return out
 
     def _execute_recursive_cte(self, stmt: ast.WithSelect, rec) -> ColumnBatch:
         """Fixed-point recursive CTE evaluation (backend.rs:221-369):

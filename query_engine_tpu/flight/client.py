@@ -54,6 +54,26 @@ class FlightClient:
         desc = flight.FlightDescriptor.for_path(name)
         return self._client.get_schema(desc).schema
 
+    def poll_flight_info(self, name: Optional[str] = None,
+                         sql: Optional[str] = None) -> dict:
+        """PollFlightInfo (reference server.rs:283-321) via the
+        "poll_flight_info" action (pyarrow bindings lack the raw RPC).
+        Returns {progress, ticket, total_records, schema} with the schema
+        decoded back to a pyarrow.Schema."""
+        import base64
+
+        body = json.dumps(
+            {"path": [name]} if name is not None else {"cmd": sql}
+        ).encode("utf-8")
+        results = self._client.do_action(
+            flight.Action("poll_flight_info", body))
+        for r in results:
+            info = json.loads(r.body.to_pybytes())
+            info["schema"] = pa.ipc.read_schema(
+                pa.py_buffer(base64.b64decode(info.pop("schema_ipc_b64"))))
+            return info
+        raise FlightError("poll_flight_info returned no result")
+
     # ---- tables ----------------------------------------------------------
     def list_tables(self) -> List[str]:
         results = self._client.do_action(flight.Action("list_tables", b""))

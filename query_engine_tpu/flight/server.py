@@ -2,9 +2,12 @@
 
 Parity surface: reference crates/query-flight/src/server.rs:71-592 — all
 Flight RPCs: handshake (no-op), list_flights, get_flight_info,
-get_schema, do_get (execute a query), do_put (upload -> register table),
-do_action (clear_tables / list_tables), do_exchange (optionally store, echo
-back).
+poll_flight_info (server.rs:283-321; exposed as the "poll_flight_info"
+action because pyarrow's Python bindings do not surface the PollFlightInfo
+RPC — same request/response contract: descriptor in, {info, progress: 1.0}
+out), get_schema, do_get (execute a query), do_put (upload -> register
+table), do_action (clear_tables / list_tables), do_exchange (optionally
+store, echo back).
 
 Claimed-semantics upgrade: the reference's do_get "query" path is only a
 table scan (extract_table_name pulls the word after FROM, server.rs:147-189);
@@ -125,14 +128,56 @@ class FlightServiceImpl(flight.FlightServerBase):
             yield flight.Result(b"ok")
         elif action.type == "health_check":
             yield flight.Result(b"ok")
+        elif action.type == "poll_flight_info":
+            yield flight.Result(self._poll_flight_info(action.body.to_pybytes()))
         else:
             raise flight.FlightServerError(f"unknown action {action.type}")
+
+    def _poll_flight_info(self, body: bytes) -> bytes:
+        """PollFlightInfo semantics (reference server.rs:283-321): resolve
+        the descriptor to a table/query, return its FlightInfo with
+        progress = 1.0 — this engine materializes results synchronously, so
+        a poll is always complete (ditto the reference). Body is JSON
+        {"path": [name]} or {"cmd": sql}; response is JSON with the schema
+        (base64 Arrow IPC), ticket, row count, and progress."""
+        import base64
+
+        try:
+            req = json.loads(body.decode("utf-8")) if body else {}
+        except ValueError:
+            req = {"cmd": body.decode("utf-8", "replace")}
+        path = req.get("path") or []
+        cmd = req.get("cmd")
+        if path:
+            name = path[0]
+            with self._lock:
+                if name not in self.session.tables():
+                    raise flight.FlightServerError(f"Table not found: {name}")
+                schema = self.session.table_schema(name).to_arrow()
+                rows = getattr(self.session.sources[name.lower()],
+                               "num_rows", -1)
+            ticket = name
+        elif cmd:
+            result = self._execute_sql(cmd)
+            schema, rows, ticket = result.schema.to_arrow(), result.num_rows, cmd
+        else:
+            raise flight.FlightServerError("No table specified")
+        return json.dumps({
+            "progress": 1.0,
+            "expiration_time": None,
+            "ticket": ticket,
+            "total_records": rows,
+            "schema_ipc_b64": base64.b64encode(
+                schema.serialize().to_pybytes()).decode("ascii"),
+        }).encode("utf-8")
 
     def list_actions(self, context):
         return [
             ("list_tables", "List registered tables"),
             ("clear_tables", "Drop all registered tables"),
             ("health_check", "Liveness probe"),
+            ("poll_flight_info", "PollFlightInfo: descriptor JSON -> "
+             "{info, progress} (always complete)"),
         ]
 
 

@@ -1,9 +1,10 @@
 """Authentication configuration.
 
 Parity surface: reference crates/query-pgwire/src/auth.rs:50-253 —
-AuthConfig user/password map, MD5 handler (random salt +
-hash_md5_password), cleartext; SCRAM is accepted config-wise but downgraded
-to MD5 on the wire (a follow-up).
+AuthConfig user/password map, trust/cleartext/MD5 (random salt +
+hash_md5_password) and SCRAM-SHA-256: the full RFC 7677 exchange is
+implemented by ScramServer in pgwire/protocol.py and negotiated on the
+wire (negative-password coverage in tests/test_pgwire.py).
 """
 
 from __future__ import annotations

@@ -3,8 +3,9 @@
 Parity surface:
 * PgServer — reference crates/query-pgwire/src/server.rs:34-359: TCP accept
   loop, per-connection backend over a shared table map, load_csv/
-  register_table helpers, +-auth variants (TLS is config-accepted; termination
-  is a follow-up).
+  register_table helpers, +-auth variants, and TLS termination via the
+  SSLRequest/STARTTLS upgrade (pgwire/tls.py; exercised with generated
+  certificates in tests/test_pgwire.py).
 * QueryBackend dispatch — reference backend.rs:28-2603: statement splitting,
   SHOW TABLES / DESCRIBE (:781-805,963-1039), BEGIN/COMMIT/ROLLBACK no-ops
   (:807-832), pg_catalog / information_schema shims (:834-850), COPY

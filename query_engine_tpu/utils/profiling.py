@@ -25,7 +25,7 @@ TPU_V5E_HBM_BYTES_PER_SEC = 819e9
 @dataclass
 class OpStats:
     calls: int = 0
-    total_secs: float = 0.0
+    total_secs: float = 0.0   # self time: children's time is subtracted
     total_rows: int = 0
     total_bytes: int = 0
 
@@ -41,38 +41,69 @@ class OpStats:
         return (self.total_bytes / self.total_secs) / TPU_V5E_HBM_BYTES_PER_SEC
 
 
+@dataclass
+class _OpRecord:
+    """Mutable handle yielded by Profiler.op — callers may set rows/bytes
+    once the output size is known (data-dependent row counts)."""
+
+    rows: int = 0
+    bytes: int = 0
+
+
 class Profiler:
-    """Collects per-operator timings; cheap enough to stay on."""
+    """Collects per-operator SELF timings (child operator time subtracted
+    via an activation stack, so a recursive executor walk attributes each
+    node only its own work). Wall-clock caveat: JAX dispatch is async — a
+    node is charged the host time until its successor forces a sync, which
+    is exactly the cost structure the engine pays per dispatch."""
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self.ops: Dict[str, OpStats] = defaultdict(OpStats)
+        self._child_secs: list = []  # per-active-frame accumulated child time
 
     @contextlib.contextmanager
     def op(self, name: str, rows: int = 0, bytes_: int = 0):
         if not self.enabled:
-            yield
+            yield _OpRecord(rows, bytes_)
             return
+        rec = _OpRecord(rows, bytes_)
+        self._child_secs.append(0.0)
         t0 = time.perf_counter()
         try:
-            yield
+            yield rec
         finally:
             dt = time.perf_counter() - t0
+            child = self._child_secs.pop()
+            if self._child_secs:
+                self._child_secs[-1] += dt
             s = self.ops[name]
             s.calls += 1
-            s.total_secs += dt
-            s.total_rows += rows
-            s.total_bytes += bytes_
+            s.total_secs += max(dt - child, 0.0)
+            s.total_rows += rec.rows
+            s.total_bytes += rec.bytes
 
     def report(self) -> str:
-        lines = ["operator           calls     total_ms       rows/s  bw_frac"]
+        lines = ["operator             calls     total_ms       rows/s  bw_frac"]
         for name in sorted(self.ops):
             s = self.ops[name]
             lines.append(
-                f"{name:<18} {s.calls:>5} {s.total_secs * 1e3:>12.2f} "
+                f"{name:<20} {s.calls:>5} {s.total_secs * 1e3:>12.2f} "
                 f"{s.rows_per_sec:>12,.0f} {s.bandwidth_fraction:>8.3f}"
             )
         return "\n".join(lines)
+
+    def snapshot(self) -> Dict[str, dict]:
+        """Per-op dict for structured emission (bench JSON)."""
+        return {
+            name: {
+                "calls": s.calls,
+                "total_ms": round(s.total_secs * 1e3, 3),
+                "rows_per_sec": round(s.rows_per_sec, 1),
+                "hbm_roofline_frac": round(s.bandwidth_fraction, 4),
+            }
+            for name, s in sorted(self.ops.items())
+        }
 
     def reset(self) -> None:
         self.ops.clear()

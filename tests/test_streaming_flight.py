@@ -175,6 +175,27 @@ def test_flight_exchange_and_data_source(flight_server):
     assert got == [(1,), (2,), (3,), (4,)]
 
 
+def test_flight_poll_flight_info(flight_server):
+    from query_engine_tpu.flight.client import FlightClient
+
+    c = FlightClient(f"grpc://127.0.0.1:{flight_server.port}")
+    # path-based poll (reference server.rs:283-321): always complete
+    info = c.poll_flight_info(name="nums")
+    assert info["progress"] == 1.0
+    assert info["ticket"] == "nums"
+    assert info["total_records"] == 4
+    assert info["schema"].names == ["n", "s"]
+    # command-based poll runs the query for schema/row count
+    info = c.poll_flight_info(sql="SELECT n FROM nums WHERE n > 2")
+    assert info["progress"] == 1.0
+    assert info["total_records"] == 2
+    assert info["schema"].names == ["n"]
+    # unknown table -> error
+    with pytest.raises(Exception):
+        c.poll_flight_info(name="missing_table")
+    c.close()
+
+
 def test_flight_error_propagates(flight_server):
     from query_engine_tpu.core.errors import FlightError
     from query_engine_tpu.flight.client import FlightClient
