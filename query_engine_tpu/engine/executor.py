@@ -696,11 +696,11 @@ class QueryExecutor:
         def mxu_sums_counts(data, ok_mask, key):
             if key not in mxu_cache:
                 from query_engine_tpu.ops.pallas.group_agg import (
-                    grouped_sum_count_i64,
+                    grouped_sum_count,
                 )
 
                 # static bound padded to cover out_cap (<= padded(nb+1))
-                mxu_cache[key] = grouped_sum_count_i64(
+                mxu_cache[key] = grouped_sum_count(
                     data, ok_mask, gid.astype(jnp.int32),
                     padded_capacity(mxu_bound),
                 )
@@ -733,7 +733,8 @@ class QueryExecutor:
                 and func in (lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG)
                 and (agg.expr is None or (
                     arg_dict is None
-                    and jnp.issubdtype(data.dtype, jnp.integer)
+                    and (jnp.issubdtype(data.dtype, jnp.integer)
+                         or jnp.issubdtype(data.dtype, jnp.floating))
                 ))
             ):
                 lm = K.live_mask(cap, batch.num_rows)
@@ -743,7 +744,10 @@ class QueryExecutor:
                     key = "__star"
                 else:
                     ok = lm & validity
-                    vals = data.astype(jnp.int64)
+                    vals = (
+                        data if jnp.issubdtype(data.dtype, jnp.floating)
+                        else data.astype(jnp.int64)
+                    )
                     key = _expr_struct_key(agg.expr)
                 sums, counts = mxu_sums_counts(vals, ok, key)
                 f = schema.field(fi)
@@ -812,7 +816,9 @@ class QueryExecutor:
 
     # dense-gid bound below which the MXU one-hot-matmul aggregate applies
     # (VMEM holds the [G, 128] int32 accumulator)
-    _MXU_AGG_MAX_GROUPS = 4096
+    # MXU one-hot work is O(n*G); measured crossover vs the chunked-i32
+    # scatter path sits past 32k groups (group_agg.py docstring)
+    _MXU_AGG_MAX_GROUPS = 32768
 
     def _group_ids_best(self, gvals, num_rows):
         """Returns (gid, ng, rep, static_bound). static_bound is the dense

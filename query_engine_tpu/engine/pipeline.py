@@ -60,6 +60,18 @@ from query_engine_tpu.plan import logical as lp
 from query_engine_tpu.plan import physical as pp
 
 
+class _CountReady(Exception):
+    """Raised mid-trace by a count-mode join: carries the traced output-size
+    scalar up to the count program's body (emit-capacity sync — the host
+    reads this one scalar, picks a pow2 emit bucket, and dispatches the
+    companion emit program; SURVEY.md §7 hard-part #1)."""
+
+    def __init__(self, node, count):
+        super().__init__("join count ready")
+        self.node = node
+        self.count = count
+
+
 class _Unsupported(Exception):
     """Raised during segment analysis/tracing: fall back to eager."""
 
@@ -528,7 +540,8 @@ class CompiledPipeline:
         self._eager_bodies = set()  # structural keys known to fail tracing
         self._compact_cache = {}  # (cap, out_cap, dtypes) -> jitted fn
         self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0,
-                      "joins_inlined": 0, "joins_demoted": 0}
+                      "joins_inlined": 0, "joins_demoted": 0,
+                      "joins_counted": 0}
 
     # ---- entry -----------------------------------------------------------
     def try_execute(self, plan: pp.PhysicalPlan) -> Optional[ColumnBatch]:
@@ -552,10 +565,9 @@ class CompiledPipeline:
                 ensure_bounds(b)  # one fused dispatch per device-backed batch
             batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
 
-            # resolve join duplication stats; demote unboundable joins
+            # resolve join duplication stats; joins without a static bound
+            # go through the count->emit two-program capacity sync
             res = {}
-            sides = []
-            demoted = False
             for jnode, lprov, rprov in ctx.checks:
                 dl = self._prov_max_dup(lprov, batch_by_node, res)
                 dr = self._prov_max_dup(rprov, batch_by_node, res)
@@ -566,47 +578,93 @@ class CompiledPipeline:
                     side = ("R", _dup_bucket(dr))
                 elif dl is not None:
                     side = ("L", _dup_bucket(dl))
-                # HBM guard: the emit capacity is probe_cap * dup; demote
+                # HBM guard: the emit capacity is probe_cap * dup; count
                 # rather than allocate beyond ~64M-row planes
                 if side is not None and side[1] is not None and leaves:
                     cap_est = max(b.capacity for b in leaves)
                     if cap_est * side[1] > (1 << 26):
                         side = (side[0], None)
                 if side is None or side[1] is None:
+                    res[id(jnode)] = ("C", None)  # size via count program
+                else:
+                    res[id(jnode)] = side
+
+            # subquery plans execute eagerly; their results are extra leaves
+            sub_batches = [
+                self.executor.execute(x.plan) for x in ctx.sub_exprs
+            ]
+            for b in leaves + sub_batches:
+                ensure_device(b)
+
+            def batch_args(b):
+                return {
+                    "d": [c.data for c in b.columns],
+                    "v": [c.validity for c in b.columns],
+                    "n": np.int64(b.num_rows),
+                }
+
+            leaf_args = [batch_args(b) for b in leaves]
+            sub_args = [batch_args(b) for b in sub_batches]
+            dyn_args = tuple(ctx.dyn_vals)  # traced scalars, traversal order
+            leaf_sigs = tuple(self._leaf_sig(b) for b in leaves)
+            sub_sigs = tuple(self._leaf_sig(b) for b in sub_batches)
+
+            # count->emit capacity sync: each unresolved join costs ONE
+            # extra cached dispatch (its count program) + one host scalar
+            # read; the emit program is then fully static. Replaces the
+            # eager demotion for joins with unbounded key duplication.
+            demoted = False
+            while True:
+                pending = [
+                    j for j, _, _ in ctx.checks
+                    if res.get(id(j)) == ("C", None)
+                ]
+                if not pending:
+                    break
+                sides_now = tuple(res[id(j)] for j, _, _ in ctx.checks)
+                ckey = (key_body, leaf_sigs, sub_sigs, sides_now, "count")
+                centry = self._cache.get(ckey)
+                if centry is None:
+                    centry = self._build_count_entry(
+                        plan, ctx, leaves, leaf_nodes, res, sub_batches
+                    )
+                    try:
+                        out_val = centry.fn(leaf_args, sub_args, dyn_args)
+                    except _TRACE_ERRORS:
+                        out_val = None
+                    if out_val is not None and centry.ordinal is not None:
+                        self._cache[ckey] = centry
+                        self.stats["compiles"] += 1
+                else:
+                    self.stats["hits"] += 1
+                    out_val = centry.fn(leaf_args, sub_args, dyn_args)
+                jnode = (
+                    ctx.checks[centry.ordinal][0]
+                    if centry is not None and centry.ordinal is not None
+                    else pending[0]
+                )
+                if out_val is None or centry.ordinal is None:
                     forced.add(id(jnode))
                     self.stats["joins_demoted"] += 1
                     demoted = True
-                else:
-                    res[id(jnode)] = side
-                    sides.append(side)
+                    break
+                out_rows = int(out_val)
+                bucket = 128
+                while bucket < out_rows:
+                    bucket *= 2
+                if bucket > (1 << 26):  # HBM guard on the counted size
+                    forced.add(id(jnode))
+                    self.stats["joins_demoted"] += 1
+                    demoted = True
+                    break
+                res[id(jnode)] = ("E", bucket)
+                self.stats["joins_counted"] += 1
             if not demoted:
                 break
 
-        # subquery plans execute eagerly; their results are extra leaves
-        sub_batches = [
-            self.executor.execute(x.plan) for x in ctx.sub_exprs
-        ]
-        key = (
-            key_body,
-            tuple(self._leaf_sig(b) for b in leaves),
-            tuple(self._leaf_sig(b) for b in sub_batches),
-            tuple(sides),
-        )
+        sides = tuple(res[id(j)] for j, _, _ in ctx.checks)
+        key = (key_body, leaf_sigs, sub_sigs, sides)
         entry = self._cache.get(key)
-
-        for b in leaves + sub_batches:
-            ensure_device(b)
-
-        def batch_args(b):
-            return {
-                "d": [c.data for c in b.columns],
-                "v": [c.validity for c in b.columns],
-                "n": np.int64(b.num_rows),
-            }
-
-        leaf_args = [batch_args(b) for b in leaves]
-        sub_args = [batch_args(b) for b in sub_batches]
-        dyn_args = tuple(ctx.dyn_vals)  # traced scalars, traversal order
 
         if entry is None:
             entry = _Entry(plan, leaves)
@@ -739,6 +797,78 @@ class CompiledPipeline:
             del ctx.dyn_exprs[cp_dyn:]
             del ctx.sub_exprs[cp_sub:]
             return ("leaf",), [plan], 0
+
+    def _build_count_entry(self, plan, ctx, leaves, leaf_nodes, res,
+                           sub_batches):
+        """Build the COUNT program for the first size-unresolved join in
+        trace order: traces the same segment body as the emit program, but
+        the counted join raises _CountReady with its traced output size —
+        the program returns that one scalar. Entry is cached alongside emit
+        programs, so steady state is 2 dispatches per unbounded join."""
+        entry = _Entry(plan, leaves)
+        entry.leaf_ids = frozenset(map(id, leaf_nodes))
+        entry.res = dict(res)
+        entry.dyn_exprs = list(ctx.dyn_exprs)
+        entry.sub_exprs = list(ctx.sub_exprs)
+        entry.sub_batches = sub_batches
+        checks = list(ctx.checks)
+
+        @jax.jit
+        def fn(args, subs, dyn):
+            tables = [
+                _TTable(
+                    schema=b.schema,
+                    cols=[
+                        Column(d, v, c.dtype, c.dictionary)
+                        for d, v, c in zip(a["d"], a["v"], b.columns)
+                    ],
+                    sel=K.live_mask(b.capacity, a["n"]),
+                    capacity=b.capacity,
+                    dense=True,
+                    bounds=[
+                        (None if (bb := _bucket_bounds(_col_bounds(c))) is None
+                         or bb == ("big",) else bb)
+                        for c in b.columns
+                    ],
+                )
+                for a, b in zip(args, entry.leaves)
+            ]
+            it = iter(tables)
+            ev = self.executor.evaluator
+            ev._dyn_literals = {
+                id(e): v for e, v in zip(entry.dyn_exprs, dyn)
+            }
+            sub_shims = {}
+            for x, a, b in zip(entry.sub_exprs, subs, entry.sub_batches):
+                st = _TTable(
+                    schema=b.schema,
+                    cols=[
+                        Column(d, v, c.dtype, c.dictionary)
+                        for d, v, c in zip(a["d"], a["v"], b.columns)
+                    ],
+                    sel=K.live_mask(b.capacity, a["n"]),
+                    capacity=b.capacity,
+                    dense=True,
+                    bounds=[None] * b.num_columns,
+                )
+                sub_shims[id(x.plan)] = _ShimBatch(st)
+            ev._subplans = sub_shims
+            try:
+                self._trace(entry.plan, it, entry.leaf_ids, entry.res)
+            except _CountReady as e:
+                if entry.ordinal is None:
+                    for i, (j, _, _) in enumerate(checks):
+                        if j is e.node:
+                            entry.ordinal = i
+                            break
+                return e.count
+            finally:
+                ev._dyn_literals = None
+                ev._subplans = None
+            raise _Unsupported("no counted join reached in trace")
+
+        entry.fn = fn
+        return entry
 
     def _plan_key(self, plan, ctx):
         """Validate + build the structural cache key; returns (body, leaf
@@ -1005,8 +1135,8 @@ class CompiledPipeline:
             if d is None:
                 return None
             r = (res or {}).get(id(jnode))
-            if r is None:
-                return None  # child join demoted/unresolved
+            if r is None or r[0] not in ("L", "R"):
+                return None  # child join demoted / counted-not-bounded
             bounded_side, bdup = r
             # each row of side X appears <= (other side's key dup) times;
             # known only when the child's bounded side IS the other side
@@ -1122,16 +1252,22 @@ class CompiledPipeline:
         jt = plan.join_type
         cap_l, cap_r = lt.capacity, rt.capacity
 
-        # static emit bound: each probe-side row contributes <= max(dup, 1)
-        # outputs (its matches, or its single outer-pad row), so probe_cap *
-        # dup covers INNER plus the probe side's outer rows; outer rows from
-        # the BOUNDED side need their own slots on top.
-        probe_cap = cap_l if side == "R" else cap_r
-        out_cap = probe_cap * dup
-        if side == "R" and jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
-            out_cap += cap_r
-        if side == "L" and jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
-            out_cap += cap_l
+        if side == "E":
+            # emit-capacity sync: the companion count program already told
+            # the host the exact output size; dup is the pow2 bucket
+            out_cap = dup
+        else:
+            # static emit bound: each probe-side row contributes
+            # <= max(dup, 1) outputs (its matches, or its single outer-pad
+            # row), so probe_cap * dup covers INNER plus the probe side's
+            # outer rows; outer rows from the BOUNDED side need their own
+            # slots on top. ("C" = count mode: out_cap unused.)
+            probe_cap = cap_l if side == "R" else cap_r
+            out_cap = probe_cap * (dup or 1)
+            if side == "R" and jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+                out_cap += cap_r
+            if side == "L" and jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+                out_cap += cap_l
 
         from query_engine_tpu.engine.expr_eval import unify_dicts
 
@@ -1154,6 +1290,23 @@ class CompiledPipeline:
             )
         if n_ranks is None:
             lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
+
+        if side == "C":
+            # count pass (emit-capacity sync): same ranks as the emit
+            # program; surface the total output size to the host
+            total, _, _, _, _, lm_c, rm_c = K.join_counts(
+                lr, rr, lt.sel, rt.sel
+            )
+            out_rows = total
+            if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+                out_rows = out_rows + jnp.sum(
+                    (~lm_c & lt.sel).astype(jnp.int64)
+                )
+            if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+                out_rows = out_rows + jnp.sum(
+                    (~rm_c & rt.sel).astype(jnp.int64)
+                )
+            raise _CountReady(plan, out_rows)
 
         if dup == 1 and side == "R" and jt in (
             lp.JoinType.INNER, lp.JoinType.LEFT,
@@ -1494,10 +1647,10 @@ class CompiledPipeline:
         def mxu_sums_counts(data, ok_mask, key):
             if key not in mxu_cache:
                 from query_engine_tpu.ops.pallas.group_agg import (
-                    grouped_sum_count_i64,
+                    grouped_sum_count,
                 )
 
-                mxu_cache[key] = grouped_sum_count_i64(
+                mxu_cache[key] = grouped_sum_count(
                     data, ok_mask, gid.astype(jnp.int32), mxu_bound
                 )
             return mxu_cache[key]
@@ -1530,7 +1683,8 @@ class CompiledPipeline:
                 and func in (lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG)
                 and (agg.expr is None or (
                     arg_dict is None
-                    and jnp.issubdtype(data.dtype, jnp.integer)
+                    and (jnp.issubdtype(data.dtype, jnp.integer)
+                         or jnp.issubdtype(data.dtype, jnp.floating))
                 ))
             ):
                 if agg.expr is None:
@@ -1539,7 +1693,10 @@ class CompiledPipeline:
                     key = "__star"
                 else:
                     ok = sel & validity
-                    vals = data.astype(jnp.int64)
+                    vals = (
+                        data if jnp.issubdtype(data.dtype, jnp.floating)
+                        else data.astype(jnp.int64)
+                    )
                     key = str(_expr_key(agg.expr))
                 sums, counts = mxu_sums_counts(vals, ok, key)
                 f = schema.field(fi)
@@ -1743,7 +1900,7 @@ class _Entry:
     """Cached compiled program + trace-captured output metadata."""
 
     __slots__ = ("plan", "leaves", "leaf_ids", "res", "dyn_exprs",
-                 "sub_exprs", "sub_batches", "fn", "meta")
+                 "sub_exprs", "sub_batches", "fn", "meta", "ordinal")
 
     def __init__(self, plan, leaves):
         self.plan = plan
@@ -1755,6 +1912,7 @@ class _Entry:
         self.sub_batches = []
         self.fn = None
         self.meta = {}
+        self.ordinal = None  # count programs: which ctx.checks join counts
 
 
 def compiled_enabled() -> bool:

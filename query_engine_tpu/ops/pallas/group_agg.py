@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: grouped int64 sum/count as an MXU one-hot matmul.
+"""Pallas TPU kernel: grouped SUM/COUNT as an MXU one-hot matmul.
 
 The TPU-native answer to a hash-aggregate inner loop (pallas_guide.md):
 scalar hash-table probing doesn't map to 8x128 lanes, but aggregation is a
@@ -6,18 +6,29 @@ matmul — for a block of B rows with dense group ids in [0, G):
 
     acc[G, C] += one_hot(gid_block)[B, G]^T @ chunks[B, C]
 
-runs on the 128x128 systolic array. int64 values are split into 8x 8-bit
-chunks (exact two's-complement recombination, same trick as
-kernels._segment_sum_i64); the one-hot and chunks are bf16 (integers
-<= 256 are exact in bf16), each block's [G, C] f32 product is exact
-(<= 255 * B < 2^24), and cross-block accumulation happens in int32 in VMEM.
+runs on the 128x128 systolic array. Replaces the reference's row-wise
+aggregate reducers (query-executor/src/operators.rs:745-848) and the
+grouped path it leaves empty (executor.rs:157-190).
 
-Applicability: dense gid (from group_ids/group_ids_direct), G <= ~4096
-(VMEM-bounded). Count rides along as a 9th chunk column of ones.
+Exactness:
+  * int64 values split into 8x 8-bit chunks (two's-complement recombination
+    mod 2^64, same trick as kernels._segment_sum_i64). The one-hot and
+    chunks are bf16 (integers <= 256 are exact in bf16); each block's
+    [G, C] f32 product is exact (<= 255 * B < 2^24); cross-block
+    accumulation splits each block product into (lo16, hi) int32 planes so
+    chunk totals stay exact up to 2^25 rows per kernel call — larger
+    inputs are folded in half and the halves' totals added (still exact).
+  * float64/float32 via grouped_sum_count: dynamic-scale fixed point —
+    q = round(x * 2^k) with k chosen on-device from max|x| so that
+    n * max|q| < 2^63, then the exact integer path, then rescale. Error is
+    bounded by n * max|x| * 2^-(62 - log2 n), comparable to f64 summation
+    round-off; +-inf and NaN inputs ride three spare MXU lanes as counts,
+    so IEEE semantics (inf + finite = inf, inf + -inf = nan) are exact.
 
-Grid: one program per row block; the accumulator output block maps to the
-same tile every step, so it accumulates across the sequential grid
-(initialized at step 0).
+Grouping capacity: G > 4096 adds a group-block grid dimension (the [4096,
+128] accumulator tile is VMEM-bounded); work scales O(n * G), so callers
+should prefer this kernel up to G ~ 32k and the scatter path beyond
+(executor._MXU_AGG_MAX_GROUPS gates the crossover).
 """
 
 from __future__ import annotations
@@ -30,29 +41,106 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_ROWS = 1024
-CHUNK_COLS = 128  # lane width; 8 value chunks + 1 count column + padding
+BLOCK_ROWS = 1024  # 1-D operands must block in 1024s (XLA T(1024) layout)
+GBLOCK = 4096  # group-block tile height (VMEM: 2x [GBLOCK,128] i32 acc)
+LANES = 128  # lane width; 8 value chunks + count + 3 IEEE flags + padding
+MAX_EXACT_ROWS = 1 << 25  # lo16 accumulator headroom: 65535 * n/B < 2^31
 
 
-def _kernel(gid_ref, chunks_ref, acc_ref):
-    step = pl.program_id(0)
+def _kernel(gid_ref, chunks_ref, lo_ref, hi_ref):
+    gb = pl.program_id(0)
+    step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
 
     gid = gid_ref[...]  # [B] int32, -1 for masked rows
     chunks = chunks_ref[...]  # [B, C] bf16
-    g = acc_ref.shape[0]
+    g = lo_ref.shape[0]
+    local = gid - gb * g
     one_hot = (
-        gid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
-    ).astype(jnp.bfloat16)  # [B, G]; masked rows match nothing
+        local[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    ).astype(jnp.bfloat16)  # [B, G]; masked/out-of-block rows match nothing
     block = jax.lax.dot_general(
         one_hot, chunks,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [G, C], exact: <= 255 * B < 2^24
-    acc_ref[...] += block.astype(jnp.int32)
+    bi = block.astype(jnp.int32)
+    lo_ref[...] += bi & 0xFFFF
+    hi_ref[...] += bi >> 16
+
+
+def _mxu_chunk_totals(gid_m: jnp.ndarray, chunks: jnp.ndarray,
+                      num_groups: int) -> jnp.ndarray:
+    """Core dispatch: per-group per-lane exact totals [g_pad, LANES] int64.
+
+    gid_m: [n] int32 (-1 = excluded row), chunks: [n, LANES] bf16 with
+    entries in [0, 255]."""
+    n = gid_m.shape[0]
+    if n > MAX_EXACT_ROWS:
+        half = (n + 1) // 2
+        return (
+            _mxu_chunk_totals(gid_m[:half], chunks[:half], num_groups)
+            + _mxu_chunk_totals(gid_m[half:], chunks[half:], num_groups)
+        )
+    g_pad = max(128, -(-num_groups // 128) * 128)
+    gblock = min(GBLOCK, g_pad)
+    n_gblocks = -(-g_pad // gblock)
+    g_pad = n_gblocks * gblock
+    blocks = -(-n // BLOCK_ROWS)
+    n_pad = blocks * BLOCK_ROWS
+    chunks = jnp.pad(chunks, ((0, n_pad - n), (0, 0)))
+    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    # trace the kernel with x64 off: the engine's global jax_enable_x64
+    # makes index-map arithmetic default to i64, which Mosaic refuses
+    with jax.enable_x64(False):
+        lo, hi = pl.pallas_call(
+            _kernel,
+            grid=(n_gblocks, blocks),
+            in_specs=[
+                pl.BlockSpec((BLOCK_ROWS,), lambda gb, i: (i,)),
+                pl.BlockSpec((BLOCK_ROWS, LANES), lambda gb, i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
+                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
+            ),
+            interpret=interpret,  # CPU backend: correctness-testing path
+        )(gid_m, chunks)
+    return hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+
+
+def _value_chunks(values_i64: jnp.ndarray, ok: jnp.ndarray,
+                  extra_cols=()) -> jnp.ndarray:
+    """[n, LANES] bf16: 8x 8-bit value chunks, count column, extras."""
+    n = values_i64.shape[0]
+    u = jnp.where(ok, values_i64, 0).astype(jnp.uint64)
+    cols = [
+        ((u >> jnp.uint64(8 * k)) & jnp.uint64(0xFF)).astype(jnp.bfloat16)
+        for k in range(8)
+    ]
+    cols.append(ok.astype(jnp.bfloat16))  # count column (lane 8)
+    for c in extra_cols:
+        cols.append(c.astype(jnp.bfloat16))
+    chunks = jnp.stack(cols, axis=1)
+    return jnp.pad(chunks, ((0, 0), (0, LANES - len(cols))))
+
+
+def _recombine_sums(totals: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    """Chunk totals -> int64 sums (exact mod 2^64 == two's complement)."""
+    shifts = jnp.uint64(8) * jnp.arange(8, dtype=jnp.uint64)
+    return jnp.sum(
+        totals[:num_groups, :8].astype(jnp.uint64) << shifts[None, :], axis=1
+    ).astype(jnp.int64)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups",))
@@ -62,42 +150,72 @@ def grouped_sum_count_i64(
     gid: jnp.ndarray,      # [n] int32 dense group ids in [0, num_groups)
     num_groups: int,
 ) -> tuple:
-    """Returns (sums[num_groups] int64, counts[num_groups] int64)."""
-    n = values.shape[0]
-    g_pad = max(128, -(-num_groups // 128) * 128)
-    blocks = -(-n // BLOCK_ROWS)
-    n_pad = blocks * BLOCK_ROWS
-
-    u = jnp.where(ok, values, 0).astype(jnp.uint64)
-    cols = []
-    for k in range(8):
-        cols.append(((u >> jnp.uint64(8 * k)) & jnp.uint64(0xFF)).astype(jnp.bfloat16))
-    cols.append(ok.astype(jnp.bfloat16))  # count column
-    chunks = jnp.stack(cols, axis=1)  # [n, 9]
-    chunks = jnp.pad(chunks, ((0, n_pad - n), (0, CHUNK_COLS - 9)))
+    """Exact integer path. Returns (sums[G] int64, counts[G] int64)."""
     gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
-    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
+    totals = _mxu_chunk_totals(gid_m, _value_chunks(values, ok), num_groups)
+    return _recombine_sums(totals, num_groups), totals[:num_groups, 8]
 
-    interpret = jax.devices()[0].platform == "cpu"
-    # trace the kernel with x64 off: the engine's global jax_enable_x64 makes
-    # index-map arithmetic default to i64, which Mosaic refuses to legalize
-    with jax.enable_x64(False):
-        acc = pl.pallas_call(
-            _kernel,
-            grid=(blocks,),
-            in_specs=[
-                pl.BlockSpec((BLOCK_ROWS,), lambda i: (i,)),
-                pl.BlockSpec((BLOCK_ROWS, CHUNK_COLS), lambda i: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((g_pad, CHUNK_COLS), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((g_pad, CHUNK_COLS), jnp.int32),
-            interpret=interpret,  # CPU backend: correctness-testing path
-        )(gid_m, chunks)
 
-    # recombine chunk totals (mod 2^64 == exact two's complement)
-    shifts = jnp.uint64(8) * jnp.arange(8, dtype=jnp.uint64)
-    sums = jnp.sum(
-        acc[:num_groups, :8].astype(jnp.uint64) << shifts[None, :], axis=1
-    ).astype(jnp.int64)
-    counts = acc[:num_groups, 8].astype(jnp.int64)
-    return sums, counts
+@functools.partial(jax.jit, static_argnames=("num_groups",))
+def grouped_sum_count_f64(
+    values: jnp.ndarray,   # [n] float64/float32
+    ok: jnp.ndarray,
+    gid: jnp.ndarray,
+    num_groups: int,
+) -> tuple:
+    """Float path: dynamic-scale fixed point + IEEE inf/NaN lanes.
+    Returns (sums[G] float64, counts[G] int64)."""
+    n = values.shape[0]
+    x = values.astype(jnp.float64)
+    finite = jnp.isfinite(x)
+    pos_inf = ok & jnp.isposinf(x)
+    neg_inf = ok & jnp.isneginf(x)
+    nan = ok & jnp.isnan(x)
+    xf = jnp.where(ok & finite, x, 0.0)
+    m = jnp.max(jnp.abs(xf))
+    # q = round(x * 2^k), |q| <= 2^frac_bits; sum of n of them <= 2^62.
+    # (61 rather than 62: the exponent estimate below may run one low.)
+    frac_bits = 61 - max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    # exponent of m without frexp (its f64 bitcast doesn't lower on TPU):
+    # range-reduce m into f32 territory by exact pow2 factors, then one
+    # f32 log2. e >= log2(m) up to 1 ulp of log2 (covered by the 61 above).
+    t = jnp.maximum(m, np.finfo(np.float64).tiny)
+    adj = jnp.int32(0)
+    for _ in range(6):
+        big = t >= 2.0**100
+        t = jnp.where(big, t * 2.0**-200, t)
+        adj = adj + jnp.where(big, jnp.int32(200), 0)
+    for _ in range(6):
+        small = t < 2.0**-100
+        t = jnp.where(small, t * 2.0**200, t)
+        adj = adj - jnp.where(small, jnp.int32(200), 0)
+    e = (jnp.floor(jnp.log2(t.astype(jnp.float32))).astype(jnp.int32)
+         + adj + 1)
+    k = jnp.clip(frac_bits - e, -1022, 1022).astype(jnp.int32)
+    # ldexp builds 2^k exactly (jnp.exp2 is a transcendental, off by ulps)
+    scale = jnp.ldexp(jnp.float64(1.0), k)
+    inv_scale = jnp.ldexp(jnp.float64(1.0), -k)
+    q = jnp.round(xf * scale).astype(jnp.int64)
+
+    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    totals = _mxu_chunk_totals(
+        gid_m, _value_chunks(q, ok & finite, (pos_inf, neg_inf, nan)),
+        num_groups,
+    )
+    counts = totals[:num_groups, 8] + totals[:num_groups, 9] \
+        + totals[:num_groups, 10] + totals[:num_groups, 11]
+    s = _recombine_sums(totals, num_groups).astype(jnp.float64) * inv_scale
+    p, ng, nn = (totals[:num_groups, c] > 0 for c in (9, 10, 11))
+    s = jnp.where(p & ~ng, jnp.inf, s)
+    s = jnp.where(ng & ~p, -jnp.inf, s)
+    s = jnp.where(nn | (p & ng), jnp.nan, s)
+    return s, counts
+
+
+def grouped_sum_count(values, ok, gid, num_groups: int) -> tuple:
+    """Dtype dispatch: integers exact, floats via fixed-point. Returns
+    (sums, counts[int64]); sums int64 for ints, float64 for floats."""
+    if jnp.issubdtype(values.dtype, jnp.floating):
+        return grouped_sum_count_f64(values, ok, gid, num_groups)
+    return grouped_sum_count_i64(values.astype(jnp.int64), ok, gid,
+                                 num_groups)

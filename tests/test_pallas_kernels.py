@@ -6,7 +6,9 @@ import numpy as np
 import pytest
 
 import query_engine_tpu  # noqa: F401
-from query_engine_tpu.ops.pallas.group_agg import grouped_sum_count_i64
+from query_engine_tpu.ops.pallas.group_agg import (
+    grouped_sum_count, grouped_sum_count_i64,
+)
 
 
 @pytest.mark.parametrize("n,G", [(100, 7), (5000, 37), (2048, 1024)])
@@ -29,6 +31,82 @@ def test_mxu_grouped_sum_empty_groups():
     sums, counts = grouped_sum_count_i64(vals, ok, gid, 8)
     assert sums[3] == 15 and counts[3] == 2
     assert int(jnp.sum(counts)) == 2
+
+
+def test_mxu_grouped_sum_big_g_two_level():
+    """G > GBLOCK exercises the group-block grid dimension."""
+    rng = np.random.default_rng(11)
+    n, G = 4000, 6000
+    vals = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n), jnp.int64)
+    gid = jnp.asarray(rng.integers(0, G, n, dtype=np.int32))
+    ok = jnp.asarray(rng.random(n) > 0.1)
+    sums, counts = grouped_sum_count_i64(vals, ok, gid, G)
+    ref_s = jax.ops.segment_sum(jnp.where(ok, vals, 0), gid, num_segments=G)
+    ref_c = jax.ops.segment_sum(ok.astype(jnp.int64), gid, num_segments=G)
+    assert bool(jnp.all(sums == ref_s))
+    assert bool(jnp.all(counts == ref_c))
+
+
+def test_mxu_grouped_sum_f64_fixed_point():
+    """Float path: dynamic-scale fixed point, ~2^-40 relative accuracy."""
+    rng = np.random.default_rng(7)
+    n, G = 3000, 41
+    vals = rng.normal(0.0, 1e7, n)
+    gid = rng.integers(0, G, n, dtype=np.int32)
+    ok = rng.random(n) > 0.2
+    sums, counts = grouped_sum_count(
+        jnp.asarray(vals), jnp.asarray(ok), jnp.asarray(gid), G
+    )
+    exp = np.zeros(G)
+    cnt = np.zeros(G, np.int64)
+    np.add.at(exp, gid[ok], vals[ok])
+    np.add.at(cnt, gid[ok], 1)
+    assert np.array_equal(np.asarray(counts), cnt)
+    np.testing.assert_allclose(np.asarray(sums), exp, rtol=1e-9, atol=1e-3)
+
+
+def test_mxu_grouped_sum_f64_ieee_semantics():
+    """inf/-inf/NaN ride spare MXU lanes; IEEE results per group."""
+    vals = jnp.asarray(
+        [1.0, np.inf, 2.0, -np.inf, np.inf, -np.inf, np.nan, 5.0],
+        jnp.float64,
+    )
+    gid = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 4], jnp.int32)
+    ok = jnp.ones(8, bool)
+    sums, counts = grouped_sum_count(vals, ok, gid, 5)
+    s = np.asarray(sums)
+    assert s[0] == np.inf           # finite + inf
+    assert s[1] == -np.inf          # finite + -inf
+    assert np.isnan(s[2])           # inf + -inf
+    assert np.isnan(s[3])           # nan
+    assert s[4] == 5.0
+    assert np.asarray(counts).tolist() == [2, 2, 2, 1, 1]
+
+
+def test_executor_mxu_aggregate_path_floats(monkeypatch):
+    """Engine-level float SUM/AVG through the MXU path (interpret mode)."""
+    monkeypatch.setenv("QE_FORCE_MXU_AGG", "1")
+    from query_engine_tpu.engine.session import Session
+
+    rng = np.random.default_rng(9)
+    data = {
+        "k": rng.integers(0, 8, 400).tolist(),
+        "x": rng.normal(0, 1000, 400).tolist(),
+    }
+    s = Session()
+    s.register_table("t", data)
+    sql = "SELECT k, SUM(x), AVG(x), COUNT(x) FROM t GROUP BY k ORDER BY k"
+    forced = s.sql(sql).to_pylist()
+
+    monkeypatch.setenv("QE_FORCE_MXU_AGG", "0")
+    s2 = Session()
+    s2.register_table("t", data)
+    default = s2.sql(sql).to_pylist()
+    assert len(forced) == len(default)
+    for a, b in zip(forced, default):
+        assert a[0] == b[0] and a[3] == b[3]
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-9)
+        np.testing.assert_allclose(a[2], b[2], rtol=1e-9)
 
 
 def test_executor_mxu_aggregate_path(monkeypatch):
