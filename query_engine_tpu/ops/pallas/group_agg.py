@@ -156,6 +156,19 @@ def grouped_sum_count_i64(
     return _recombine_sums(totals, num_groups), totals[:num_groups, 8]
 
 
+def _exact_pow2(k: jnp.ndarray) -> jnp.ndarray:
+    """Exact float64 2^k for int32 k in [-1000, 1000], via bit-decomposed
+    multiplies of exact pow2 constants (every product of pow2s below the
+    overflow/denormal edges is exact)."""
+    neg = k < 0
+    a = jnp.where(neg, -k, k)
+    r = jnp.float64(1.0)
+    for i in range(10):  # covers |k| < 1024
+        bit = (a >> i) & 1
+        r = r * jnp.where(bit == 1, jnp.float64(2.0 ** (1 << i)), 1.0)
+    return jnp.where(neg, 1.0 / r, r)
+
+
 @functools.partial(jax.jit, static_argnames=("num_groups",))
 def grouped_sum_count_f64(
     values: jnp.ndarray,   # [n] float64/float32
@@ -191,10 +204,11 @@ def grouped_sum_count_f64(
         adj = adj - jnp.where(small, jnp.int32(200), 0)
     e = (jnp.floor(jnp.log2(t.astype(jnp.float32))).astype(jnp.int32)
          + adj + 1)
-    k = jnp.clip(frac_bits - e, -1022, 1022).astype(jnp.int32)
-    # ldexp builds 2^k exactly (jnp.exp2 is a transcendental, off by ulps)
-    scale = jnp.ldexp(jnp.float64(1.0), k)
-    inv_scale = jnp.ldexp(jnp.float64(1.0), -k)
+    k = jnp.clip(frac_bits - e, -1000, 1000).astype(jnp.int32)
+    # 2^k built from exact pow2 factors (jnp.ldexp/exp2 lower through
+    # 64-bit bitcasts / transcendentals — neither is exact-and-TPU-safe)
+    scale = _exact_pow2(k)
+    inv_scale = _exact_pow2(-k)
     q = jnp.round(xf * scale).astype(jnp.int64)
 
     gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
