@@ -221,3 +221,39 @@ def test_distributed_aggregate_multikey(mesh):
     assert set(got) == set(exp)
     for key in exp:
         assert got[key] == tuple(exp[key]), key
+
+
+def test_overlapped_exchange_aggregate_matches_sequential(mesh):
+    """Double-buffered chunked exchange (parallel/overlap.py) produces the
+    same per-bucket sums/counts as the barrier-separated two-program walk."""
+    import jax.numpy as jnp
+
+    from query_engine_tpu.parallel.overlap import (
+        make_overlapped_exchange_aggregate,
+        make_sequential_exchange_aggregate,
+    )
+
+    n_dev = 8
+    per = 1 << 10
+    rows = per * n_dev
+    rng = np.random.default_rng(9)
+    key = jnp.asarray(rng.integers(0, 500, rows))
+    kv = jnp.asarray(rng.random(rows) > 0.1)
+    val = jnp.asarray(rng.integers(-50, 50, rows))
+    shard_rows = np.full(n_dev, per - 7, np.int64)
+
+    ov = make_overlapped_exchange_aggregate(mesh, n_chunks=4)
+    s1, c1 = ov(key, kv, val, shard_rows)
+    exch, agg = make_sequential_exchange_aggregate(mesh)
+    s2, c2 = agg(*exch(key, kv, val, shard_rows))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    # and against a host-side model
+    import collections
+
+    k_np = np.asarray(key)[np.asarray(kv)
+                           & (np.arange(rows) % per < per - 7)]
+    v_np = np.asarray(val)[np.asarray(kv)
+                           & (np.arange(rows) % per < per - 7)]
+    assert int(np.sum(np.asarray(c1))) == len(k_np)
+    assert int(np.sum(np.asarray(s1))) == int(np.sum(v_np))
