@@ -257,3 +257,61 @@ def test_overlapped_exchange_aggregate_matches_sequential(mesh):
                            & (np.arange(rows) % per < per - 7)]
     assert int(np.sum(np.asarray(c1))) == len(k_np)
     assert int(np.sum(np.asarray(s1))) == int(np.sum(v_np))
+
+
+def test_global_dictionary_merge_distributed_groupby_orderby(mesh):
+    """SURVEY §7 hard-part 3: shards ingest DISJOINT string sets with
+    per-host dictionaries; after the global merge + SPMD recode, a
+    distributed GROUP BY and a distributed ORDER BY on the string column
+    are correct and decode through the global dictionary."""
+    import jax.numpy as jnp
+
+    from query_engine_tpu.parallel.dict_merge import ingest_sharded_strings
+    from query_engine_tpu.parallel import spmd
+
+    n_dev, cap = 8, 128
+    rng = np.random.default_rng(21)
+    pool = [f"city_{i:03d}" for i in range(40)]
+    shard_vals = []
+    for s in range(n_dev):
+        # disjoint slices: shard s only sees pool[5s : 5s+5]
+        mine = pool[5 * s: 5 * s + 5]
+        shard_vals.append([mine[rng.integers(0, 5)] for _ in range(100)])
+
+    codes, valid, rows, gdict = ingest_sharded_strings(mesh, shard_vals, cap)
+    assert list(gdict.values) == sorted(pool[:40])  # sorted global union
+
+    # distributed GROUP BY string -> COUNT(*)
+    prog = spmd.make_distributed_aggregate(
+        mesh, [("count_star", 0)], n_args=1, group_capacity=64
+    )
+    vals = jnp.zeros(cap * n_dev, jnp.int64)
+    out = prog(codes, valid, rows, vals, jnp.ones(cap * n_dev, bool))
+    fkey, fkv = np.asarray(out[0]), np.asarray(out[1])
+    cnt = np.asarray(out[2])
+    ngs = np.asarray(out[-1]).reshape(-1)
+    per = fkey.shape[0] // n_dev
+    got = {}
+    for s in range(n_dev):
+        for i in range(ngs[s]):
+            j = s * per + i
+            name = gdict[fkey[j]]
+            assert name not in got, "group split across shards"
+            got[name] = int(cnt[j])
+    import collections
+
+    exp = collections.Counter(v for vs in shard_vals for v in vs)
+    assert got == dict(exp)
+
+    # distributed ORDER BY string: global sort of codes == lexicographic
+    sort_prog = spmd.make_distributed_sort(mesh, n_cols=0)
+    sout = sort_prog(codes, valid, rows)
+    skey = np.asarray(sout[0])
+    scnt = np.asarray(sout[-1]).reshape(-1)
+    per_s = skey.shape[0] // n_dev
+    collected = []
+    for s in range(n_dev):
+        collected.extend(
+            gdict.decode(skey[s * per_s: s * per_s + scnt[s]]).tolist()
+        )
+    assert collected == sorted(v for vs in shard_vals for v in vs)
