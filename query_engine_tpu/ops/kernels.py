@@ -120,6 +120,58 @@ def normalize_key(
 # ---------------------------------------------------------------------------
 
 
+def _pack_cls_key32(cls: jnp.ndarray, key_i32: jnp.ndarray) -> jnp.ndarray:
+    """(class, int32 key) -> one int64 whose order is the lex order of the
+    pair: cls in the high word, the key's unsigned image in the low word.
+
+    Measured v5e motivation (docs/TPU_DESIGN.md): lax.sort cost scales with
+    OPERAND COUNT, not bit width — 3 i32 key planes + perm = 152.6 ms at
+    8M rows, one packed i64 + perm = 83.5 ms. Packing the (pad, null, key)
+    planes of every 32-bit-image key into a single i64 operand nearly
+    halves the whole engine's sort cost."""
+    u = (key_i32.astype(jnp.int64) - jnp.int64(np.iinfo(np.int32).min))
+    return (cls.astype(jnp.int64) << 32) | u
+
+
+def _sort_key_operands(
+    key_datas: Sequence[jnp.ndarray],
+    key_valids: Sequence[jnp.ndarray],
+    ascs: Sequence[bool],
+    nulls_firsts: Sequence[bool],
+    pad: jnp.ndarray,
+) -> List[jnp.ndarray]:
+    """Minimal lax.sort key-operand list for a multi-key sort with pad rows
+    last. Per key: one packed i64 operand when the orderable image is
+    32-bit, else (class, key) pairs; the pad flag rides the first key's
+    class plane (pad class 2 dominates null ranks {0, 1})."""
+    operands: List[jnp.ndarray] = []
+    for i, (data, valid, asc, nf) in enumerate(
+        zip(key_datas, key_valids, ascs, nulls_firsts)
+    ):
+        key, null = normalize_key(data, valid)
+        cls = jnp.where(null, jnp.int32(0 if nf else 1),
+                        jnp.int32(1 if nf else 0))
+        if i == 0:
+            cls = jnp.where(pad, jnp.int32(2), cls)
+        if key.dtype == jnp.int32:
+            # unsigned 32-bit image; desc = reflect within the low word
+            # (no negation — INT32_MIN stays in range)
+            u = key.astype(jnp.int64) - jnp.int64(np.iinfo(np.int32).min)
+            if not asc:
+                u = jnp.int64(2**32 - 1) - u
+            operands.append((cls.astype(jnp.int64) << 32) | u)
+        else:
+            if not asc:
+                # i64: orderable images never hit INT64_MIN for live data
+                # (f64 rides as f64 and negates exactly)
+                key = -key
+            operands.append(cls)
+            operands.append(key)
+    if not operands:  # no keys: pad plane alone orders live-first
+        operands.append(pad.astype(jnp.int32))
+    return operands
+
+
 def sort_permutation(
     key_datas: Sequence[jnp.ndarray],
     key_valids: Sequence[jnp.ndarray],
@@ -136,14 +188,8 @@ def sort_permutation(
     """
     capacity = key_datas[0].shape[0]
     pad = ~live_mask(capacity, num_rows)
-    operands = [pad.astype(jnp.int32)]  # pad rows last
-    for data, valid, asc, nf in zip(key_datas, key_valids, ascs, nulls_firsts):
-        key, null = normalize_key(data, valid)
-        null_rank = jnp.where(null, jnp.int32(0 if nf else 1), jnp.int32(1 if nf else 0))
-        if not asc:
-            key = -key  # safe: orderable_i64 never produces INT64_MIN for live data
-        operands.append(null_rank)
-        operands.append(key)
+    operands = _sort_key_operands(key_datas, key_valids, ascs,
+                                  nulls_firsts, pad)
     perm = jnp.arange(capacity, dtype=jnp.int32)
     out = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
@@ -233,20 +279,30 @@ def group_ids(
     """
     capacity = key_datas[0].shape[0]
     pad = ~live_mask(capacity, num_rows)
-    operands: List[jnp.ndarray] = [pad.astype(jnp.int32)]
-    eq_keys: List[jnp.ndarray] = []
-    for data, valid in zip(key_datas, key_valids):
+    # one packed i64 operand per 32-bit-image key (nulls group together:
+    # null flag in the class word; pad class 2 on the first key) — operand
+    # count, not bit width, is what lax.sort costs on TPU
+    operands: List[jnp.ndarray] = []
+    for i, (data, valid) in enumerate(zip(key_datas, key_valids)):
         key, null = normalize_key(data, valid)
-        operands.append(null.astype(jnp.int32))
-        operands.append(key)
-        eq_keys.append(null.astype(jnp.int32))
-        eq_keys.append(key)
+        cls = null.astype(jnp.int32)
+        if i == 0:
+            cls = jnp.where(pad, jnp.int32(2), cls)
+        if key.dtype == jnp.int32:
+            u = key.astype(jnp.int64) - jnp.int64(np.iinfo(np.int32).min)
+            operands.append((cls.astype(jnp.int64) << 32) | u)
+        else:
+            operands.append(cls)
+            operands.append(key)
     perm = jnp.arange(capacity, dtype=jnp.int32)
     sorted_all = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
-    sorted_pad = sorted_all[0].astype(bool)
-    sorted_keys = sorted_all[1:-1]
+    first = sorted_all[0]
+    sorted_pad = (
+        (first >> 32) == 2 if first.dtype == jnp.int64 else first == 2
+    )
+    sorted_keys = sorted_all[:-1]
     sperm = sorted_all[-1]
     change, seg = _segment_ids_from_sorted(sorted_keys, sorted_pad)
     seg = seg.astype(jnp.int32)
@@ -582,27 +638,53 @@ def _join_ranks_full(left_keys, right_keys, n_left, n_right,
         [~live_mask(cap_l, n_left), ~live_mask(cap_r, n_right)]
     )
     any_null = jnp.zeros(cap, dtype=bool)
-    key_ops: List[jnp.ndarray] = []
+    datas: List[jnp.ndarray] = []
+    valids: List[jnp.ndarray] = []
     for (ld, lv), (rd, rv) in zip(left_keys, right_keys):
-        data = jnp.concatenate([orderable_i64(ld), orderable_i64(rd)])
+        datas.append(jnp.concatenate([orderable_i64(ld), orderable_i64(rd)]))
         valid = jnp.concatenate([lv, rv])
+        valids.append(valid)
         any_null = any_null | ~valid
-        if null_equal:
-            key_ops.append((~valid).astype(jnp.int32))
-        key_ops.append(jnp.where(valid, data, jnp.zeros((), data.dtype)))
     # sort order: live non-null rows first (grouped by key), then nulls,
-    # then pad — so rank-r rows are contiguous from the front
+    # then pad — so rank-r rows are contiguous from the front. Each
+    # 32-bit-image key packs its class word + unsigned key image into ONE
+    # i64 operand (operand count is the lax.sort cost on TPU).
     lead = pad.astype(jnp.int32) * 2
     if not null_equal:
         lead = lead + any_null.astype(jnp.int32)
-    operands = [lead] + key_ops
+    lead_thr = 1  # sorted rows with first-class >= lead_thr are null/pad
+    operands: List[jnp.ndarray] = []
+    for i, (d, v) in enumerate(zip(datas, valids)):
+        dz = jnp.where(v, d, jnp.zeros((), d.dtype))
+        if i == 0:
+            cls = lead
+            if null_equal:
+                cls = lead * 2 + (~v).astype(jnp.int32)
+                lead_thr = 4  # null-in-key0 rows keep real ranks here
+        elif null_equal:
+            cls = (~v).astype(jnp.int32)
+        else:
+            cls = None
+        if d.dtype == jnp.int32:
+            u = dz.astype(jnp.int64) - jnp.int64(np.iinfo(np.int32).min)
+            if cls is not None:
+                u = (cls.astype(jnp.int64) << 32) | u
+            operands.append(u)
+        else:
+            if cls is not None:
+                operands.append(cls)
+            operands.append(dz)
     perm = jnp.arange(cap, dtype=jnp.int32)
     sorted_all = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
-    sorted_lead = sorted_all[0]
+    first = sorted_all[0]
+    first_cls = (
+        first >> 32 if (datas[0].dtype == jnp.int32) else first
+    )
+    sorted_lead = (first_cls >= lead_thr).astype(jnp.int32)
     change, seg = _segment_ids_from_sorted(
-        sorted_all[1:-1], sorted_lead > 0
+        sorted_all[:-1], sorted_lead > 0
     )
     sperm = sorted_all[-1]
     ranks = jnp.zeros(cap, dtype=jnp.int32).at[sperm].set(seg.astype(jnp.int32))

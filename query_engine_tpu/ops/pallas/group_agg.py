@@ -47,7 +47,7 @@ LANES = 128  # lane width; 8 value chunks + count + 3 IEEE flags + padding
 MAX_EXACT_ROWS = 1 << 25  # lo16 accumulator headroom: 65535 * n/B < 2^31
 
 
-def _kernel(gid_ref, chunks_ref, lo_ref, hi_ref):
+def _kernel(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
     gb = pl.program_id(0)
     step = pl.program_id(1)
 
@@ -56,13 +56,30 @@ def _kernel(gid_ref, chunks_ref, lo_ref, hi_ref):
         lo_ref[...] = jnp.zeros_like(lo_ref)
         hi_ref[...] = jnp.zeros_like(hi_ref)
 
-    gid = gid_ref[...]  # [B] int32, -1 for masked rows
-    chunks = chunks_ref[...]  # [B, C] bf16
+    gid = gid_ref[...]    # [B] int32, -1 for masked rows
+    vlo = vlo_ref[...]    # [B] uint32: value bits 0..31
+    vhi = vhi_ref[...]    # [B] uint32: value bits 32..63
+    fl = flags_ref[...]   # [B] uint32: bit0 +inf, bit1 -inf, bit2 nan
     g = lo_ref.shape[0]
     local = gid - gb * g
     one_hot = (
         local[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     ).astype(jnp.bfloat16)  # [B, G]; masked/out-of-block rows match nothing
+
+    # build the [B, LANES] chunk matrix IN VMEM (8x 8-bit value chunks,
+    # count column of ones, 3 IEEE flag columns) — the HBM inputs stay
+    # 16 B/row instead of a materialized 256 B/row chunk matrix
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    cols = [((vlo >> (8 * k)) & 0xFF) for k in range(4)]
+    cols += [((vhi >> (8 * k)) & 0xFF) for k in range(4)]
+    cols.append(jnp.ones_like(vlo))  # count: masked rows match nothing
+    cols += [((fl >> b) & 1) for b in range(3)]
+    chunks = jnp.zeros((gid.shape[0], LANES), jnp.bfloat16)
+    for c, col in enumerate(cols):
+        # via int32: Mosaic has no uint32 -> bf16 cast (values are <= 255)
+        colf = col.astype(jnp.int32).astype(jnp.bfloat16)
+        chunks = chunks + (lane == c) * colf[:, None]
+
     block = jax.lax.dot_general(
         one_hot, chunks,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -73,18 +90,21 @@ def _kernel(gid_ref, chunks_ref, lo_ref, hi_ref):
     hi_ref[...] += bi >> 16
 
 
-def _mxu_chunk_totals(gid_m: jnp.ndarray, chunks: jnp.ndarray,
+def _mxu_chunk_totals(gid_m: jnp.ndarray, vlo: jnp.ndarray,
+                      vhi: jnp.ndarray, flags: jnp.ndarray,
                       num_groups: int) -> jnp.ndarray:
     """Core dispatch: per-group per-lane exact totals [g_pad, LANES] int64.
 
-    gid_m: [n] int32 (-1 = excluded row), chunks: [n, LANES] bf16 with
-    entries in [0, 255]."""
+    gid_m: [n] int32 (-1 = excluded row); vlo/vhi: [n] uint32 value words;
+    flags: [n] uint32 IEEE flag bits."""
     n = gid_m.shape[0]
     if n > MAX_EXACT_ROWS:
         half = (n + 1) // 2
         return (
-            _mxu_chunk_totals(gid_m[:half], chunks[:half], num_groups)
-            + _mxu_chunk_totals(gid_m[half:], chunks[half:], num_groups)
+            _mxu_chunk_totals(gid_m[:half], vlo[:half], vhi[:half],
+                              flags[:half], num_groups)
+            + _mxu_chunk_totals(gid_m[half:], vlo[half:], vhi[half:],
+                                flags[half:], num_groups)
         )
     g_pad = max(128, -(-num_groups // 128) * 128)
     gblock = min(GBLOCK, g_pad)
@@ -92,20 +112,20 @@ def _mxu_chunk_totals(gid_m: jnp.ndarray, chunks: jnp.ndarray,
     g_pad = n_gblocks * gblock
     blocks = -(-n // BLOCK_ROWS)
     n_pad = blocks * BLOCK_ROWS
-    chunks = jnp.pad(chunks, ((0, n_pad - n), (0, 0)))
+    vlo = jnp.pad(vlo, (0, n_pad - n))
+    vhi = jnp.pad(vhi, (0, n_pad - n))
+    flags = jnp.pad(flags, (0, n_pad - n))
     gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
 
     interpret = jax.devices()[0].platform == "cpu"
     # trace the kernel with x64 off: the engine's global jax_enable_x64
     # makes index-map arithmetic default to i64, which Mosaic refuses
     with jax.enable_x64(False):
+        row_spec = pl.BlockSpec((BLOCK_ROWS,), lambda gb, i: (i,))
         lo, hi = pl.pallas_call(
             _kernel,
             grid=(n_gblocks, blocks),
-            in_specs=[
-                pl.BlockSpec((BLOCK_ROWS,), lambda gb, i: (i,)),
-                pl.BlockSpec((BLOCK_ROWS, LANES), lambda gb, i: (i, 0)),
-            ],
+            in_specs=[row_spec, row_spec, row_spec, row_spec],
             out_specs=(
                 pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
                 pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
@@ -115,24 +135,16 @@ def _mxu_chunk_totals(gid_m: jnp.ndarray, chunks: jnp.ndarray,
                 jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
             ),
             interpret=interpret,  # CPU backend: correctness-testing path
-        )(gid_m, chunks)
+        )(gid_m, vlo, vhi, flags)
     return hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
 
 
-def _value_chunks(values_i64: jnp.ndarray, ok: jnp.ndarray,
-                  extra_cols=()) -> jnp.ndarray:
-    """[n, LANES] bf16: 8x 8-bit value chunks, count column, extras."""
-    n = values_i64.shape[0]
+def _value_planes(values_i64: jnp.ndarray, ok: jnp.ndarray):
+    """(lo, hi) uint32 word planes of the masked int64 values."""
     u = jnp.where(ok, values_i64, 0).astype(jnp.uint64)
-    cols = [
-        ((u >> jnp.uint64(8 * k)) & jnp.uint64(0xFF)).astype(jnp.bfloat16)
-        for k in range(8)
-    ]
-    cols.append(ok.astype(jnp.bfloat16))  # count column (lane 8)
-    for c in extra_cols:
-        cols.append(c.astype(jnp.bfloat16))
-    chunks = jnp.stack(cols, axis=1)
-    return jnp.pad(chunks, ((0, 0), (0, LANES - len(cols))))
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    return lo, hi
 
 
 def _recombine_sums(totals: jnp.ndarray, num_groups: int) -> jnp.ndarray:
@@ -152,7 +164,10 @@ def grouped_sum_count_i64(
 ) -> tuple:
     """Exact integer path. Returns (sums[G] int64, counts[G] int64)."""
     gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
-    totals = _mxu_chunk_totals(gid_m, _value_chunks(values, ok), num_groups)
+    vlo, vhi = _value_planes(values, ok)
+    totals = _mxu_chunk_totals(
+        gid_m, vlo, vhi, jnp.zeros_like(vlo), num_groups
+    )
     return _recombine_sums(totals, num_groups), totals[:num_groups, 8]
 
 
@@ -212,12 +227,15 @@ def grouped_sum_count_f64(
     q = jnp.round(xf * scale).astype(jnp.int64)
 
     gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
-    totals = _mxu_chunk_totals(
-        gid_m, _value_chunks(q, ok & finite, (pos_inf, neg_inf, nan)),
-        num_groups,
+    vlo, vhi = _value_planes(q, ok & finite)
+    flags = (
+        pos_inf.astype(jnp.uint32)
+        | (neg_inf.astype(jnp.uint32) << 1)
+        | (nan.astype(jnp.uint32) << 2)
     )
-    counts = totals[:num_groups, 8] + totals[:num_groups, 9] \
-        + totals[:num_groups, 10] + totals[:num_groups, 11]
+    totals = _mxu_chunk_totals(gid_m, vlo, vhi, flags, num_groups)
+    # the count lane counts every ok row (masked rows match nothing)
+    counts = totals[:num_groups, 8]
     s = _recombine_sums(totals, num_groups).astype(jnp.float64) * inv_scale
     p, ng, nn = (totals[:num_groups, c] > 0 for c in (9, 10, 11))
     s = jnp.where(p & ~ng, jnp.inf, s)
