@@ -270,8 +270,26 @@ def _per_op(cap, bcap, args, iters):
         lr, rr = K.join_ranks([(d, dv)], [(bd, bdv)], n, nb)
         return K.join_counts(lr, rr, n, nb)[0]
 
-    timed("hash_join_count", 5, join_op, dept, dept_v, bdept, bdept_v,
+    timed("sort_rank_join_count", 5, join_op, dept, dept_v, bdept, bdept_v,
           n_rows, n_build)
+
+    # open-addressing hash join head-to-head (ops/hash_join.py) — run at a
+    # capped size: random gathers are element-serial on TPU, so this path
+    # measures ~90x slower than sort-rank at 8Mx1M (docs/TPU_DESIGN.md #10)
+    from query_engine_tpu.ops.hash_join import hash_join_unique, table_size_for
+
+    hj_n = min(cap, 1 << 19)
+    T = table_size_for(bcap)
+    n_rows_save = n_rows
+    n_rows = np.int64(hj_n)  # timed() scales rows/s by n_rows
+    timed(
+        "hash_join_probe(openaddr)", 5,
+        lambda d, dv, bd, bdv: hash_join_unique(
+            d[:hj_n], dv[:hj_n], bd, bdv, T
+        ),
+        dept, dept_v, bdept, bdept_v,
+    )
+    n_rows = n_rows_save
     timed("sort", 13,
           lambda s, sv, n: K.sort_permutation([s], [sv], [False], [False], n),
           salary, salary_v, n_rows)

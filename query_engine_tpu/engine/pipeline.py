@@ -1717,7 +1717,10 @@ class CompiledPipeline:
             f = schema.field(fi)
             fi += 1
             vb = None
-            if func in (lp.AggFunc.MIN, lp.AggFunc.MAX) and agg.expr is not None:
+            if func in (lp.AggFunc.MIN, lp.AggFunc.MAX, lp.AggFunc.SUM,
+                        lp.AggFunc.AVG) and agg.expr is not None:
+                # bounds shrink MIN/MAX to one i32 scatter and SUM/AVG to
+                # only the chunk scatters covering the value span
                 b = _proj_bounds(agg.expr, t)
                 if b is not None:
                     vb = (b[0], b[0] + b[1] - 1)

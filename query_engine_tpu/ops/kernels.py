@@ -385,7 +385,9 @@ _INT_MAX = np.int64(np.iinfo(np.int64).max)
 
 
 def _segment_sum_i64(
-    data: jnp.ndarray, ok: jnp.ndarray, gid: jnp.ndarray, num_segments: int
+    data: jnp.ndarray, ok: jnp.ndarray, gid: jnp.ndarray, num_segments: int,
+    value_bounds: Optional[Tuple[int, int]] = None,
+    counts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact int64 segment sum via bit-chunked int32 scatters.
 
@@ -396,9 +398,24 @@ def _segment_sum_i64(
     Chunk width is chosen statically from capacity so per-segment chunk
     sums cannot overflow int32: 16-bit chunks up to 2^15 rows, 8-bit up to
     2^23; beyond that, fall back to the plain s64 scatter.
+
+    With static value_bounds (table stats) + per-segment counts, values are
+    biased to [0, hi-lo] and only the chunks that cover that span scatter
+    (sum = biased sum + lo * count) — e.g. a 17-bit span takes 3 of 8
+    chunk scatters.
     """
     capacity = gid.shape[0]
-    x64 = jnp.where(ok, data.astype(jnp.int64), 0)
+    bias = 0
+    if (
+        value_bounds is not None and counts is not None
+        and value_bounds[1] >= value_bounds[0]
+    ):
+        bias = int(value_bounds[0])
+        span_bits = max(int(value_bounds[1] - value_bounds[0]).bit_length(), 1)
+    else:
+        bias = 0
+        span_bits = 64
+    x64 = jnp.where(ok, data.astype(jnp.int64) - bias, 0)
     if capacity <= (1 << 15):
         bits, n_chunks, acc = 16, 4, jnp.int32
     elif capacity <= (1 << 23):
@@ -410,7 +427,10 @@ def _segment_sum_i64(
     elif capacity <= (1 << 28):
         bits, n_chunks, acc = 4, 16, jnp.uint32
     else:
-        return jax.ops.segment_sum(x64, gid, num_segments=num_segments)
+        s = jax.ops.segment_sum(x64, gid, num_segments=num_segments)
+        return s if bias == 0 else s + jnp.int64(bias) * counts
+    if span_bits < 64:
+        n_chunks = min(n_chunks, -(-span_bits // bits))
     u = x64.astype(jnp.uint64)
     mask = jnp.uint64((1 << bits) - 1)
     out = jnp.zeros(num_segments, dtype=jnp.uint64)
@@ -418,7 +438,10 @@ def _segment_sum_i64(
         chunk = ((u >> jnp.uint64(bits * k)) & mask).astype(acc)
         s = jax.ops.segment_sum(chunk, gid, num_segments=num_segments)
         out = out + (s.astype(jnp.uint64) << jnp.uint64(bits * k))
-    return out.astype(jnp.int64)
+    result = out.astype(jnp.int64)
+    if bias != 0:
+        result = result + jnp.int64(bias) * counts
+    return result
 
 
 def segment_aggregate(
@@ -460,13 +483,19 @@ def segment_aggregate(
         return cnt, jnp.ones(num_segments, dtype=bool)
     has = cnt > 0
     if func == "sum" or func == "avg":
-        if func == "avg" or jnp.issubdtype(data.dtype, jnp.floating):
+        if jnp.issubdtype(data.dtype, jnp.floating):
             x = jnp.where(ok, data.astype(jnp.float64), 0.0)
             s = jax.ops.segment_sum(x, gid, num_segments=num_segments)
         else:
-            s = _segment_sum_i64(data, ok, gid, num_segments)
+            # integer AVG rides the exact chunked-i32 path too (f64
+            # scatter-adds are emulated 2x32-bit on TPU — measured 715 ms
+            # vs 65 ms at 2M rows); the divide happens once per group
+            s = _segment_sum_i64(data, ok, gid, num_segments,
+                                 value_bounds=value_bounds, counts=cnt)
         if func == "avg":
-            return s / jnp.maximum(cnt, 1).astype(jnp.float64), has
+            return s.astype(jnp.float64) / jnp.maximum(cnt, 1).astype(
+                jnp.float64
+            ), has
         return s, has
     if func == "min" or func == "max":
         out = _segment_extreme(data, ok, gid, num_segments, func == "min",
