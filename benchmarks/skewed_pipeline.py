@@ -70,9 +70,15 @@ def single_chip():
         live = K.live_mask(cap, n_rows)
         keep = live & (filt > 9)  # ~90% selectivity filter
         # FK join: key IS the dim row id (bounds-direct ranks — the
-        # compiled pipeline's stats-direct fast path, zero sorts)
-        jval = vals + dim_val[keys]
-        grp = dim_grp[keys]
+        # compiled pipeline's stats-direct fast path, zero sorts).
+        # Random gathers are element-serial on TPU (~12 ns/row), so the
+        # two narrow dim columns pack into ONE gathered i32 plane
+        # (bounds from stats: dim_val < 1000, grp < N_GROUPS).
+        packed = (dim_val.astype(jnp.int32) * N_GROUPS
+                  + dim_grp.astype(jnp.int32))
+        g = packed[keys]
+        jval = vals + (g // N_GROUPS).astype(vals.dtype)
+        grp = g % N_GROUPS
         # grouped aggregate over the joined group column
         if use_mxu:
             s, c = grouped_sum_count(jval, keep, grp, N_GROUPS)

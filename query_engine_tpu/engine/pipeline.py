@@ -317,6 +317,20 @@ def _dup_bucket(d: int):
     return None
 
 
+
+def _gather_bounds(t: "_TTable"):
+    """Per-column static covers for gather_columns_packed: table-stat
+    bounds where tracked, dictionary sizes for dict columns."""
+    out = []
+    for c, b in zip(t.cols, t.bounds):
+        if c.dictionary is not None:
+            out.append((0, max(len(c.dictionary), 1)))
+        elif b is not None and len(b) == 2:
+            out.append(b)
+        else:
+            out.append(None)
+    return out
+
 def _proj_bounds(e: "lp.LogicalExpr", t: _TTable):
     """Bounds survive a projection only for bare column references."""
     if isinstance(e, lp.AliasExpr):
@@ -1320,7 +1334,9 @@ class CompiledPipeline:
             )
             rd = [c.data for c in rt.cols]
             rvs = [c.validity for c in rt.cols]
-            gr_d, gr_v = K.gather_columns(rd, rvs, ri, matched)
+            gr_d, gr_v = K.gather_columns_packed(
+                rd, rvs, _gather_bounds(rt), ri, matched
+            )
             cols = list(lt.cols) + [
                 Column(d, v, c.dtype, c.dictionary)
                 for d, v, c in zip(gr_d, gr_v, rt.cols)
@@ -1372,8 +1388,12 @@ class CompiledPipeline:
         lvs = [c.validity for c in lt.cols]
         rd = [c.data for c in rt.cols]
         rvs = [c.validity for c in rt.cols]
-        gl_d, gl_v = K.gather_columns(ld, lvs, li, lvalid)
-        gr_d, gr_v = K.gather_columns(rd, rvs, ri, rvalid)
+        gl_d, gl_v = K.gather_columns_packed(
+            ld, lvs, _gather_bounds(lt), li, lvalid
+        )
+        gr_d, gr_v = K.gather_columns_packed(
+            rd, rvs, _gather_bounds(rt), ri, rvalid
+        )
         cols = [
             Column(d, v, c.dtype, c.dictionary)
             for d, v, c in zip(gl_d + gr_d, gl_v + gr_v,
@@ -1529,9 +1549,13 @@ class CompiledPipeline:
             nfs.append(k.resolved_nulls_first())
         perm = K.sort_permutation(datas, valids, ascs, nfs, t.sel)
         n_live = jnp.sum(t.sel.astype(jnp.int32))
+        g_d, g_v = K.gather_columns_packed(
+            [c.data for c in t.cols], [c.validity for c in t.cols],
+            _gather_bounds(t), perm,
+        )
         cols = [
-            Column(c.data[perm], c.validity[perm], c.dtype, c.dictionary)
-            for c in t.cols
+            Column(d, v, c.dtype, c.dictionary)
+            for d, v, c in zip(g_d, g_v, t.cols)
         ]
         return _TTable(
             t.schema, cols, K.live_mask(t.capacity, n_live), t.capacity,

@@ -245,6 +245,106 @@ def gather_columns(
     return out_d, out_v
 
 
+def gather_columns_packed(
+    datas: Sequence[jnp.ndarray],
+    valids: Sequence[jnp.ndarray],
+    bounds: Sequence[Optional[Tuple[int, int]]],
+    indices: jnp.ndarray,
+    row_valid: Optional[jnp.ndarray] = None,
+):
+    """gather_columns with bit-packing: random gathers are ~element-serial
+    on TPU (~12 ns/row, docs/TPU_DESIGN.md #9), so K columns' 2K gathers
+    (data + validity each) dominate join emits and sorts. Columns whose
+    static bounds (table stats / dictionary sizes) fit 31 bits pack
+    (data - lo) plus their validity bit into shared uint32 words, and ALL
+    remaining columns contribute their validity bits too — typically
+    cutting the gather count 3-6x for dimension-table shapes.
+
+    bounds[i]: None, or a static (lo, range) cover of column i's live
+    values. Pad/garbage rows may lie outside the cover — their packed
+    image wraps, which is fine because only rows with a true validity bit
+    are ever read downstream.
+    """
+    n_cols = len(datas)
+    slots = []  # (col_idx, data_bits or 0 for valid-only)
+    direct = []  # columns gathered directly (data), valid bit still packed
+    for i, (d, b) in enumerate(zip(datas, bounds)):
+        if d.dtype == jnp.bool_:
+            slots.append((i, 1))
+        elif (
+            b is not None and len(b) == 2
+            and jnp.issubdtype(d.dtype, jnp.integer)
+            and max(int(b[1]) - 1, 1).bit_length() <= 31 - 1
+        ):
+            slots.append((i, max(int(b[1] - 1).bit_length(), 1)))
+        else:
+            direct.append(i)
+    if not slots and n_cols <= 1:
+        return gather_columns(datas, valids, indices, row_valid)
+
+    # first-fit-decreasing into 32-bit words; every slot carries +1 valid
+    # bit, and direct columns add valid-only 1-bit slots
+    items = sorted(
+        [(bits + 1, i, bits) for i, bits in slots]
+        + [(1, i, 0) for i in direct],
+        reverse=True,
+    )
+    words: List[list] = []  # per word: [(col, data_bits, offset)], used
+    used: List[int] = []
+    layout = {}
+    for size, i, bits in items:
+        for w in range(len(words)):
+            if used[w] + size <= 32:
+                layout[i] = (w, used[w], bits)
+                words[w].append(i)
+                used[w] += size
+                break
+        else:
+            layout[i] = (len(words), 0, bits)
+            words.append([i])
+            used.append(size)
+
+    planes = []
+    for w in range(len(words)):
+        plane = jnp.zeros(datas[0].shape[0], dtype=jnp.uint32)
+        for i in words[w]:
+            _, off, bits = layout[i]
+            if bits:
+                lo = 0 if datas[i].dtype == jnp.bool_ else int(bounds[i][0]) \
+                    if bounds[i] is not None and len(bounds[i]) == 2 else 0
+                img = (
+                    (datas[i].astype(jnp.int64) - lo).astype(jnp.uint32)
+                    & jnp.uint32((1 << bits) - 1)
+                )
+                plane = plane | (img << off)
+            plane = plane | (valids[i].astype(jnp.uint32) << (off + bits))
+        planes.append(plane[indices])
+
+    out_d, out_v = [], []
+    for i in range(n_cols):
+        w, off, bits = layout[i]
+        gw = planes[w]
+        vv = ((gw >> (off + bits)) & 1) != 0
+        if row_valid is not None:
+            vv = vv & row_valid
+        if bits:
+            if datas[i].dtype == jnp.bool_:
+                d = ((gw >> off) & 1) != 0
+            else:
+                lo = int(bounds[i][0]) if (
+                    bounds[i] is not None and len(bounds[i]) == 2
+                ) else 0
+                d = (
+                    ((gw >> off) & jnp.uint32((1 << bits) - 1))
+                    .astype(jnp.int64) + lo
+                ).astype(datas[i].dtype)
+        else:
+            d = datas[i][indices]
+        out_d.append(d)
+        out_v.append(vv)
+    return out_d, out_v
+
+
 # ---------------------------------------------------------------------------
 # grouping: dense ranks via joint sort
 # ---------------------------------------------------------------------------
