@@ -42,10 +42,26 @@ def _take(
     schema: Optional[Schema] = None,
 ) -> ColumnBatch:
     """Device gather of whole-batch rows into a new batch of len(indices)
-    capacity (the vectorized `take` — reference partition.rs:292-316)."""
+    capacity (the vectorized `take` — reference partition.rs:292-316).
+    Bounded/dictionary columns and validity bits ride packed uint32 words
+    (gathers are element-serial on TPU; K.gather_columns_packed)."""
+    from query_engine_tpu.engine.pipeline import _bucket_bounds, _col_bounds
+
     datas = [jnp.asarray(c.data) for c in batch.columns]
     valids = [jnp.asarray(c.validity) for c in batch.columns]
-    out_d, out_v = K.gather_columns(datas, valids, indices, row_valid)
+    bounds = []
+    for c in batch.columns:
+        if c.dictionary is not None:
+            bounds.append((0, max(len(c.dictionary), 1)))
+        else:
+            # opportunistic: cached stats only — never sync a device
+            # plane to host just to pack a gather
+            b = getattr(c, "_qe_bounds", None)
+            bb = _bucket_bounds(b) if isinstance(b, tuple) else None
+            bounds.append(bb if (bb is not None and len(bb) == 2) else None)
+    out_d, out_v = K.gather_columns_packed(
+        datas, valids, bounds, indices, row_valid
+    )
     cols = [
         Column(d, v, c.dtype, c.dictionary)
         for d, v, c in zip(out_d, out_v, batch.columns)
