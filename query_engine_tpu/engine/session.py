@@ -100,6 +100,10 @@ class Session:
 
         from query_engine_tpu.utils.profiling import QueryTiming
 
+        lead = query.lstrip().upper()
+        if lead.startswith("EXPLAIN"):
+            return self._exec_explain(query)
+
         self.last_timing = QueryTiming()
         t0 = _time.perf_counter()
         stmt = parse_sql(query)
@@ -117,6 +121,37 @@ class Session:
         from query_engine_tpu.sql.parser import parse_many
 
         return [self.execute_statement(s) for s in parse_many(script)]
+
+    def _exec_explain(self, query: str) -> ColumnBatch:
+        """EXPLAIN [ANALYZE] <stmt> -> one text column "QUERY PLAN", like
+        PostgreSQL. ANALYZE executes with the per-operator profiler on and
+        appends rows/timing/per-op counters (the observability surface the
+        reference only has as .timing in its REPL, repl.rs:303,347)."""
+        rest = query.lstrip()[len("EXPLAIN"):].lstrip()
+        analyze = rest.upper().startswith("ANALYZE")
+        if analyze:
+            rest = rest[len("ANALYZE"):].lstrip()
+        if not rest:
+            raise PlanError("EXPLAIN requires a statement")
+        lines = self.explain(rest).splitlines()
+        if analyze:
+            from query_engine_tpu.utils.profiling import GLOBAL_PROFILER
+
+            prev = GLOBAL_PROFILER.enabled
+            GLOBAL_PROFILER.reset()
+            GLOBAL_PROFILER.enabled = True
+            try:
+                result = self.sql(rest)
+            finally:
+                GLOBAL_PROFILER.enabled = prev
+            lines += [
+                "",
+                f"rows: {result.num_rows}",
+                f"timing: {self.last_timing}",
+                "",
+            ]
+            lines += GLOBAL_PROFILER.report().splitlines()
+        return ColumnBatch.from_pydict({"QUERY PLAN": lines})
 
     def explain(self, query: str) -> str:
         stmt = parse_sql(query)

@@ -382,3 +382,22 @@ def test_date_literal_comparison(sess):
     assert sess.sql(
         "SELECT id FROM ev WHERE d BETWEEN '2024-01-01' AND '2024-12-31' ORDER BY id"
     ).to_pylist() == [(1,), (2,)]
+
+
+def test_explain_returns_plan_rows():
+    s = Session()
+    s.register_table("t", {"a": [1, 2, 3], "b": [4, 5, 6]})
+    out = s.sql("EXPLAIN SELECT a FROM t WHERE b > 4")
+    assert out.schema.names() == ["QUERY PLAN"]
+    text = "\n".join(r[0] for r in out.to_pylist())
+    assert "Filter" in text and "TableScan: t" in text
+
+
+def test_explain_analyze_runs_and_reports():
+    s = Session()
+    s.register_table("t", {"a": list(range(50)), "k": [i % 3 for i in range(50)]})
+    out = s.sql("EXPLAIN ANALYZE SELECT k, COUNT(*) FROM t GROUP BY k")
+    text = "\n".join(r[0] for r in out.to_pylist())
+    assert "rows: 3" in text
+    assert "timing:" in text
+    assert "operator" in text  # per-op profiler table
