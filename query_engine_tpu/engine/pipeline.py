@@ -318,6 +318,20 @@ def _dup_bucket(d: int):
 
 
 
+def _mxu_gather_ok(src_capacity: int) -> bool:
+    """Small-build-side gathers CAN run on the MXU as a one-hot matmul
+    (ops/pallas/small_gather.py) — measured v5e: 221 ms vs the serial
+    packed gather's 168 ms at 8M x 1k x 2 words, so it stays opt-in
+    (QE_MXU_GATHER=1; QE_FORCE_MXU_AGG covers the CPU interpret tests).
+    Negative result recorded in docs/TPU_DESIGN.md #9."""
+    if src_capacity > 4096:
+        return False
+    return (
+        os.environ.get("QE_MXU_GATHER") == "1"
+        or os.environ.get("QE_FORCE_MXU_AGG") == "1"
+    )
+
+
 def _gather_bounds(t: "_TTable"):
     """Per-column static covers for gather_columns_packed: table-stat
     bounds where tracked, dictionary sizes for dict columns."""
@@ -1335,7 +1349,8 @@ class CompiledPipeline:
             rd = [c.data for c in rt.cols]
             rvs = [c.validity for c in rt.cols]
             gr_d, gr_v = K.gather_columns_packed(
-                rd, rvs, _gather_bounds(rt), ri, matched
+                rd, rvs, _gather_bounds(rt), ri, matched,
+                mxu_small=_mxu_gather_ok(rt.capacity),
             )
             cols = list(lt.cols) + [
                 Column(d, v, c.dtype, c.dictionary)

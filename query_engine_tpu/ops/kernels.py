@@ -251,6 +251,7 @@ def gather_columns_packed(
     bounds: Sequence[Optional[Tuple[int, int]]],
     indices: jnp.ndarray,
     row_valid: Optional[jnp.ndarray] = None,
+    mxu_small: bool = False,
 ):
     """gather_columns with bit-packing: random gathers are ~element-serial
     on TPU (~12 ns/row, docs/TPU_DESIGN.md #9), so K columns' 2K gathers
@@ -304,7 +305,7 @@ def gather_columns_packed(
             words.append([i])
             used.append(size)
 
-    planes = []
+    raw_planes = []
     for w in range(len(words)):
         plane = jnp.zeros(datas[0].shape[0], dtype=jnp.uint32)
         for i in words[w]:
@@ -318,7 +319,20 @@ def gather_columns_packed(
                 )
                 plane = plane | (img << off)
             plane = plane | (valids[i].astype(jnp.uint32) << (off + bits))
-        planes.append(plane[indices])
+        raw_planes.append(plane)
+    if mxu_small and raw_planes and datas[0].shape[0] <= 4096:
+        # small source table: gather the packed words on the MXU as a
+        # one-hot matmul instead of element-serial random gathers
+        from query_engine_tpu.ops.pallas.small_gather import mxu_gather_words
+
+        gathered = mxu_gather_words(
+            indices.astype(jnp.int32),
+            jnp.stack(raw_planes, axis=1),
+            len(raw_planes),
+        )
+        planes = [gathered[:, w] for w in range(len(raw_planes))]
+    else:
+        planes = [p[indices] for p in raw_planes]
 
     out_d, out_v = [], []
     for i in range(n_cols):

@@ -130,3 +130,48 @@ def test_executor_mxu_aggregate_path(monkeypatch):
     s2.register_table("t", data)
     default = s2.sql(sql).to_pylist()
     assert forced == default
+
+
+def test_mxu_small_table_gather():
+    """One-hot matmul gather (ops/pallas/small_gather.py) == serial gather
+    for small packed tables (interpret mode)."""
+    from query_engine_tpu.ops.pallas.small_gather import mxu_gather_words
+
+    rng = np.random.default_rng(3)
+    T, n, W = 300, 4000, 3
+    table = jnp.asarray(
+        rng.integers(0, 2**32, (T, W), dtype=np.uint64).astype(np.uint32)
+    )
+    idx = rng.integers(-1, T, n).astype(np.int32)  # -1 = unmatched
+    out = np.asarray(mxu_gather_words(jnp.asarray(idx), table, W))
+    tbl = np.asarray(table)
+    for i in range(0, n, 37):
+        if idx[i] < 0:
+            assert (out[i] == 0).all()
+        else:
+            assert np.array_equal(out[i], tbl[idx[i]])
+
+
+def test_gather_columns_packed_mxu_small_route(monkeypatch):
+    """Engine-level route: forced MXU small gather matches the serial path
+    through a real FK-join query."""
+    monkeypatch.setenv("QE_FORCE_MXU_AGG", "1")
+    from query_engine_tpu.engine.session import Session
+
+    rng = np.random.default_rng(5)
+    fact = {
+        "k": rng.integers(0, 50, 500).tolist(),
+        "v": rng.integers(0, 100, 500).tolist(),
+    }
+    dim = {"id": list(range(50)), "w": rng.integers(0, 9, 50).tolist()}
+    s = Session()
+    s.register_table("f", fact)
+    s.register_table("d", dim)
+    sql = ("SELECT f.k, f.v, d.w FROM f JOIN d ON f.k = d.id "
+           "ORDER BY f.k, f.v, d.w")
+    forced = s.sql(sql).to_pylist()
+    monkeypatch.setenv("QE_FORCE_MXU_AGG", "0")
+    s2 = Session()
+    s2.register_table("f", fact)
+    s2.register_table("d", dim)
+    assert forced == s2.sql(sql).to_pylist()
