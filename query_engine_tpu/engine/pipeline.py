@@ -1655,7 +1655,31 @@ class CompiledPipeline:
                             else combined * (rng_i + 1) + code
                         )
                     direct = (combined, jnp.ones(cap, dtype=bool), 0, prod)
-            if direct is not None:
+            bucket_mode = False
+            if (
+                direct is not None
+                and padded_capacity(direct[3] + 1) <= cap
+            ):
+                # BUCKET MODE: aggregate straight into the bounded bucket
+                # space and let the selection mask absorb the unobserved
+                # buckets — no row-space dense-id gather, no representative
+                # -row scatter (random gathers are ~12 ns/row on TPU; this
+                # removes two full-length ones per GROUP BY). Output rows
+                # sit at their bucket positions (key order, like the dense
+                # ids), sel marks observed buckets, and the group-key
+                # columns are computed from the bucket index directly.
+                kd, kv, lo, nb = direct
+                S = padded_capacity(nb + 1)
+                mxu_bound = S
+                lm = K.live_mask(cap, sel)
+                gid = jnp.where(
+                    lm & kv,
+                    jnp.clip(kd.astype(jnp.int32) - lo, 0, nb - 1),
+                    jnp.int32(nb),  # null-key group (pad rows masked by lm)
+                ).astype(jnp.int32)
+                ng = rep = None
+                bucket_mode = True
+            elif direct is not None:
                 kd, kv, lo, nb = direct
                 gid, ng, rep = K.group_ids_direct(kd, kv, sel, lo, nb)
                 S = min(padded_capacity(nb + 1), cap)
@@ -1667,16 +1691,41 @@ class CompiledPipeline:
                 S = cap
         else:
             gvals = []
+            bucket_mode = False
             gid = jnp.zeros(cap, dtype=jnp.int32)
             ng = jnp.int64(1)  # global aggregate: one row even on empty input
             rep = None
             S = min(128, cap)
 
         cols: List[Column] = []
-        for v, f in zip(gvals, schema):
-            d = v.data[rep[:S]]
-            vd = v.validity[rep[:S]]
-            cols.append(Column(d, vd, f.data_type, v.dictionary))
+        if bucket_mode:
+            iota_s = jnp.arange(S, dtype=jnp.int32)
+            if len(gvals) == 1:
+                v = gvals[0]
+                f = schema.field(0)
+                # int64 intermediate: lo can exceed int32 (timestamps)
+                d = (iota_s.astype(jnp.int64) + lo).astype(v.data.dtype)
+                cols.append(Column(d, iota_s < nb, f.data_type, v.dictionary))
+            else:
+                # decompose the combined lexicographic code per key
+                rem = iota_s
+                codes = []
+                for _, rng_i in reversed(ranges):
+                    codes.append(rem % (rng_i + 1))
+                    rem = rem // (rng_i + 1)
+                codes.reverse()
+                for v, f, code, (lo_i, rng_i) in zip(
+                    gvals, schema, codes, ranges
+                ):
+                    d = (code.astype(jnp.int64) + lo_i).astype(v.data.dtype)
+                    cols.append(
+                        Column(d, code < rng_i, f.data_type, v.dictionary)
+                    )
+        else:
+            for v, f in zip(gvals, schema):
+                d = v.data[rep[:S]]
+                vd = v.validity[rep[:S]]
+                cols.append(Column(d, vd, f.data_type, v.dictionary))
 
         use_mxu = ex._mxu_agg_enabled(
             mxu_bound if (mxu_bound or 0) <= ex._MXU_AGG_MAX_GROUPS else None
@@ -1786,6 +1835,21 @@ class CompiledPipeline:
                 out_d = out_d.astype(jnp.int32)
             cols.append(Column(out_d, out_v, f.data_type, out_dict))
 
+        if bucket_mode:
+            # observed buckets only; shares the count_star computation
+            # with any COUNT(*) agg via mxu_cache / XLA CSE
+            if use_mxu:
+                _, rows_per_bucket = mxu_sums_counts(
+                    jnp.ones(cap, dtype=jnp.int64), sel, "__star"
+                )
+            else:
+                rows_per_bucket = jax.ops.segment_sum(
+                    K.live_mask(cap, sel).astype(jnp.int32), gid,
+                    num_segments=S,
+                )
+            sel_out = rows_per_bucket[:S] > 0
+            return _TTable(schema, cols, sel_out, S, False,
+                           [None] * len(cols))
         sel_out = jnp.arange(S, dtype=jnp.int32) < ng
         return _TTable(schema, cols, sel_out, S, True,
                        [None] * len(cols))
