@@ -1343,15 +1343,25 @@ class CompiledPipeline:
             # left planes pass through untouched, output rows keep their
             # left positions (identical order to the general left-major
             # emit after compaction)
-            ri, matched = K.fk_join_right_lookup(
-                lr, rr, lt.sel, rt.sel, n_ranks
-            )
             rd = [c.data for c in rt.cols]
             rvs = [c.validity for c in rt.cols]
-            gr_d, gr_v = K.gather_columns_packed(
-                rd, rvs, _gather_bounds(rt), ri, matched,
-                mxu_small=_mxu_gather_ok(rt.capacity),
+            nr_eff = n_ranks if n_ranks is not None else cap_l + cap_r
+            fused = K.fk_gather_by_rank(
+                rd, rvs, _gather_bounds(rt), rr,
+                K.live_mask(cap_r, rt.sel), lr,
+                K.live_mask(cap_l, lt.sel), nr_eff,
             )
+            if fused is not None:
+                # one probe-length gather per word: rank -> packed columns
+                gr_d, gr_v, matched = fused
+            else:
+                ri, matched = K.fk_join_right_lookup(
+                    lr, rr, lt.sel, rt.sel, n_ranks
+                )
+                gr_d, gr_v = K.gather_columns_packed(
+                    rd, rvs, _gather_bounds(rt), ri, matched,
+                    mxu_small=_mxu_gather_ok(rt.capacity),
+                )
             cols = list(lt.cols) + [
                 Column(d, v, c.dtype, c.dictionary)
                 for d, v, c in zip(gr_d, gr_v, rt.cols)

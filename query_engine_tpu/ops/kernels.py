@@ -359,6 +359,108 @@ def gather_columns_packed(
     return out_d, out_v
 
 
+def fk_gather_by_rank(
+    datas: Sequence[jnp.ndarray],
+    valids: Sequence[jnp.ndarray],
+    bounds: Sequence[Optional[Tuple[int, int]]],
+    rr: jnp.ndarray,
+    r_live: jnp.ndarray,
+    lr: jnp.ndarray,
+    l_live: jnp.ndarray,
+    n_ranks: int,
+):
+    """FK join emit fused to ONE probe-length random access per packed
+    word: the build side's packed words scatter to RANK space (build-side
+    cost), so each probe row gathers its rank's word directly — no
+    rank -> row lookup gather first. An 'occupied' bit rides along, so
+    `matched` comes from the same gathered word.
+
+    Requires every right column to pack (31-bit bounded ints / bools);
+    returns (out_datas, out_valids, matched), or None for the caller to
+    fall back to fk_join_right_lookup + gather_columns_packed.
+    """
+    n_cols = len(datas)
+    src_len = r_live.shape[0]
+    slots = []
+    for i, (d, b) in enumerate(zip(datas, bounds)):
+        if d.dtype == jnp.bool_:
+            slots.append((i, 1))
+        elif (
+            b is not None and len(b) == 2
+            and jnp.issubdtype(d.dtype, jnp.integer)
+            and max(int(b[1]) - 1, 1).bit_length() <= 30
+        ):
+            slots.append((i, max(int(b[1] - 1).bit_length(), 1)))
+        else:
+            return None
+    slots.append((n_cols, 1))  # occupied marker (bool, always valid)
+
+    items = sorted([(bits + 1, i, bits) for i, bits in slots], reverse=True)
+    words: List[list] = []
+    used: List[int] = []
+    layout = {}
+    for size, i, bits in items:
+        for w in range(len(words)):
+            if used[w] + size <= 32:
+                layout[i] = (w, used[w], bits)
+                words[w].append(i)
+                used[w] += size
+                break
+        else:
+            layout[i] = (len(words), 0, bits)
+            words.append([i])
+            used.append(size)
+
+    all_d = list(datas) + [jnp.ones(src_len, dtype=jnp.bool_)]
+    all_v = list(valids) + [r_live]
+    all_b = list(bounds) + [None]
+    r_ok = r_live & (rr >= 0)
+    tgt = jnp.where(r_ok, rr, n_ranks).astype(jnp.int32)
+    l_ok = l_live & (lr >= 0)
+    src = jnp.clip(lr, 0, n_ranks - 1).astype(jnp.int32)
+
+    planes = []
+    for w in range(len(words)):
+        plane = jnp.zeros(src_len, dtype=jnp.uint32)
+        for i in words[w]:
+            _, off, bits = layout[i]
+            if all_d[i].dtype == jnp.bool_:
+                lo = 0
+            else:
+                lo = int(all_b[i][0])
+            img = (
+                (all_d[i].astype(jnp.int64) - lo).astype(jnp.uint32)
+                & jnp.uint32((1 << bits) - 1)
+            )
+            plane = plane | (img << off)
+            plane = plane | (all_v[i].astype(jnp.uint32) << (off + bits))
+        by_rank = (
+            jnp.zeros(n_ranks, dtype=jnp.uint32)
+            .at[tgt].set(plane, mode="drop")
+        )
+        planes.append(by_rank[src])
+
+    w, off, bits = layout[n_cols]
+    matched = l_ok & (((planes[w] >> (off + bits)) & 1) != 0)
+
+    out_d, out_v = [], []
+    for i in range(n_cols):
+        w, off, bits = layout[i]
+        gw = planes[w]
+        vv = ((((gw >> (off + bits)) & 1) != 0)) & matched
+        if all_d[i].dtype == jnp.bool_:
+            d = ((gw >> off) & 1) != 0
+        else:
+            lo = int(all_b[i][0])
+            d = (
+                ((gw >> off) & jnp.uint32((1 << bits) - 1))
+                .astype(jnp.int64) + lo
+            ).astype(all_d[i].dtype)
+        out_d.append(d)
+        out_v.append(vv)
+    return out_d, out_v, matched
+
+
 # ---------------------------------------------------------------------------
 # grouping: dense ranks via joint sort
 # ---------------------------------------------------------------------------
