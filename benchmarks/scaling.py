@@ -57,20 +57,51 @@ def child(n_devices: int, total_rows: int) -> None:
         mesh, aggs=[("count_star", -1), ("sum", 0), ("avg", 0)], n_args=1,
         group_capacity=8192,  # 4096 keys + null bucket, padded
     )
+    # join stage: repartition both sides by key + local join counts
+    nb_build = 4096
+    build = ColumnBatch.from_pydict(
+        {"k2": np.arange(nb_build * n_devices) % nb_build,
+         "w": rng.integers(0, 100, nb_build * n_devices)}, schema=None,
+    )
+    bst = ShardedTable(build, mesh)
+    join = spmd.make_distributed_join_counts(mesh, 1, 1, recv_factor=2.0)
+    # sort stage: sampled range-partition global sort of the value column
+    gsort = spmd.make_distributed_sort(mesh, n_cols=1, recv_factor=2.0)
 
-    def run():
+    def run_agg():
         out = agg(
             st.datas[0], st.valids[0], st.shard_rows, st.datas[1], st.valids[1]
         )
         return float(np.asarray(out[-1]).sum())  # block on the full program
 
-    run()  # compile
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        ts.append(time.perf_counter() - t0)
-    print(json.dumps({"n": n_devices, "rows": n, "best_s": min(ts)}))
+    def run_join():
+        out = join(
+            st.datas[0], st.valids[0], st.shard_rows,
+            bst.datas[0], bst.valids[0], bst.shard_rows,
+            st.datas[1], st.valids[1], bst.datas[1], bst.valids[1],
+        )
+        assert float(np.asarray(out[-1]).sum()) == 0, "recv overflow"
+        return float(np.asarray(out[0]).sum())
+
+    def run_sort():
+        out = gsort(
+            st.datas[1], st.valids[1], st.shard_rows,
+            st.datas[0], st.valids[0],
+        )
+        assert float(np.asarray(out[-1]).sum()) == 0, "recv overflow"
+        return float(np.asarray(out[-2]).sum())
+
+    res = {"n": n_devices, "rows": n}
+    for name, fn in (("agg", run_agg), ("join", run_join), ("sort", run_sort)):
+        fn()  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        res[name + "_s"] = min(ts)
+    res["best_s"] = res["agg_s"]
+    print(json.dumps(res))
 
 
 def main() -> None:
@@ -93,8 +124,10 @@ def main() -> None:
             sys.exit(1)
         r = json.loads(line[-1])
         results[n] = r
-        rate = r["rows"] / r["best_s"]
-        print(f"N={n}: {r['best_s']*1e3:8.1f} ms  {rate/1e6:6.2f}M rows/s")
+        print(
+            f"N={n}: agg {r['agg_s']*1e3:8.1f} ms | join "
+            f"{r['join_s']*1e3:8.1f} ms | sort {r['sort_s']*1e3:8.1f} ms"
+        )
     t1 = results[1]["best_s"]
     print(
         "\nVirtual CPU devices execute sequentially on one host, so wall"
@@ -104,11 +137,12 @@ def main() -> None:
         "\nconcurrently, projected scaling efficiency ~= t(1)/t(N):"
     )
     for n in (2, 4, 8):
-        infl = results[n]["best_s"] / t1
-        print(
-            f"  N={n}: work inflation={infl:.2f}x  "
-            f"projected parallel efficiency={1/infl:.0%}"
-        )
+        for stage in ("agg", "join", "sort"):
+            infl = results[n][stage + "_s"] / results[1][stage + "_s"]
+            print(
+                f"  N={n} {stage:>4}: work inflation={infl:.2f}x  "
+                f"projected parallel efficiency={1/infl:.0%}"
+            )
 
 
 if __name__ == "__main__":

@@ -130,14 +130,24 @@ def exchange_columns(
     return out_d, out_v, recv_live
 
 
-def compact_received(recv_live, datas, valids):
+def compact_received(recv_live, datas, valids, out_capacity: int = None):
     """Compact received rows to the front of the local planes (cumsum +
-    scatter, not nonzero — K.compaction_indices rationale)."""
+    scatter, not nonzero — K.compaction_indices rationale).
+
+    out_capacity bounds the compacted planes: the receive buffer is
+    [n_devices, per_shard] = whole-table worst case, but a balanced
+    exchange delivers ~per_shard rows per shard — without the bound,
+    every downstream local operator runs at WHOLE-TABLE capacity and
+    total work grows with N (measured 4.7x inflation at N=8 for the
+    distributed join before this). Rows beyond out_capacity are dropped;
+    callers must check count <= out_capacity (overflow -> retry larger,
+    the mesh-level count-then-emit)."""
     cap = recv_live.shape[0]
     count = jnp.sum(recv_live.astype(jnp.int64))
-    idx = K.compaction_indices(recv_live, recv_live, cap)
+    oc = cap if out_capacity is None else min(out_capacity, cap)
+    idx = K.compaction_indices(recv_live, recv_live, oc)
     out_d = [d[idx] for d in datas]
-    out_v = [v[idx] & (jnp.arange(cap) < count) for v in valids]
+    out_v = [v[idx] & (jnp.arange(oc) < count) for v in valids]
     return out_d, out_v, count
 
 
@@ -302,7 +312,7 @@ def _recv_key_valid(key_validity, rlive, ccount):
 
 def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
                                  n_right_cols: int, axis: str = "data",
-                                 salt: int = 1):
+                                 salt: int = 1, recv_factor: float = None):
     """Build the SPMD 'repartition + local join count' program.
 
     Returns per-shard: exchanged left/right planes (compacted) + local
@@ -317,6 +327,20 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
     """
     n = mesh.devices.size
     salt = max(1, min(salt, n))
+
+    def _rcap(per_shard: int, mult: int = 1) -> int:
+        """Receive capacity. recv_factor=None keeps the whole-table worst
+        case (always correct, but per-shard local work stays O(rows), not
+        O(rows/N) — measured 4.7x total-work inflation at N=8). With a
+        factor, capacity is the balanced share x factor; callers MUST
+        check the trailing overflow output and retry unbounded (or salt
+        the exchange, which spreads hot keys so the bound holds)."""
+        if recv_factor is None:
+            return per_shard * mult * n
+        from query_engine_tpu.columnar.batch import padded_capacity
+
+        want = int(per_shard * mult * recv_factor)
+        return min(padded_capacity(max(want, 128)), per_shard * mult * n)
 
     def step(lkey, lkv, l_rows, rkey, rkv, r_rows, *cols):
         my = jax.lax.axis_index(axis)
@@ -339,7 +363,7 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
         ld, lv, llive_r = exchange_columns(
             axis, lidx, lcounts, [lkey] + ldatas, [lkv] + lvalids
         )
-        lcd, lcv, lcount = compact_received(llive_r, ld, lv)
+        lcd, lcv, lcount = compact_received(llive_r, ld, lv, _rcap(lcap))
         # repartition right; with salting the build side is replicated to
         # every salted partition of its key
         if salt > 1:
@@ -364,7 +388,9 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
         rd, rv, rlive_r = exchange_columns(
             axis, ridx, rcounts, [rkey_r] + rdatas_r, [rkv_r] + rvalids_r
         )
-        rcd, rcv, rcount = compact_received(rlive_r, rd, rv)
+        rcd, rcv, rcount = compact_received(
+            rlive_r, rd, rv, _rcap(rcap, salt)
+        )
 
         # local join ranks + counts
         lr, rr = K.join_ranks(
@@ -372,15 +398,20 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
         )
         (total, counts, _offsets, rank_start, right_by_rank,
          lm, rm) = K.join_counts(lr, rr, lcount, rcount)
+        overflow = (
+            (lcount > _rcap(lcap)).astype(jnp.int64)
+            + (rcount > _rcap(rcap, salt)).astype(jnp.int64)
+        )
         out = [total.reshape(1), lcount.reshape(1), rcount.reshape(1)]
         out += [counts, lr, rank_start, right_by_rank]
         out += lcd + lcv + rcd + rcv
+        out.append(overflow.reshape(1))  # recv-capacity overflow: retry bigger
         return tuple(out)
 
     n_cols = 2 * (n_left_cols + n_right_cols)
     in_specs = tuple([P(axis), P(axis), P(), P(axis), P(axis), P()]
                      + [P(axis)] * n_cols)
-    n_out = 3 + 4 + (n_left_cols + 1 + n_right_cols + 1) * 2
+    n_out = 3 + 4 + (n_left_cols + 1 + n_right_cols + 1) * 2 + 1
     out_specs = tuple([P(axis)] * n_out)
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -393,7 +424,7 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
 
 
 def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
-                          axis: str = "data"):
+                          axis: str = "data", recv_factor: float = None):
     """Build the SPMD global sort: after it runs, shard i holds keys <=
     shard i+1's keys and each shard is locally sorted — the concatenation in
     shard order is the global ORDER BY (sorted-merge parity,
@@ -423,15 +454,24 @@ def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
         rd, rv, rlive = exchange_columns(
             axis, idx, counts, [key] + datas, [kv] + valids
         )
-        cd, cv, ccount = compact_received(rlive, rd, rv)
+        if recv_factor is None:
+            oc = cap * n
+        else:
+            from query_engine_tpu.columnar.batch import padded_capacity
+
+            oc = min(
+                padded_capacity(max(int(cap * recv_factor), 128)), cap * n
+            )
+        cd, cv, ccount = compact_received(rlive, rd, rv, oc)
         # local sort of received rows
         perm = K.sort_permutation([cd[0]], [cv[0]], [True], [False], ccount)
         out = [d[perm] for d in cd] + [v[perm] for v in cv]
         out.append(ccount.reshape(1))
+        out.append((ccount > oc).astype(jnp.int64).reshape(1))  # overflow
         return tuple(out)
 
     in_specs = tuple([P(axis), P(axis), P()] + [P(axis)] * (2 * n_cols))
-    n_out = (n_cols + 1) * 2 + 1
+    n_out = (n_cols + 1) * 2 + 2
     out_specs = tuple([P(axis)] * n_out)
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)

@@ -110,7 +110,8 @@ def test_distributed_sort_global_order(mesh):
     dsort = spmd.make_distributed_sort(mesh, n_cols=1)
     out = dsort(st.datas[0], st.valids[0], st.shard_rows, st.datas[1], st.valids[1])
     key_plane = np.asarray(out[0])
-    counts = np.asarray(out[-1])
+    counts = np.asarray(out[-2])  # [-1] = recv-overflow flag
+    assert int(np.asarray(out[-1]).sum()) == 0
     per = key_plane.shape[0] // 8
     collected = []
     for s in range(8):
@@ -307,7 +308,7 @@ def test_global_dictionary_merge_distributed_groupby_orderby(mesh):
     sort_prog = spmd.make_distributed_sort(mesh, n_cols=0)
     sout = sort_prog(codes, valid, rows)
     skey = np.asarray(sout[0])
-    scnt = np.asarray(sout[-1]).reshape(-1)
+    scnt = np.asarray(sout[-2]).reshape(-1)  # [-1] = recv-overflow flag
     per_s = skey.shape[0] // n_dev
     collected = []
     for s in range(n_dev):
@@ -315,3 +316,39 @@ def test_global_dictionary_merge_distributed_groupby_orderby(mesh):
             gdict.decode(skey[s * per_s: s * per_s + scnt[s]]).tolist()
         )
     assert collected == sorted(v for vs in shard_vals for v in vs)
+
+
+def test_bounded_recv_capacity_and_overflow_flag(mesh):
+    """recv_factor bounds per-shard receive planes (keeps local work
+    O(rows/N)); the trailing overflow flag trips when a hot key exceeds
+    the balanced bound — and salting spreads the key so it fits again."""
+    rng = np.random.default_rng(13)
+    nl, nr = 1600, 100
+    hot = np.full(nl, 7)  # EVERY probe row hits one key
+    rk = np.arange(nr) % 50
+    lb = ColumnBatch.from_pydict({"k": hot.tolist(), "lv": list(range(nl))})
+    rb = ColumnBatch.from_pydict({"k": rk.tolist(), "rv": list(range(nr))})
+    stl = ShardedTable(lb, mesh)
+    strr = ShardedTable(rb, mesh)
+
+    def run(salt, factor):
+        prog = spmd.make_distributed_join_counts(
+            mesh, 1, 1, salt=salt, recv_factor=factor
+        )
+        out = prog(
+            stl.datas[0], stl.valids[0], stl.shard_rows,
+            strr.datas[0], strr.valids[0], strr.shard_rows,
+            stl.datas[1], stl.valids[1], strr.datas[1], strr.valids[1],
+        )
+        return int(np.asarray(out[0]).sum()), int(np.asarray(out[-1]).sum())
+
+    expected = nl * 2  # key 7 appears twice on the build side (100 rows % 50)
+    # unbounded: always correct
+    total, ovf = run(1, None)
+    assert total == expected and ovf == 0
+    # bounded without salt: the hot shard overflows (flag trips)
+    _, ovf = run(1, 2.0)
+    assert ovf > 0
+    # bounded WITH salt: hot key spreads across 4 shards and fits
+    total, ovf = run(4, 2.0)
+    assert ovf == 0 and total == expected
