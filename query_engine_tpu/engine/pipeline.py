@@ -1731,10 +1731,21 @@ class CompiledPipeline:
                     cols.append(
                         Column(d, code < rng_i, f.data_type, v.dictionary)
                     )
-        else:
-            for v, f in zip(gvals, schema):
-                d = v.data[rep[:S]]
-                vd = v.validity[rep[:S]]
+        elif gvals:
+            # representative-row gather of the group keys, packed: narrow
+            # keys + validity bits share words (one gather, not 2/key)
+            kb = []
+            for g, v in zip(plan.group_exprs, gvals):
+                if v.dictionary is not None:
+                    kb.append((0, max(len(v.dictionary), 1)))
+                else:
+                    b = _group_key_bounds(g, t)
+                    kb.append(b if (b is not None and len(b) == 2) else None)
+            g_d, g_v = K.gather_columns_packed(
+                [v.data for v in gvals], [v.validity for v in gvals],
+                kb, rep[:S],
+            )
+            for d, vd, v, f in zip(g_d, g_v, gvals, schema):
                 cols.append(Column(d, vd, f.data_type, v.dictionary))
 
         use_mxu = ex._mxu_agg_enabled(

@@ -680,7 +680,10 @@ def _segment_sum_float(
     finite = jnp.isfinite(x)
     xf = jnp.where(ok & finite, x, 0.0)
     m = jnp.max(jnp.abs(xf))
-    frac_bits = 61 - max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    # ~2^-40 relative precision matches f64 summation round-off at these
+    # row counts while keeping the chunk-scatter count low (each extra
+    # 8 bits of q is one more full-length i32 scatter)
+    frac_bits = min(61 - max(int(np.ceil(np.log2(max(n, 2)))), 1), 40)
     t = jnp.maximum(m, np.finfo(np.float64).tiny)
     adj = jnp.int32(0)
     for _ in range(6):
@@ -695,21 +698,33 @@ def _segment_sum_float(
          + adj + 1)
     k = jnp.clip(frac_bits - e, -1000, 1000).astype(jnp.int32)
     q = jnp.round(xf * _exact_pow2(k)).astype(jnp.int64)
-    s = _segment_sum_i64(q, ok & finite, gid, num_segments).astype(
-        jnp.float64
-    ) * _exact_pow2(-k)
-    flags = [
-        jax.ops.segment_max(
-            jnp.where(ok & f, jnp.int32(1), 0), gid,
-            num_segments=num_segments,
-        ) > 0
-        for f in (jnp.isposinf(x), jnp.isneginf(x), jnp.isnan(x))
-    ]
-    p, ng, nn = flags
-    s = jnp.where(p & ~ng, jnp.inf, s)
-    s = jnp.where(ng & ~p, -jnp.inf, s)
-    s = jnp.where(nn | (p & ng), jnp.nan, s)
-    return s
+    # |q| <= 2^frac_bits: bias bounds cut the chunk scatters to the span
+    cnt_ok = jax.ops.segment_sum(
+        (ok & finite).astype(jnp.int32), gid, num_segments=num_segments
+    ).astype(jnp.int64)
+    s = _segment_sum_i64(
+        q, ok & finite, gid, num_segments,
+        value_bounds=(-(1 << frac_bits), 1 << frac_bits), counts=cnt_ok,
+    ).astype(jnp.float64) * _exact_pow2(-k)
+
+    def fix_nonfinite(s):
+        # rare path: only executes when the batch holds inf/NaN at all
+        flags = [
+            jax.ops.segment_max(
+                jnp.where(ok & f, jnp.int32(1), 0), gid,
+                num_segments=num_segments,
+            ) > 0
+            for f in (jnp.isposinf(x), jnp.isneginf(x), jnp.isnan(x))
+        ]
+        p, ng, nn = flags
+        s = jnp.where(p & ~ng, jnp.inf, s)
+        s = jnp.where(ng & ~p, -jnp.inf, s)
+        s = jnp.where(nn | (p & ng), jnp.nan, s)
+        return s
+
+    return jax.lax.cond(
+        jnp.any(ok & ~finite), fix_nonfinite, lambda s: s, s
+    )
 
 
 def segment_aggregate(
