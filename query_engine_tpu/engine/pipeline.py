@@ -1917,18 +1917,43 @@ class CompiledPipeline:
                     sel,
                 )
                 pad_sorted = ~sel[perm]
+                # one packed gather for ALL key planes through perm
+                # (bare-column keys carry bounds; validity bits always pack)
+                key_exprs = list(wexpr.partition_by) + [
+                    k.expr for k in wexpr.order_by
+                ]
+                kb = []
+                for e in key_exprs:
+                    b = _proj_bounds(e, t)
+                    kb.append(b if (b is not None and len(b) == 2) else None)
+                g_d, g_v = K.gather_columns_packed(
+                    p_datas + o_datas, p_valids + o_valids, kb, perm
+                )
+                np_ = len(p_datas)
                 part_sorted = []
-                for d, v in zip(p_datas, p_valids):
-                    key, null = K.normalize_key(d[perm], v[perm])
+                for d, v in zip(g_d[:np_], g_v[:np_]):
+                    key, null = K.normalize_key(d, v)
                     part_sorted += [null.astype(jnp.int32), key]
                 order_sorted = []
-                for d, v in zip(o_datas, o_valids):
-                    key, null = K.normalize_key(d[perm], v[perm])
+                for d, v in zip(g_d[np_:], g_v[np_:]):
+                    key, null = K.normalize_key(d, v)
                     order_sorted += [null.astype(jnp.int32), key]
                 seg_change, peer_change, seg = K.window_segments(
                     part_sorted, order_sorted, pad_sorted
                 )
                 spec_cache[spec_key] = (perm, pad_sorted, seg_change, peer_change, seg)
+
+            def sorted_arg(av, e):
+                """Argument plane through perm, packed (1 gather when the
+                column is bounded/dict/bool instead of data+valid)."""
+                b = _proj_bounds(e, t)
+                if not (b is not None and len(b) == 2):
+                    b = ((0, max(len(av.dictionary), 1))
+                         if av.dictionary is not None else None)
+                gd, gv = K.gather_columns_packed(
+                    [av.data], [av.validity], [b], perm
+                )
+                return gd[0], gv[0]
 
             fn = wexpr.func
             f = schema.field(len(t.cols) + wi)
@@ -1953,15 +1978,15 @@ class CompiledPipeline:
                 )
                 if fn is lp.WindowFn.LEAD:
                     offset = -offset
-                svals, svalid = K.shift_in_segment(
-                    av.data[perm], av.validity[perm], seg, offset
-                )
+                a_d, a_v = sorted_arg(av, wexpr.args[0])
+                svals, svalid = K.shift_in_segment(a_d, a_v, seg, offset)
                 if len(wexpr.args) > 2:
                     dv = ex.evaluator.eval(wexpr.args[2], shim)
                     if av.dictionary is not None or dv.dictionary is not None:
                         raise _Unsupported("LAG/LEAD string default")
-                    svals = jnp.where(svalid, svals, dv.data[perm])
-                    svalid = svalid | dv.validity[perm]
+                    dv_d, dv_v = sorted_arg(dv, wexpr.args[2])
+                    svals = jnp.where(svalid, svals, dv_d)
+                    svalid = svalid | dv_v
                 out_dict = av.dictionary
             elif fn in (lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.AVG,
                         lp.WindowFn.MIN, lp.WindowFn.MAX):
@@ -1978,7 +2003,7 @@ class CompiledPipeline:
                         from query_engine_tpu.engine.expr_eval import _descale
 
                         av = _descale(av)
-                    wvals, wok = av.data[perm], av.validity[perm]
+                    wvals, wok = sorted_arg(av, wexpr.args[0])
                     if fn in (lp.WindowFn.MIN, lp.WindowFn.MAX):
                         out_dict = av.dictionary
                     fname = fn.value.lower()
@@ -1992,7 +2017,7 @@ class CompiledPipeline:
                 )
             elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
                 av = ex.evaluator.eval(wexpr.args[0], shim)
-                sd, sv = av.data[perm], av.validity[perm]
+                sd, sv = sorted_arg(av, wexpr.args[0])
                 frame = wexpr.frame
                 if fn is lp.WindowFn.FIRST_VALUE:
                     pos = K._seg_start_pos(seg_change)

@@ -1233,6 +1233,18 @@ def ntile_sorted(seg_change: jnp.ndarray, n_tiles, pad_sorted) -> jnp.ndarray:
     return bucket + 1
 
 
+def _run_broadcast_first(vals: jnp.ndarray, start_flag: jnp.ndarray):
+    """Broadcast each run's FIRST value across the run (runs delimited by
+    start_flag) — one associative scan, no gathers."""
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, out = jax.lax.associative_scan(combine, (start_flag, vals))
+    return out
+
+
 def _segment_running_extreme(
     vals: jnp.ndarray, ok: jnp.ndarray, seg_change: jnp.ndarray, is_min: bool
 ) -> jnp.ndarray:
@@ -1292,9 +1304,30 @@ def window_aggregate_sorted(
         hi = seg_end if e_off is None else jnp.minimum(i32 + e_off, seg_end)
     empty = hi < lo
 
-    def frame_range(P):
-        lo_prev = jnp.where(lo > 0, P[jnp.clip(lo - 1, 0, cap - 1)], 0)
-        return P[jnp.clip(hi, 0, cap - 1)] - lo_prev
+    if kind in ("partition", "range_current"):
+        # gather-free frame sums: P[hi] is "P at the end of my (peer) run"
+        # = reverse broadcast-first scan, and P[seg_start-1] is a shift +
+        # forward broadcast — random access is ~element-serial on TPU, so
+        # two associative scans beat two full-length gathers
+        end_flag = (
+            jnp.roll(seg_change, -1).at[cap - 1].set(True)
+            if kind == "partition"
+            else jnp.roll(peer_change, -1).at[cap - 1].set(True)
+        )
+
+        def frame_range(P):
+            at_end = jnp.flip(_run_broadcast_first(
+                jnp.flip(P), jnp.flip(end_flag)
+            ))
+            p_shift = jnp.roll(P, 1).at[0].set(0)
+            before_seg = _run_broadcast_first(
+                jnp.where(seg_change, p_shift, 0), seg_change
+            )
+            return at_end - before_seg
+    else:
+        def frame_range(P):
+            lo_prev = jnp.where(lo > 0, P[jnp.clip(lo - 1, 0, cap - 1)], 0)
+            return P[jnp.clip(hi, 0, cap - 1)] - lo_prev
 
     cnt = jnp.where(
         empty, 0, frame_range(jnp.cumsum(ok_live.astype(jnp.int64)))
@@ -1379,15 +1412,17 @@ def shift_in_segment(
     seg: jnp.ndarray,
     offset: int,
 ):
-    """LAG(offset>0)/LEAD(offset<0) within segments; out-of-segment -> null."""
+    """LAG(offset>0)/LEAD(offset<0) within segments; out-of-segment -> null.
+
+    src = i - offset is a constant shift, so jnp.roll (contiguous copy)
+    replaces the full-length random gather (~element-serial on TPU)."""
     capacity = values.shape[0]
     idx = jnp.arange(capacity, dtype=jnp.int32)
     src = idx - offset
     in_range = (src >= 0) & (src < capacity)
-    src_c = jnp.clip(src, 0, capacity - 1)
-    same_seg = in_range & (seg[src_c] == seg)
-    out = jnp.where(same_seg, values[src_c], values[0] * 0)
-    out_v = same_seg & valid[src_c]
+    same_seg = in_range & (jnp.roll(seg, offset) == seg)
+    out = jnp.where(same_seg, jnp.roll(values, offset), values[0] * 0)
+    out_v = same_seg & jnp.roll(valid, offset)
     return out, out_v
 
 
