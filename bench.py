@@ -69,16 +69,20 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
 
         # --- hash join: probe (filtered fact) x build (dim, unique keys) ---
         # FK fast path with direct ranks (keys bounded in [0, bcap)):
-        # rank = key, then one rank -> right-row lookup. No sorts, no
-        # count/emit passes — what the compiled pipeline derives from
-        # column min/max stats.
+        # rank = key, then the FUSED rank-space gather (fk_gather_by_rank:
+        # build columns pack into rank-indexed words, ONE probe-length
+        # access incl. the matched bit) — what the compiled pipeline does.
         iota_l = jnp.arange(cap, dtype=jnp.int32)
         iota_r = jnp.arange(bcap, dtype=jnp.int32)
         lr = jnp.where(dept_v & keep, dept, -(iota_l + 2))
         rr = jnp.where(bdept_v, bdept, -(iota_r + cap + 2))
-        ri, jvalid = K.fk_join_right_lookup(lr, rr, n_rows, n_build, bcap)
+        fused = K.fk_gather_by_rank(
+            [bval], [bval_v], [(0, 1024)], rr, jnp.ones(bcap, bool),
+            lr, keep, bcap,
+        )
+        (jval_col,), (jval_ok,), jvalid = fused
         total = jnp.sum(jvalid.astype(jnp.int64))
-        joined_val = jnp.where(jvalid, bval[ri] + salary, 0)
+        joined_val = jnp.where(jvalid, jval_col + salary, 0)
 
         # --- sort: ORDER BY salary DESC ---
         perm = K.sort_permutation([salary], [salary_v], [False], [False],

@@ -1098,13 +1098,9 @@ class QueryExecutor:
         lr, rr = K.join_ranks(
             lcols, rcols, left.num_rows, right.num_rows, null_equal=True
         )
-        big = jnp.iinfo(jnp.int64).max
-        r_sorted = jnp.sort(
-            jnp.where(K.live_mask(right.capacity, right.num_rows), rr, big)
+        member = K.rank_member(
+            lr, rr, K.live_mask(right.capacity, right.num_rows)
         )
-        lo = jnp.searchsorted(r_sorted, lr, side="left")
-        hi = jnp.searchsorted(r_sorted, lr, side="right")
-        member = hi > lo
         keep = member if plan.kind is lp.SetOpKind.INTERSECT else ~member
         count = int(K.filter_count(keep, left.num_rows))
         out_cap = padded_capacity(count)

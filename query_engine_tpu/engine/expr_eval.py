@@ -963,24 +963,20 @@ class Evaluator:
             if v.dtype.is_float or (
                 scol.dtype.is_float if hasattr(scol, "dtype") else False
             ):
-                probe = K.orderable_i64(v.data)
-                build = K.orderable_i64(sdata)
+                probe = v.data.astype(jnp.float64)
+                build = sdata.astype(jnp.float64)
             else:
                 probe = v.data.astype(jnp.int64)
                 build = sdata.astype(jnp.int64)
         lm = K.live_mask(sub.capacity, sub.num_rows)
-        build_ok = lm & svalid
         sub_has_null = jnp.any(lm & ~svalid)  # traced-compatible
-        if probe.dtype == jnp.float64 or build.dtype == jnp.float64:
-            probe = probe.astype(jnp.float64)
-            build = build.astype(jnp.float64)
-            big = jnp.float64(np.inf)
-        else:
-            big = jnp.iinfo(jnp.int64).max
-        b_sorted = jnp.sort(jnp.where(build_ok, build, big))
-        lo = jnp.searchsorted(b_sorted, probe, side="left")
-        hi = jnp.searchsorted(b_sorted, probe, side="right")
-        found = (hi > lo)
+        # rank membership: joint sort + presence scatter/gather
+        # (searchsorted lowers 50-100x slower than a sort on TPU)
+        lr, rr = K.join_ranks(
+            [(probe, v.validity)], [(build, svalid)],
+            batch.num_rows, sub.num_rows,
+        )
+        found = K.rank_member(lr, rr, lm)
         data = found
         # 3VL: NOT found & subquery has NULL -> NULL
         valid = v.validity & (found | ~sub_has_null)
@@ -1007,23 +1003,17 @@ class Evaluator:
             okeys.append((ov.data, ov.validity))
             skeys.append((sv.data, sv.validity))
         lr, rr = K.join_ranks(okeys, skeys, batch.num_rows, sub.num_rows)
-        cap_r = sub.capacity
-        rr_ok = K.live_mask(cap_r, sub.num_rows) & (rr >= 0)
-        big = jnp.iinfo(rr.dtype).max
-        rr_m = jnp.where(rr_ok, rr, big)
-        rr_sorted, ridx = jax.lax.sort(
-            [rr_m, jnp.arange(cap_r, dtype=jnp.int32)], num_keys=1,
-            is_stable=True,
+        # grouped subplan => unique keys: rank -> row scatter table + one
+        # lookup gather (searchsorted lowers 50-100x slower than a sort
+        # on TPU; docs/TPU_DESIGN.md #2)
+        row, found = K.fk_join_right_lookup(
+            lr, rr, batch.num_rows, sub.num_rows
         )
-        pos = jnp.searchsorted(rr_sorted, lr)
-        pos_c = jnp.clip(pos, 0, cap_r - 1)
-        found = (lr >= 0) & (rr_sorted[pos_c] == lr)
         if e.mode == "exists":
             data = ~found if e.negated else found
             return Val(data, jnp.ones(batch.capacity, dtype=bool),
                        DataType.boolean())
         vcol = sub.columns[nk]
-        row = ridx[pos_c]
         data = jnp.asarray(vcol.data)[row]
         valid = found & jnp.asarray(vcol.validity)[row]
         if e.miss_value is not None and e.miss_value.value is not None:

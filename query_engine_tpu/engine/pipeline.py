@@ -1474,13 +1474,7 @@ class CompiledPipeline:
             lkeys.append((lv.data, lv.validity))
             rkeys.append((rv.data, rv.validity))
         lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel, null_equal=True)
-        cap_r = rt.capacity
-        rr_ok = rt.sel & (rr >= 0)
-        big = jnp.iinfo(rr.dtype).max
-        rr_sorted = jnp.sort(jnp.where(rr_ok, rr, big))
-        pos = jnp.searchsorted(rr_sorted, lr)
-        pos_c = jnp.clip(pos, 0, cap_r - 1)
-        member = (lr >= 0) & (rr_sorted[pos_c] == lr)
+        member = K.rank_member(lr, rr, K.live_mask(rt.capacity, rt.sel))
         keep = member if plan.kind is lp.SetOpKind.INTERSECT else ~member
         sel = lt.sel & keep
         # set ops return distinct rows: keep first occurrence per key
