@@ -1038,10 +1038,14 @@ class QueryExecutor:
             else:
                 raise ExecutionError(f"window function {fn.value} not implemented")
 
-            # scatter back to original row order
-            out_d = jnp.zeros_like(svals).at[perm].set(svals)
-            out_v = jnp.zeros(cap, dtype=bool).at[perm].set(svalid)
-            out_v = out_v & K.live_mask(cap, n)
+            # back to original row order via the inverse permutation:
+            # one i32 scatter + gathers (i64 scatters are ~7x i32 on TPU)
+            inv = (
+                jnp.zeros(cap, dtype=jnp.int32)
+                .at[perm].set(jnp.arange(cap, dtype=jnp.int32))
+            )
+            out_d = svals[inv]
+            out_v = svalid[inv] & K.live_mask(cap, n)
             if out_dict is not None:
                 out_d = out_d.astype(jnp.int32)
             out_cols.append(Column(out_d, out_v, f.data_type, out_dict))

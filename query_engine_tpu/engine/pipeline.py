@@ -798,7 +798,10 @@ class CompiledPipeline:
             @jax.jit
             def compact(datas, valids, sel):
                 idx = K.compaction_indices(sel, sel, out_cap)
-                return K.gather_columns(list(datas), list(valids), idx)
+                # validity bits pack into shared words even without bounds
+                return K.gather_columns_packed(
+                    list(datas), list(valids), [None] * len(datas), idx
+                )
 
             self._compact_cache[ckey] = compact
         cd, cv = compact(datas, valids, sel)
@@ -2031,8 +2034,25 @@ class CompiledPipeline:
             else:
                 raise _Unsupported(f"window function {fn.value}")
 
-            out_d = jnp.zeros_like(svals).at[perm].set(svals)
-            out_v = jnp.zeros(cap, dtype=bool).at[perm].set(svalid)
+            # back to row order via the inverse permutation: ONE i32
+            # scatter (cached per spec) + a packed gather — a direct i64
+            # result scatter measured 267 ms/2M on v5e vs ~39 ms for i32
+            inv = spec_cache.get((spec_key, "inv"))
+            if inv is None:
+                inv = (
+                    jnp.zeros(cap, dtype=jnp.int32)
+                    .at[perm].set(jnp.arange(cap, dtype=jnp.int32))
+                )
+                spec_cache[(spec_key, "inv")] = inv
+            rb = (
+                (0, cap + 1) if fn in (
+                    lp.WindowFn.ROW_NUMBER, lp.WindowFn.RANK,
+                    lp.WindowFn.DENSE_RANK, lp.WindowFn.NTILE,
+                ) else None  # rank family: values in [1, cap]
+            )
+            (out_d,), (out_v,) = K.gather_columns_packed(
+                [svals], [svalid], [rb], inv
+            )
             out_v = out_v & sel
             if out_dict is not None:
                 out_d = out_d.astype(jnp.int32)
