@@ -251,3 +251,69 @@ def test_segment_sum_i64_chunk_tiers_exact():
         got = np.asarray(K._segment_sum_i64(d, okm, g, 8))
         want = np.array([vals[gids == i].sum() for i in range(8)])
         assert (got == want).all(), cap_exp
+
+
+def test_rank_member_matches_membership():
+    """rank_member == set membership over join ranks (the searchsorted
+    replacement used by INTERSECT/EXCEPT and IN-subqueries)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    nl, nr = 500, 300
+    lk = rng.integers(0, 100, nl)
+    rk = rng.integers(50, 150, nr)
+    lv = rng.random(nl) > 0.1
+    rv = rng.random(nr) > 0.1
+    lr, rr = K.join_ranks(
+        [(jnp.asarray(lk), jnp.asarray(lv))],
+        [(jnp.asarray(rk), jnp.asarray(rv))],
+        np.int64(nl), np.int64(nr),
+    )
+    member = np.asarray(K.rank_member(lr, rr, K.live_mask(nr, np.int64(nr))))
+    rset = set(rk[rv].tolist())
+    for i in range(nl):
+        expect = bool(lv[i]) and int(lk[i]) in rset
+        assert member[i] == expect, i
+
+
+def test_run_broadcast_first_scan():
+    import jax.numpy as jnp
+
+    vals = jnp.asarray([5, 0, 0, 7, 0, 9, 0, 0], jnp.int64)
+    starts = jnp.asarray([1, 0, 0, 1, 0, 1, 0, 0], bool)
+    out = np.asarray(K._run_broadcast_first(vals, starts))
+    assert out.tolist() == [5, 5, 5, 7, 7, 9, 9, 9]
+
+
+def test_window_frame_scan_equals_gather_semantics():
+    """Scan-based range_current/partition frames == brute-force windows."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    n = 200
+    part = np.sort(rng.integers(0, 5, n))
+    order = rng.integers(0, 8, n)
+    vals = rng.integers(-50, 50, n)
+    # sort by (part, order) to get window order
+    perm = np.lexsort((order, part))
+    p_s, o_s, v_s = part[perm], order[perm], vals[perm]
+    seg_change = np.zeros(n, bool); seg_change[0] = True
+    seg_change[1:] = p_s[1:] != p_s[:-1]
+    peer_change = seg_change.copy()
+    peer_change[1:] |= o_s[1:] != o_s[:-1]
+    for frame, slicer in (
+        (("partition",), lambda i: (p_s == p_s[i])),
+        (("range_current",),
+         lambda i: (p_s == p_s[i]) & ((p_s != p_s[i]) | (
+             np.arange(n) <= np.max(np.nonzero(
+                 (p_s == p_s[i]) & (o_s == o_s[i]))[0])))),
+    ):
+        got, gv = K.window_aggregate_sorted(
+            "sum", jnp.asarray(v_s), jnp.ones(n, bool),
+            jnp.asarray(seg_change), jnp.asarray(peer_change),
+            jnp.zeros(n, bool), frame,
+        )
+        got = np.asarray(got)
+        for i in range(0, n, 13):
+            expect = int(v_s[slicer(i)].sum())
+            assert got[i] == expect, (frame, i)
