@@ -120,19 +120,6 @@ def normalize_key(
 # ---------------------------------------------------------------------------
 
 
-def _pack_cls_key32(cls: jnp.ndarray, key_i32: jnp.ndarray) -> jnp.ndarray:
-    """(class, int32 key) -> one int64 whose order is the lex order of the
-    pair: cls in the high word, the key's unsigned image in the low word.
-
-    Measured v5e motivation (docs/TPU_DESIGN.md): lax.sort cost scales with
-    OPERAND COUNT, not bit width — 3 i32 key planes + perm = 152.6 ms at
-    8M rows, one packed i64 + perm = 83.5 ms. Packing the (pad, null, key)
-    planes of every 32-bit-image key into a single i64 operand nearly
-    halves the whole engine's sort cost."""
-    u = (key_i32.astype(jnp.int64) - jnp.int64(np.iinfo(np.int32).min))
-    return (cls.astype(jnp.int64) << 32) | u
-
-
 def _sort_key_operands(
     key_datas: Sequence[jnp.ndarray],
     key_valids: Sequence[jnp.ndarray],

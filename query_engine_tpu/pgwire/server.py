@@ -314,6 +314,12 @@ class PgConnection:
             self._send_result(catalog, f"SELECT {catalog.num_rows}")
             return
 
+        if word == "EXPLAIN":
+            with self.session_lock:
+                result = self.session.sql(sql)
+            self._send_result(result, f"SELECT {result.num_rows}")
+            return
+
         stmt = parse_sql(sql)
         # the Session is shared across connections (server.rs shared table
         # map); engine execution + DML mutate shared state, so serialize

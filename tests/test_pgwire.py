@@ -258,3 +258,18 @@ def test_concurrent_clients(server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
         results = list(pool.map(worker, range(6)))
     assert results == list(range(6))
+
+
+def test_pgwire_explain_analyze(client):
+    """EXPLAIN [ANALYZE] through the wire protocol returns plan rows."""
+    cols, rows, _ = client.query(
+        "EXPLAIN SELECT name FROM employees WHERE age > 25"
+    )
+    assert cols == ["QUERY PLAN"]
+    text = "\n".join(r[0] for r in rows)
+    assert "Filter" in text and "TableScan" in text
+    _, rows, _ = client.query(
+        "EXPLAIN ANALYZE SELECT COUNT(*) FROM employees"
+    )
+    text = "\n".join(r[0] for r in rows)
+    assert "rows: 1" in text and "timing:" in text
