@@ -1749,34 +1749,77 @@ class CompiledPipeline:
             mxu_bound if (mxu_bound or 0) <= ex._MXU_AGG_MAX_GROUPS else None
         )
         mxu_cache = {}
+        mxu_pending = {}  # key -> (vals, ok): batched into ONE kernel pass
 
-        def mxu_sums_counts(data, ok_mask, key):
-            if key not in mxu_cache:
+        def mxu_collect(data, ok_mask, key):
+            if key not in mxu_cache and key not in mxu_pending:
+                mxu_pending[key] = (data, ok_mask)
+
+        def mxu_sums_counts(key):
+            if mxu_pending:
+                # every pending column shares one one-hot matmul pass
+                # (12 lanes per column; grouped_sums_counts_multi)
                 from query_engine_tpu.ops.pallas.group_agg import (
-                    grouped_sum_count,
+                    grouped_sums_counts_multi,
                 )
 
-                mxu_cache[key] = grouped_sum_count(
-                    data, ok_mask, gid.astype(jnp.int32), mxu_bound
-                )
+                keys = list(mxu_pending)
+                items = [mxu_pending[k] for k in keys]
+                gid_m = gid.astype(jnp.int32)
+                for k, out in zip(
+                    keys,
+                    grouped_sums_counts_multi(items, gid_m, mxu_bound),
+                ):
+                    mxu_cache[k] = out
+                mxu_pending.clear()
             return mxu_cache[key]
 
-        fi = len(gvals)
+        # pre-pass: evaluate aggregate args once and register every
+        # MXU-eligible column so the kernel runs a single batched pass
+        agg_evals = []
         for agg in plan.agg_exprs:
+            if agg.expr is None:
+                agg_evals.append(None)
+                continue
+            av = ex.evaluator.eval(agg.expr, shim)
+            if (
+                av.dtype.kind.name == "DECIMAL128"
+                and agg.func is lp.AggFunc.AVG
+            ):
+                from query_engine_tpu.engine.expr_eval import _descale
+
+                av = _descale(av)
+            agg_evals.append(av)
+        if use_mxu:
+            for agg, av in zip(plan.agg_exprs, agg_evals):
+                if agg.distinct or agg.func not in (
+                    lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG
+                ):
+                    continue
+                if agg.expr is None:
+                    mxu_collect(jnp.ones(cap, dtype=jnp.int64), sel, "__star")
+                elif av.dictionary is None and (
+                    jnp.issubdtype(av.data.dtype, jnp.integer)
+                    or jnp.issubdtype(av.data.dtype, jnp.floating)
+                ):
+                    vals = (
+                        av.data
+                        if jnp.issubdtype(av.data.dtype, jnp.floating)
+                        else av.data.astype(jnp.int64)
+                    )
+                    mxu_collect(vals, sel & av.validity,
+                                str(_expr_key(agg.expr)))
+            if bucket_mode:
+                mxu_collect(jnp.ones(cap, dtype=jnp.int64), sel, "__star")
+
+        fi = len(gvals)
+        for agg, av in zip(plan.agg_exprs, agg_evals):
             func = agg.func
             if agg.expr is None:
                 fname = "count_star"
                 data = validity = None
                 arg_dict = None
             else:
-                av = ex.evaluator.eval(agg.expr, shim)
-                if (
-                    av.dtype.kind.name == "DECIMAL128"
-                    and agg.func is lp.AggFunc.AVG
-                ):
-                    from query_engine_tpu.engine.expr_eval import _descale
-
-                    av = _descale(av)
                 data, validity, arg_dict = av.data, av.validity, av.dictionary
                 fname = func.value.lower()
             distinct_first = None
@@ -1793,18 +1836,11 @@ class CompiledPipeline:
                          or jnp.issubdtype(data.dtype, jnp.floating))
                 ))
             ):
-                if agg.expr is None:
-                    ok = sel
-                    vals = jnp.ones(cap, dtype=jnp.int64)
-                    key = "__star"
-                else:
-                    ok = sel & validity
-                    vals = (
-                        data if jnp.issubdtype(data.dtype, jnp.floating)
-                        else data.astype(jnp.int64)
-                    )
-                    key = str(_expr_key(agg.expr))
-                sums, counts = mxu_sums_counts(vals, ok, key)
+                key = (
+                    "__star" if agg.expr is None
+                    else str(_expr_key(agg.expr))
+                )
+                sums, counts = mxu_sums_counts(key)
                 f = schema.field(fi)
                 fi += 1
                 if func is lp.AggFunc.COUNT:
@@ -1857,9 +1893,7 @@ class CompiledPipeline:
             # observed buckets only; shares the count_star computation
             # with any COUNT(*) agg via mxu_cache / XLA CSE
             if use_mxu:
-                _, rows_per_bucket = mxu_sums_counts(
-                    jnp.ones(cap, dtype=jnp.int64), sel, "__star"
-                )
+                _, rows_per_bucket = mxu_sums_counts("__star")
             else:
                 rows_per_bucket = jax.ops.segment_sum(
                     K.live_mask(cap, sel).astype(jnp.int32), gid,

@@ -10,6 +10,11 @@ runs on the 128x128 systolic array. Replaces the reference's row-wise
 aggregate reducers (query-executor/src/operators.rs:745-848) and the
 grouped path it leaves empty (executor.rs:157-190).
 
+Lane layout: each aggregate COLUMN occupies 12 lanes (8x 8-bit value
+chunks, a count lane, 3 IEEE flag lanes), so up to 5 columns (VMEM cap)
+share ONE matmul — a multi-aggregate GROUP BY costs about the same MXU
+pass as a single SUM (grouped_sums_counts_multi).
+
 Exactness:
   * int64 values split into 8x 8-bit chunks (two's-complement recombination
     mod 2^64, same trick as kernels._segment_sum_i64). The one-hot and
@@ -18,12 +23,12 @@ Exactness:
     accumulation splits each step product into (lo16, hi) int32 planes so
     chunk totals stay exact up to 2^28 rows per kernel call — larger
     inputs are folded in half and the halves' totals added (still exact).
-  * float64/float32 via grouped_sum_count: dynamic-scale fixed point —
-    q = round(x * 2^k) with k chosen on-device from max|x| so that
-    n * max|q| < 2^63, then the exact integer path, then rescale. Error is
-    bounded by n * max|x| * 2^-(62 - log2 n), comparable to f64 summation
-    round-off; +-inf and NaN inputs ride three spare MXU lanes as counts,
-    so IEEE semantics (inf + finite = inf, inf + -inf = nan) are exact.
+  * float64/float32 via dynamic-scale fixed point — q = round(x * 2^k)
+    with k chosen on-device from max|x| so that n * max|q| < 2^62, then
+    the exact integer path, then rescale. Error is bounded by
+    ~n * max|x| * 2^-40, comparable to f64 summation round-off; +-inf and
+    NaN inputs ride the flag lanes as counts, so IEEE semantics
+    (inf + finite = inf, inf + -inf = nan) are exact.
 
 Grouping capacity: G > 4096 adds a group-block grid dimension (the [4096,
 128] accumulator tile is VMEM-bounded); work scales O(n * G), so callers
@@ -41,16 +46,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_ROWS = 8192  # rows fetched per grid step (multiple of 1024: T(1024))
-SUB = 1024         # rows per inner matmul (one_hot tile height)
+# rows per grid step (multiples of 1024: T(1024) layout). Single-column
+# calls unroll 8 sub-matmuls per step (measured 1.6x over one-sub steps);
+# multi-column calls use one sub per step — the per-column chunk-build
+# temporaries otherwise blow the ~16MB VMEM stack.
+SUB = 1024
 GBLOCK = 4096  # group-block tile height (VMEM: 2x [GBLOCK,128] i32 acc)
-LANES = 128  # lane width; 8 value chunks + count + 3 IEEE flags + padding
-# per-step f32 product <= 255 * BLOCK_ROWS < 2^24 (exact); lo16 plane
-# overflows at 65535 * n/BLOCK_ROWS >= 2^31 -> n = 2^28
-MAX_EXACT_ROWS = 1 << 28
+LANES = 128
+COL_LANES = 12     # per aggregate column: 8 chunks + count + 3 IEEE flags
+MAX_COLS = 5       # VMEM cap: per-column chunk-build temporaries
+# per-step f32 product <= 255 * block_rows < 2^24 (exact); the lo16 plane
+# overflows at 65535 * n/block_rows >= 2^31 -> n = 2^25 for 1024-row steps
+MAX_EXACT_ROWS = 1 << 25
 
 
-def _kernel(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
+# ---------------------------------------------------------------------------
+# single-column fast path: 1-D input planes, 8 unrolled sub-matmuls per
+# grid step (the multi-column [C, n] layout pads C up to the 8-sublane
+# tile, costing measurable fetch/lowering overhead at C == 1: 81 ms vs
+# 54 ms at 8.4M rows on v5e)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_single(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
     gb = pl.program_id(0)
     step = pl.program_id(1)
 
@@ -69,7 +87,7 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
     # 60% slower at 16.7M rows), and the [g, LANES] sub-products stay
     # exact in one f32 accumulator (255 * BLOCK_ROWS < 2^24)
     acc = jnp.zeros((g, LANES), jnp.float32)
-    for s in range(BLOCK_ROWS // SUB):
+    for s in range(8):
         sl = pl.ds(s * SUB, SUB)
         gid = gid_ref[sl]     # [SUB] int32, -1 for masked rows
         vlo = vlo_ref[sl]     # [SUB] uint32: value bits 0..31
@@ -97,7 +115,7 @@ def _kernel(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
     hi_ref[...] += bi >> 16
 
 
-def _mxu_chunk_totals(gid_m: jnp.ndarray, vlo: jnp.ndarray,
+def _mxu_chunk_totals_single(gid_m: jnp.ndarray, vlo: jnp.ndarray,
                       vhi: jnp.ndarray, flags: jnp.ndarray,
                       num_groups: int) -> jnp.ndarray:
     """Core dispatch: per-group per-lane exact totals [g_pad, LANES] int64.
@@ -108,17 +126,17 @@ def _mxu_chunk_totals(gid_m: jnp.ndarray, vlo: jnp.ndarray,
     if n > MAX_EXACT_ROWS:
         half = (n + 1) // 2
         return (
-            _mxu_chunk_totals(gid_m[:half], vlo[:half], vhi[:half],
+            _mxu_chunk_totals_single(gid_m[:half], vlo[:half], vhi[:half],
                               flags[:half], num_groups)
-            + _mxu_chunk_totals(gid_m[half:], vlo[half:], vhi[half:],
+            + _mxu_chunk_totals_single(gid_m[half:], vlo[half:], vhi[half:],
                                 flags[half:], num_groups)
         )
     g_pad = max(128, -(-num_groups // 128) * 128)
     gblock = min(GBLOCK, g_pad)
     n_gblocks = -(-g_pad // gblock)
     g_pad = n_gblocks * gblock
-    blocks = -(-n // BLOCK_ROWS)
-    n_pad = blocks * BLOCK_ROWS
+    blocks = -(-n // 8192)
+    n_pad = blocks * 8192
     vlo = jnp.pad(vlo, (0, n_pad - n))
     vhi = jnp.pad(vhi, (0, n_pad - n))
     flags = jnp.pad(flags, (0, n_pad - n))
@@ -128,11 +146,121 @@ def _mxu_chunk_totals(gid_m: jnp.ndarray, vlo: jnp.ndarray,
     # trace the kernel with x64 off: the engine's global jax_enable_x64
     # makes index-map arithmetic default to i64, which Mosaic refuses
     with jax.enable_x64(False):
-        row_spec = pl.BlockSpec((BLOCK_ROWS,), lambda gb, i: (i,))
+        row_spec = pl.BlockSpec((8192,), lambda gb, i: (i,))
         lo, hi = pl.pallas_call(
-            _kernel,
+            _kernel_single,
             grid=(n_gblocks, blocks),
             in_specs=[row_spec, row_spec, row_spec, row_spec],
+            out_specs=(
+                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
+                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
+            ),
+            interpret=interpret,  # CPU backend: correctness-testing path
+        )(gid_m, vlo, vhi, flags)
+    return hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+
+
+def _make_kernel(block_rows: int):
+    def _kernel(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
+        gb = pl.program_id(0)
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
+
+        g = lo_ref.shape[0]
+        n_cols = vlo_ref.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+        # all aggregate columns share the same one_hot and matmul
+        # (12 lanes each); the sub loop is a Python unroll — an in-kernel
+        # fori measured 1.6x slower (it defeats software pipelining)
+        acc = jnp.zeros((g, LANES), jnp.float32)
+        for s in range(block_rows // SUB):
+            sl = pl.ds(s * SUB, SUB)
+            gid = gid_ref[sl]     # [SUB] int32, -1 for masked rows
+            local = gid - gb * g
+            one_hot = (local[:, None] == giota).astype(jnp.bfloat16)
+            # [SUB, LANES] chunk matrix in VMEM: per column c, lane
+            # 12c+k is value chunk k (k<8), lane 12c+8+j reads flag bit
+            # 2+j (bit 2 = +inf, 3 = include/count, 4 = -inf, 5 = NaN)
+            # — HBM inputs stay 12 B/row/column
+            cval = jnp.zeros((SUB, LANES), jnp.uint32)
+            for c in range(n_cols):
+                vlo = vlo_ref[c, sl]    # [SUB] uint32 value bits 0..31
+                vhi = vhi_ref[c, sl]    # [SUB] uint32 value bits 32..63
+                fl = flags_ref[c, sl]   # [SUB] uint32 flag bits
+                ll = lane - (COL_LANES * c)
+                in_col = (ll >= 0) & (ll < COL_LANES)
+                word = jnp.where(ll < 4, vlo[:, None], vhi[:, None])
+                byte = (word >> ((ll & 3) * 8).astype(jnp.uint32)) & 0xFF
+                fbit = (
+                    fl[:, None]
+                    >> jnp.clip(ll - 6, 0, 5).astype(jnp.uint32)
+                ) & 1
+                v = jnp.where(ll < 8, byte, fbit)
+                cval = cval | jnp.where(in_col, v, jnp.uint32(0))
+            chunks = cval.astype(jnp.int32).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                one_hot, chunks,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        bi = acc.astype(jnp.int32)
+        lo_ref[...] += bi & 0xFFFF
+        hi_ref[...] += bi >> 16
+
+    return _kernel
+
+
+def _mxu_chunk_totals(gid_m: jnp.ndarray, vlo: jnp.ndarray,
+                      vhi: jnp.ndarray, flags: jnp.ndarray,
+                      num_groups: int) -> jnp.ndarray:
+    """Core dispatch: per-group per-lane exact totals [g_pad, LANES] int64.
+
+    gid_m: [n] int32 (-1 = excluded row); vlo/vhi/flags: [C, n] uint32
+    planes, one row per aggregate column (C <= MAX_COLS)."""
+    n = gid_m.shape[0]
+    if n > MAX_EXACT_ROWS:
+        half = (n + 1) // 2
+        return (
+            _mxu_chunk_totals(gid_m[:half], vlo[:, :half], vhi[:, :half],
+                              flags[:, :half], num_groups)
+            + _mxu_chunk_totals(gid_m[half:], vlo[:, half:], vhi[:, half:],
+                                flags[:, half:], num_groups)
+        )
+    g_pad = max(128, -(-num_groups // 128) * 128)
+    gblock = min(GBLOCK, g_pad)
+    n_gblocks = -(-g_pad // gblock)
+    g_pad = n_gblocks * gblock
+    c = vlo.shape[0]
+    block_rows = 8192 if c == 1 else 1024  # VMEM stack vs sub-unrolling
+    blocks = -(-n // block_rows)
+    n_pad = blocks * block_rows
+    vlo = jnp.pad(vlo, ((0, 0), (0, n_pad - n)))
+    vhi = jnp.pad(vhi, ((0, 0), (0, n_pad - n)))
+    flags = jnp.pad(flags, ((0, 0), (0, n_pad - n)))
+    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    # trace the kernel with x64 off: the engine's global jax_enable_x64
+    # makes index-map arithmetic default to i64, which Mosaic refuses
+    with jax.enable_x64(False):
+        col_spec = pl.BlockSpec((c, block_rows), lambda gb, i: (0, i))
+        lo, hi = pl.pallas_call(
+            _make_kernel(block_rows),
+            grid=(n_gblocks, blocks),
+            in_specs=[
+                pl.BlockSpec((block_rows,), lambda gb, i: (i,)),
+                col_spec, col_spec, col_spec,
+            ],
             out_specs=(
                 pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
                 pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
@@ -154,28 +282,12 @@ def _value_planes(values_i64: jnp.ndarray, ok: jnp.ndarray):
     return lo, hi
 
 
-def _recombine_sums(totals: jnp.ndarray, num_groups: int) -> jnp.ndarray:
-    """Chunk totals -> int64 sums (exact mod 2^64 == two's complement)."""
+def _recombine_sums(totals12: jnp.ndarray) -> jnp.ndarray:
+    """One column's 12-lane totals -> int64 sums (exact mod 2^64)."""
     shifts = jnp.uint64(8) * jnp.arange(8, dtype=jnp.uint64)
     return jnp.sum(
-        totals[:num_groups, :8].astype(jnp.uint64) << shifts[None, :], axis=1
+        totals12[:, :8].astype(jnp.uint64) << shifts[None, :], axis=1
     ).astype(jnp.int64)
-
-
-@functools.partial(jax.jit, static_argnames=("num_groups",))
-def grouped_sum_count_i64(
-    values: jnp.ndarray,   # [n] int64
-    ok: jnp.ndarray,       # [n] bool — rows to include
-    gid: jnp.ndarray,      # [n] int32 dense group ids in [0, num_groups)
-    num_groups: int,
-) -> tuple:
-    """Exact integer path. Returns (sums[G] int64, counts[G] int64)."""
-    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
-    vlo, vhi = _value_planes(values, ok)
-    totals = _mxu_chunk_totals(
-        gid_m, vlo, vhi, jnp.zeros_like(vlo), num_groups
-    )
-    return _recombine_sums(totals, num_groups), totals[:num_groups, 8]
 
 
 def _exact_pow2(k: jnp.ndarray) -> jnp.ndarray:
@@ -191,29 +303,26 @@ def _exact_pow2(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(neg, 1.0 / r, r)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups",))
-def grouped_sum_count_f64(
-    values: jnp.ndarray,   # [n] float64/float32
-    ok: jnp.ndarray,
-    gid: jnp.ndarray,
-    num_groups: int,
-) -> tuple:
-    """Float path: dynamic-scale fixed point + IEEE inf/NaN lanes.
-    Returns (sums[G] float64, counts[G] int64)."""
+# flag-plane bits (lane 12c+8+j reads flag bit 2+j; see _kernel fbit):
+# bit 2 = +inf, bit 3 = include/count, bit 4 = -inf, bit 5 = NaN
+_B_POS, _B_CNT, _B_NEG, _B_NAN = 2, 3, 4, 5
+
+
+def _prep_int(values, ok):
+    vlo, vhi = _value_planes(values.astype(jnp.int64), ok)
+    flags = ok.astype(jnp.uint32) << _B_CNT
+    return vlo, vhi, flags, None
+
+
+def _prep_float(values, ok):
     n = values.shape[0]
     x = values.astype(jnp.float64)
     finite = jnp.isfinite(x)
-    pos_inf = ok & jnp.isposinf(x)
-    neg_inf = ok & jnp.isneginf(x)
-    nan = ok & jnp.isnan(x)
     xf = jnp.where(ok & finite, x, 0.0)
     m = jnp.max(jnp.abs(xf))
-    # q = round(x * 2^k), |q| <= 2^frac_bits; sum of n of them <= 2^62.
-    # (61 rather than 62: the exponent estimate below may run one low.)
-    frac_bits = 61 - max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    frac_bits = min(61 - max(int(np.ceil(np.log2(max(n, 2)))), 1), 40)
     # exponent of m without frexp (its f64 bitcast doesn't lower on TPU):
-    # range-reduce m into f32 territory by exact pow2 factors, then one
-    # f32 log2. e >= log2(m) up to 1 ulp of log2 (covered by the 61 above).
+    # range-reduce into f32 territory by exact pow2 factors + one f32 log2
     t = jnp.maximum(m, np.finfo(np.float64).tiny)
     adj = jnp.int32(0)
     for _ in range(6):
@@ -227,28 +336,102 @@ def grouped_sum_count_f64(
     e = (jnp.floor(jnp.log2(t.astype(jnp.float32))).astype(jnp.int32)
          + adj + 1)
     k = jnp.clip(frac_bits - e, -1000, 1000).astype(jnp.int32)
-    # 2^k built from exact pow2 factors (jnp.ldexp/exp2 lower through
-    # 64-bit bitcasts / transcendentals — neither is exact-and-TPU-safe)
-    scale = _exact_pow2(k)
-    inv_scale = _exact_pow2(-k)
-    q = jnp.round(xf * scale).astype(jnp.int64)
-
-    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    q = jnp.round(xf * _exact_pow2(k)).astype(jnp.int64)
     vlo, vhi = _value_planes(q, ok & finite)
     flags = (
-        pos_inf.astype(jnp.uint32)
-        | (neg_inf.astype(jnp.uint32) << 1)
-        | (nan.astype(jnp.uint32) << 2)
+        (ok.astype(jnp.uint32) << _B_CNT)
+        | ((ok & jnp.isposinf(x)).astype(jnp.uint32) << _B_POS)
+        | ((ok & jnp.isneginf(x)).astype(jnp.uint32) << _B_NEG)
+        | ((ok & jnp.isnan(x)).astype(jnp.uint32) << _B_NAN)
     )
-    totals = _mxu_chunk_totals(gid_m, vlo, vhi, flags, num_groups)
-    # the count lane counts every ok row (masked rows match nothing)
-    counts = totals[:num_groups, 8]
-    s = _recombine_sums(totals, num_groups).astype(jnp.float64) * inv_scale
-    p, ng, nn = (totals[:num_groups, c] > 0 for c in (9, 10, 11))
+    return vlo, vhi, flags, _exact_pow2(-k)
+
+
+def _finish_col(totals12: jnp.ndarray, num_groups: int, inv_scale,
+                lanes=(9, 8, 10, 11)):
+    """lanes = (count, +inf, -inf, NaN) lane indices within the column."""
+    l_cnt, l_pos, l_neg, l_nan = lanes
+    counts = totals12[:num_groups, l_cnt]
+    if inv_scale is None:
+        return _recombine_sums(totals12[:num_groups]), counts
+    s = _recombine_sums(totals12[:num_groups]).astype(jnp.float64) * inv_scale
+    p = totals12[:num_groups, l_pos] > 0
+    ng = totals12[:num_groups, l_neg] > 0
+    nn = totals12[:num_groups, l_nan] > 0
     s = jnp.where(p & ~ng, jnp.inf, s)
     s = jnp.where(ng & ~p, -jnp.inf, s)
     s = jnp.where(nn | (p & ng), jnp.nan, s)
     return s, counts
+
+
+def grouped_sums_counts_multi(items, gid, num_groups: int):
+    """Batched grouped SUM/COUNT: `items` is a list of (values, ok) with
+    integer or float dtypes; ALL columns share one one-hot matmul pass per
+    10 columns. Returns a list of (sums, counts) — float columns get f64
+    sums with IEEE inf/NaN semantics, integer columns exact int64."""
+    out = []
+    for start in range(0, len(items), MAX_COLS):
+        chunk = items[start:start + MAX_COLS]
+        preps = [
+            _prep_float(v, ok)
+            if jnp.issubdtype(v.dtype, jnp.floating) else _prep_int(v, ok)
+            for v, ok in chunk
+        ]
+        gid_m = jnp.where(gid >= 0, gid, -1).astype(jnp.int32)
+        if len(preps) == 1:
+            # single-column fast path: old lane layout (8 = count from the
+            # per-column include bit folded into gid, 9/10/11 = flag bits
+            # 0..2) — translate the shared flag plane accordingly
+            vlo1, vhi1, fl, _ = preps[0]
+            fl_old = (
+                ((fl >> _B_POS) & 1)
+                | (((fl >> _B_NEG) & 1) << 1)
+                | (((fl >> _B_NAN) & 1) << 2)
+            )
+            gid1 = jnp.where((fl >> _B_CNT) & 1 == 1, gid_m, -1)
+            totals = _mxu_chunk_totals_single(
+                gid1, vlo1, vhi1, fl_old, num_groups
+            )
+            lanes = (8, 9, 10, 11)  # count, +inf, -inf, NaN
+        else:
+            vlo = jnp.stack([p[0] for p in preps])
+            vhi = jnp.stack([p[1] for p in preps])
+            flags = jnp.stack([p[2] for p in preps])
+            totals = _mxu_chunk_totals(gid_m, vlo, vhi, flags, num_groups)
+            lanes = (9, 8, 10, 11)
+        for c, p in enumerate(preps):
+            t12 = totals[:, COL_LANES * c: COL_LANES * (c + 1)]
+            out.append(_finish_col(t12, num_groups, p[3], lanes))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups",))
+def grouped_sum_count_i64(
+    values: jnp.ndarray,   # [n] int64
+    ok: jnp.ndarray,       # [n] bool — rows to include
+    gid: jnp.ndarray,      # [n] int32 dense group ids in [0, num_groups)
+    num_groups: int,
+) -> tuple:
+    """Exact integer path. Returns (sums[G] int64, counts[G] int64)."""
+    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    return grouped_sums_counts_multi(
+        [(values, ok)], gid_m, num_groups
+    )[0]
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups",))
+def grouped_sum_count_f64(
+    values: jnp.ndarray,   # [n] float64/float32
+    ok: jnp.ndarray,
+    gid: jnp.ndarray,
+    num_groups: int,
+) -> tuple:
+    """Float path: dynamic-scale fixed point + IEEE inf/NaN lanes.
+    Returns (sums[G] float64, counts[G] int64)."""
+    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    return grouped_sums_counts_multi(
+        [(values, ok)], gid_m, num_groups
+    )[0]
 
 
 def grouped_sum_count(values, ok, gid, num_groups: int) -> tuple:

@@ -175,3 +175,37 @@ def test_gather_columns_packed_mxu_small_route(monkeypatch):
     s2.register_table("f", fact)
     s2.register_table("d", dim)
     assert forced == s2.sql(sql).to_pylist()
+
+
+def test_mxu_multi_column_batched_aggregate():
+    """Up to 10 aggregate columns share one matmul (grouped_sums_counts_multi)."""
+    from query_engine_tpu.ops.pallas.group_agg import grouped_sums_counts_multi
+
+    rng = np.random.default_rng(31)
+    n, G = 3000, 77
+    gid = jnp.asarray(rng.integers(0, G, n, dtype=np.int32))
+    items = []
+    expects = []
+    for c in range(7):
+        if c % 2 == 0:
+            v = rng.integers(-(1 << 35), 1 << 35, n)
+            vj = jnp.asarray(v, jnp.int64)
+        else:
+            v = rng.normal(0, 10**c, n)
+            vj = jnp.asarray(v)
+        ok = rng.random(n) > (0.05 * c)
+        items.append((vj, jnp.asarray(ok)))
+        es = np.zeros(G, np.float64)
+        ec = np.zeros(G, np.int64)
+        np.add.at(es, np.asarray(gid)[ok], v[ok])
+        np.add.at(ec, np.asarray(gid)[ok], 1)
+        expects.append((es, ec))
+    outs = grouped_sums_counts_multi(items, gid, G)
+    assert len(outs) == 7
+    for c, ((s, cnt), (es, ec)) in enumerate(zip(outs, expects)):
+        assert np.array_equal(np.asarray(cnt), ec), f"counts col {c}"
+        if c % 2 == 0:
+            assert np.array_equal(np.asarray(s), es.astype(np.int64)), f"col {c}"
+        else:
+            np.testing.assert_allclose(np.asarray(s), es, rtol=1e-9,
+                                       atol=10**c * 1e-3, err_msg=f"col {c}")
