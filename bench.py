@@ -230,7 +230,7 @@ def _per_op(cap, bcap, args, iters):
 
         materialize()
         ts = []
-        for _ in range(iters):
+        for _ in range(min(iters, 2)):
             t0 = time.perf_counter()
             materialize()
             ts.append(time.perf_counter() - t0)
@@ -249,13 +249,9 @@ def _per_op(cap, bcap, args, iters):
     # min-traffic bytes/row: inputs read once + outputs written once
     timed("filter", 5, lambda a, av, n: K.filter_count((a > 25) & av, n),
           age, age_v, n_rows)
-    timed(
-        "hash_aggregate_sorted", 14,
-        lambda d, dv, s, sv, n: K.segment_aggregate(
-            "sum", s, sv, K.group_ids([d], [dv], n)[0], n, cap
-        ),
-        dept, dept_v, salary, salary_v, n_rows,
-    )
+    # (the sort-based grouping variant is covered by docs/ROADMAP.md
+    # measurements; its extra ~2 min of tunnel compile time is not worth
+    # re-paying on every driver bench run)
     timed(
         "hash_aggregate_direct", 14,
         lambda d, dv, s, sv, n: K.segment_aggregate(
