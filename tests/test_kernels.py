@@ -317,3 +317,55 @@ def test_window_frame_scan_equals_gather_semantics():
         for i in range(0, n, 13):
             expect = int(v_s[slicer(i)].sum())
             assert got[i] == expect, (frame, i)
+
+
+def test_fk_gather_by_rank_matches_lookup_plus_gather():
+    """Fused rank-space gather == fk_join_right_lookup + per-column gather
+    (the FK join emit fast path), including unmatched and null handling."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(29)
+    nl, nr, n_ranks = 400, 100, 128
+    # unique build ranks in [0, n_ranks); some build rows dead/null
+    rr_vals = rng.permutation(n_ranks)[:nr].astype(np.int32)
+    r_live = rng.random(nr) > 0.1
+    lr_vals = rng.integers(-2, n_ranks, nl).astype(np.int32)  # -ve = null key
+    l_live = rng.random(nl) > 0.1
+    datas = [
+        jnp.asarray(rng.integers(0, 900, nr)),
+        jnp.asarray(rng.random(nr) > 0.5),
+    ]
+    valids = [jnp.asarray(rng.random(nr) > 0.2), jnp.ones(nr, bool)]
+    bounds = [(0, 1024), None]
+
+    fused = K.fk_gather_by_rank(
+        datas, valids, bounds, jnp.asarray(rr_vals), jnp.asarray(r_live),
+        jnp.asarray(lr_vals), jnp.asarray(l_live), n_ranks,
+    )
+    assert fused is not None
+    f_d, f_v, f_m = fused
+
+    ri, matched = K.fk_join_right_lookup(
+        jnp.asarray(np.where(l_live, lr_vals, -1)),
+        jnp.asarray(np.where(r_live, rr_vals, -1)),
+        np.int64(nl), np.int64(nr), n_ranks,
+    )
+    g_d, g_v = K.gather_columns(datas, valids, ri, matched)
+    assert np.array_equal(np.asarray(f_m), np.asarray(matched))
+    for i in range(2):
+        vm = np.asarray(g_v[i])
+        assert np.array_equal(np.asarray(f_v[i]), vm), i
+        assert np.array_equal(
+            np.asarray(f_d[i])[vm], np.asarray(g_d[i])[vm]
+        ), i
+
+
+def test_fk_gather_by_rank_unpackable_returns_none():
+    import jax.numpy as jnp
+
+    out = K.fk_gather_by_rank(
+        [jnp.asarray(np.random.rand(8))], [jnp.ones(8, bool)], [None],
+        jnp.arange(8, dtype=jnp.int32), jnp.ones(8, bool),
+        jnp.arange(16, dtype=jnp.int32), jnp.ones(16, bool), 32,
+    )
+    assert out is None  # f64 column cannot pack -> caller falls back
