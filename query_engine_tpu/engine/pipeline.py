@@ -1692,8 +1692,11 @@ class CompiledPipeline:
                 S = min(padded_capacity(nb + 1), cap)
                 mxu_bound = S
             else:
+                # bounded keys whose combination space exceeds the direct
+                # bucket range still compose into ONE i64 sort operand
                 gid, ng, rep = K.group_ids(
-                    [v.data for v in gvals], [v.validity for v in gvals], sel
+                    [v.data for v in gvals], [v.validity for v in gvals],
+                    sel, ranges=ranges,
                 )
                 S = cap
         else:

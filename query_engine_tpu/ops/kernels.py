@@ -473,15 +473,57 @@ def group_ids(
     key_datas: Sequence[jnp.ndarray],
     key_valids: Sequence[jnp.ndarray],
     num_rows,
+    ranges: Optional[Sequence[Optional[Tuple[int, int]]]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense group ids for GROUP BY keys (NULLs group together).
 
     Returns (group_id per row [capacity], num_groups scalar, representative
     row index per group [capacity, padded]). Group ids are dense in sorted
     key order -> deterministic output order across shards.
+
+    ranges: optional per-key static (lo, range) covers. When every key is
+    covered and the widths (+1 null bit each, +1 pad bit) fit 63 bits, ALL
+    keys compose into ONE i64 sort operand — the shape where the bounded
+    key-combination space exceeds direct grouping's bucket range but the
+    sort still collapses to a single plane (lax.sort cost scales with
+    operand count; docs/TPU_DESIGN.md #9).
     """
     capacity = key_datas[0].shape[0]
     pad = ~live_mask(capacity, num_rows)
+
+    if ranges is not None and len(ranges) == len(key_datas) and all(
+        r is not None and len(r) == 2 for r in ranges
+    ):
+        widths = [max(int(r[1] - 1).bit_length(), 1) for r in ranges]
+        total_bits = sum(w + 1 for w in widths) + 1
+        if total_bits <= 63:
+            comp = jnp.zeros(capacity, dtype=jnp.int64)
+            for (data, valid), (lo, _rng), w in zip(
+                zip(key_datas, key_valids), ranges, widths
+            ):
+                code = jnp.clip(
+                    data.astype(jnp.int64) - lo, 0, (1 << w) - 1
+                )
+                null = (~valid).astype(jnp.int64)
+                comp = (
+                    (comp << (w + 1))
+                    | (null << w)
+                    | jnp.where(valid, code, 0)
+                )
+            comp = comp | (pad.astype(jnp.int64) << (total_bits - 1))
+            perm = jnp.arange(capacity, dtype=jnp.int32)
+            sorted_comp, sperm = jax.lax.sort(
+                [comp, perm], num_keys=1, is_stable=True
+            )
+            sorted_pad = (sorted_comp >> (total_bits - 1)) == 1
+            change, seg = _segment_ids_from_sorted([sorted_comp], sorted_pad)
+            seg = seg.astype(jnp.int32)
+            num_groups = jnp.sum((change & ~sorted_pad).astype(jnp.int64))
+            gid = jnp.zeros(capacity, dtype=jnp.int32).at[sperm].set(seg)
+            rep = jnp.zeros(capacity, dtype=jnp.int32).at[
+                jnp.where(change & ~sorted_pad, seg, capacity)
+            ].set(sperm, mode="drop")
+            return gid, num_groups, rep
     # one packed i64 operand per 32-bit-image key (nulls group together:
     # null flag in the class word; pad class 2 on the first key) — operand
     # count, not bit width, is what lax.sort costs on TPU

@@ -369,3 +369,28 @@ def test_fk_gather_by_rank_unpackable_returns_none():
         jnp.arange(16, dtype=jnp.int32), jnp.ones(16, bool), 32,
     )
     assert out is None  # f64 column cannot pack -> caller falls back
+
+
+def test_group_ids_composite_ranges_matches_default():
+    """Bounded multi-key grouping via the single composite i64 operand
+    produces the same dense ids/groups as the multi-operand sort."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    k1 = jnp.asarray(rng.integers(100, 5000, n))
+    v1 = jnp.asarray(rng.random(n) > 0.1)
+    k2 = jnp.asarray(rng.integers(-8, 8, n).astype(np.int32))
+    v2 = jnp.asarray(rng.random(n) > 0.1)
+    k3 = jnp.asarray(rng.random(n) > 0.5)  # bool key
+    v3 = jnp.ones(n, bool)
+    nrows = np.int64(n - 13)
+    args = ([k1, k2, k3], [v1, v2, v3], nrows)
+    g0, n0, r0 = K.group_ids(*args)
+    g1, n1, r1 = K.group_ids(
+        *args, ranges=[(100, 8192), (-8, 16), (0, 2)]
+    )
+    assert int(n0) == int(n1)
+    assert np.array_equal(np.asarray(g0)[: n - 13], np.asarray(g1)[: n - 13])
+    ng = int(n0)
+    assert np.array_equal(np.asarray(r0)[:ng], np.asarray(r1)[:ng])
