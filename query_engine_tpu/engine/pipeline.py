@@ -332,6 +332,19 @@ def _mxu_gather_ok(src_capacity: int) -> bool:
     )
 
 
+
+def _key_ranges(exprs, vals, t):
+    """Per-sort-key static (lo, range) covers: dictionary sizes or
+    table-stat bounds for bare columns; None disables composite packing."""
+    out = []
+    for e, v in zip(exprs, vals):
+        if v.dictionary is not None:
+            out.append((0, max(len(v.dictionary), 1)))
+        else:
+            b = _proj_bounds(e, t)
+            out.append(b if (b is not None and len(b) == 2) else None)
+    return out
+
 def _gather_bounds(t: "_TTable"):
     """Per-column static covers for gather_columns_packed: table-stat
     bounds where tracked, dictionary sizes for dict columns."""
@@ -1500,14 +1513,18 @@ class CompiledPipeline:
         sort_plan = plan.input
         t = self._trace(sort_plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
-        datas, valids, ascs, nfs = [], [], [], []
+        datas, valids, ascs, nfs, kvals = [], [], [], [], []
         for k in sort_plan.keys:
             v = self.executor.evaluator.eval(k.expr, shim)
+            kvals.append(v)
             datas.append(v.data)
             valids.append(v.validity)
             ascs.append(k.asc)
             nfs.append(k.resolved_nulls_first())
-        perm = K.sort_permutation(datas, valids, ascs, nfs, t.sel)
+        perm = K.sort_permutation(
+            datas, valids, ascs, nfs, t.sel,
+            ranges=_key_ranges([k.expr for k in sort_plan.keys], kvals, t),
+        )
         lo = min(plan.skip, t.capacity)
         hi = min(plan.skip + plan.fetch, t.capacity)
         wlen = hi - lo
@@ -1562,14 +1579,18 @@ class CompiledPipeline:
     def _trace_sort(self, plan: pp.PSort, tables, leaf_ids, res) -> _TTable:
         t = self._trace(plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
-        datas, valids, ascs, nfs = [], [], [], []
+        datas, valids, ascs, nfs, kvals = [], [], [], [], []
         for k in plan.keys:
             v = self.executor.evaluator.eval(k.expr, shim)
+            kvals.append(v)
             datas.append(v.data)
             valids.append(v.validity)
             ascs.append(k.asc)
             nfs.append(k.resolved_nulls_first())
-        perm = K.sort_permutation(datas, valids, ascs, nfs, t.sel)
+        perm = K.sort_permutation(
+            datas, valids, ascs, nfs, t.sel,
+            ranges=_key_ranges([k.expr for k in plan.keys], kvals, t),
+        )
         n_live = jnp.sum(t.sel.astype(jnp.int32))
         g_d, g_v = K.gather_columns_packed(
             [c.data for c in t.cols], [c.validity for c in t.cols],
@@ -1934,32 +1955,30 @@ class CompiledPipeline:
                 part_vals = [
                     ex.evaluator.eval(p, shim) for p in wexpr.partition_by
                 ]
-                o_datas, o_valids, o_ascs, o_nfs = [], [], [], []
+                o_vals, o_ascs, o_nfs = [], [], []
                 for k in wexpr.order_by:
-                    v = ex.evaluator.eval(k.expr, shim)
-                    o_datas.append(v.data)
-                    o_valids.append(v.validity)
+                    o_vals.append(ex.evaluator.eval(k.expr, shim))
                     o_ascs.append(k.asc)
                     o_nfs.append(k.resolved_nulls_first())
+                o_datas = [v.data for v in o_vals]
+                o_valids = [v.validity for v in o_vals]
                 p_datas = [v.data for v in part_vals]
                 p_valids = [v.validity for v in part_vals]
+                key_exprs = list(wexpr.partition_by) + [
+                    k.expr for k in wexpr.order_by
+                ]
+                kb = _key_ranges(key_exprs, part_vals + o_vals, t)
                 perm = K.sort_permutation(
                     p_datas + o_datas,
                     p_valids + o_valids,
                     [True] * len(p_datas) + o_ascs,
                     [False] * len(p_datas) + o_nfs,
                     sel,
+                    ranges=kb,
                 )
                 pad_sorted = ~sel[perm]
                 # one packed gather for ALL key planes through perm
                 # (bare-column keys carry bounds; validity bits always pack)
-                key_exprs = list(wexpr.partition_by) + [
-                    k.expr for k in wexpr.order_by
-                ]
-                kb = []
-                for e in key_exprs:
-                    b = _proj_bounds(e, t)
-                    kb.append(b if (b is not None and len(b) == 2) else None)
                 g_d, g_v = K.gather_columns_packed(
                     p_datas + o_datas, p_valids + o_valids, kb, perm
                 )

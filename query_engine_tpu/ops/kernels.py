@@ -165,6 +165,7 @@ def sort_permutation(
     ascs: Sequence[bool],
     nulls_firsts: Sequence[bool],
     num_rows,
+    ranges: Optional[Sequence[Optional[Tuple[int, int]]]] = None,
 ) -> jnp.ndarray:
     """Stable multi-key sort permutation.
 
@@ -172,9 +173,46 @@ def sort_permutation(
     first in the requested order; pad rows sink to the end.
     Implements the semantics of Arrow lexsort_to_indices as used by the
     reference's SortedMerge (query-distributed/src/operators.rs:180-193).
+
+    ranges: optional per-key (lo, range) static covers; when EVERY key is
+    covered and the fields (+1 null bit each, +1 pad bit) fit 63 bits, all
+    keys compose into ONE i64 operand (desc = bit-flipped field,
+    nulls-first = flipped null bit) — operand count is the lax.sort cost.
     """
     capacity = key_datas[0].shape[0]
     pad = ~live_mask(capacity, num_rows)
+
+    if ranges is not None and len(ranges) == len(key_datas) and all(
+        r is not None and len(r) == 2 for r in ranges
+    ):
+        widths = [max(int(r[1] - 1).bit_length(), 1) for r in ranges]
+        total_bits = sum(w + 1 for w in widths) + 1
+        if total_bits <= 63:
+            comp = jnp.zeros(capacity, dtype=jnp.int64)
+            for (data, valid, asc, nf), (lo, _r), w in zip(
+                zip(key_datas, key_valids, ascs, nulls_firsts),
+                ranges, widths,
+            ):
+                code = jnp.clip(
+                    data.astype(jnp.int64) - lo, 0, (1 << w) - 1
+                )
+                if not asc:
+                    code = ((1 << w) - 1) - code
+                # nulls-first: null sorts below live (bit 0 vs 1); else above
+                null_bit = (
+                    valid.astype(jnp.int64) if nf
+                    else (~valid).astype(jnp.int64)
+                )
+                comp = (
+                    (comp << (w + 1))
+                    | (null_bit << w)
+                    | jnp.where(valid, code, 0)
+                )
+            comp = comp | (pad.astype(jnp.int64) << (total_bits - 1))
+            perm = jnp.arange(capacity, dtype=jnp.int32)
+            out = jax.lax.sort([comp, perm], num_keys=1, is_stable=True)
+            return out[-1]
+
     operands = _sort_key_operands(key_datas, key_valids, ascs,
                                   nulls_firsts, pad)
     perm = jnp.arange(capacity, dtype=jnp.int32)
