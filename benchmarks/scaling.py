@@ -64,9 +64,14 @@ def child(n_devices: int, total_rows: int) -> None:
          "w": rng.integers(0, 100, nb_build * n_devices)}, schema=None,
     )
     bst = ShardedTable(build, mesh)
-    join = spmd.make_distributed_join_counts(mesh, 1, 1, recv_factor=2.0)
+    # DEFAULT bounded exchanges (recv_factor=1.25, send+recv capacity in
+    # 128-multiples) — the thing this bench certifies is that the defaults
+    # hold the BASELINE <=1.3x total-work inflation target at N=8; on
+    # overflow the grow-and-retry below doubles the factor (count-then-emit
+    # at the exchange level, one-time per data shape)
+    join = spmd.make_distributed_join_counts(mesh, 1, 1)
     # sort stage: sampled range-partition global sort of the value column
-    gsort = spmd.make_distributed_sort(mesh, n_cols=1, recv_factor=2.0)
+    gsort = spmd.make_distributed_sort(mesh, n_cols=1)
 
     def run_agg():
         out = agg(
@@ -75,21 +80,35 @@ def child(n_devices: int, total_rows: int) -> None:
         return float(np.asarray(out[-1]).sum())  # block on the full program
 
     def run_join():
-        out = join(
-            st.datas[0], st.valids[0], st.shard_rows,
-            bst.datas[0], bst.valids[0], bst.shard_rows,
-            st.datas[1], st.valids[1], bst.datas[1], bst.valids[1],
-        )
-        assert float(np.asarray(out[-1]).sum()) == 0, "recv overflow"
-        return float(np.asarray(out[0]).sum())
+        nonlocal join
+        while True:
+            out = join(
+                st.datas[0], st.valids[0], st.shard_rows,
+                bst.datas[0], bst.valids[0], bst.shard_rows,
+                st.datas[1], st.valids[1], bst.datas[1], bst.valids[1],
+            )
+            if float(np.asarray(out[-1]).sum()) == 0:
+                return float(np.asarray(out[0]).sum())
+            print("join recv overflow: retrying at 2x factor",
+                  file=sys.stderr)
+            join = spmd.make_distributed_join_counts(
+                mesh, 1, 1, recv_factor=2 * spmd.DEFAULT_RECV_FACTOR
+            )
 
     def run_sort():
-        out = gsort(
-            st.datas[1], st.valids[1], st.shard_rows,
-            st.datas[0], st.valids[0],
-        )
-        assert float(np.asarray(out[-1]).sum()) == 0, "recv overflow"
-        return float(np.asarray(out[-2]).sum())
+        nonlocal gsort
+        while True:
+            out = gsort(
+                st.datas[1], st.valids[1], st.shard_rows,
+                st.datas[0], st.valids[0],
+            )
+            if float(np.asarray(out[-1]).sum()) == 0:
+                return float(np.asarray(out[-2]).sum())
+            print("sort recv overflow: retrying at 2x factor",
+                  file=sys.stderr)
+            gsort = spmd.make_distributed_sort(
+                mesh, n_cols=1, recv_factor=2 * spmd.DEFAULT_RECV_FACTOR
+            )
 
     res = {"n": n_devices, "rows": n}
     for name, fn in (("agg", run_agg), ("join", run_join), ("sort", run_sort)):

@@ -141,8 +141,11 @@ def _balance_child():
             lkey = _zipf_keys(rng, rows, nb, ZIPF_A).astype(np.int64)
         rkey = np.arange(nb * n_dev, dtype=np.int64) % nb  # sharded build
         for salt in (1, 4):
+            # recv_factor=None: this measures the imbalance of the raw
+            # (unbounded) exchange; a bounded recv would clip the hot
+            # shard and understate the skew
             prog = spmd.make_distributed_join_counts(
-                mesh, 1, 1, salt=salt
+                mesh, 1, 1, salt=salt, recv_factor=None
             )
             out = prog(
                 jnp.asarray(lkey), jnp.ones(rows, bool),

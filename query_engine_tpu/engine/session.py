@@ -40,11 +40,20 @@ MAX_RECURSION_ITERS = 1000  # parity: backend.rs recursive CTE cap
 
 
 class Session:
-    def __init__(self, enable_cache: bool = False):
+    def __init__(self, enable_cache: bool = False, mesh=None):
+        """mesh: optional jax.sharding.Mesh — queries then execute SPMD over
+        the mesh as ONE shard_map program per query (distributed compiled
+        pipelines, parallel/mesh_pipeline.py); plans without a distributed
+        lowering fall back to the single-device engine transparently."""
         self.udfs = UdfRegistry()
         self.planner = Planner(self.udfs)
         self.optimizer = Optimizer()
         self.executor = QueryExecutor(self.udfs)
+        self.mesh_pipeline = None
+        if mesh is not None:
+            from query_engine_tpu.parallel.mesh_pipeline import MeshPipeline
+
+            self.mesh_pipeline = MeshPipeline(self.executor, mesh)
         self.sources: Dict[str, object] = {}
         # parse/plan/execute breakdown of the last statement (REPL .timing;
         # reference doc example CLI_REFERENCE.md:290-292)
@@ -209,7 +218,11 @@ class Session:
         pplan = Lowering(self.sources).lower(plan)
         t1 = _time.perf_counter()
         self.last_timing.plan_ms += (t1 - t0) * 1e3
-        out = self.executor.execute(pplan)
+        out = None
+        if self.mesh_pipeline is not None:
+            out = self.mesh_pipeline.try_execute(pplan)
+        if out is None:
+            out = self.executor.execute(pplan)
         self.last_timing.execute_ms += (_time.perf_counter() - t1) * 1e3
         return out
 

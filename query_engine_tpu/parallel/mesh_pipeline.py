@@ -1,0 +1,732 @@
+"""Distributed compiled pipelines: a SQL physical plan -> ONE shard_map
+program over the device mesh.
+
+This is the SQL-reachable SPMD execution path (SURVEY.md §2.10 mapping:
+"stage DAG -> sequence of pjit programs with sharding constraints").
+`Session(mesh=...)` routes eligible queries here: leaf tables are sharded
+row-wise over the mesh ('data' axis = the row dimension), every node that
+needs co-partitioned data (join / grouped aggregate / global sort /
+distinct) inserts a `lax.all_to_all` exchange, and everything else —
+filters, projections, the local halves of joins/aggregates/sorts — is
+traced by the SAME single-chip segment tracer (engine/pipeline.py
+CompiledPipeline._trace) over the per-shard planes. The whole query is one
+jitted shard_map program: no per-stage host hops, no serialization, no RPC.
+
+The reference's distributed executor walks a stage DAG and "simulates"
+execution by echoing partition input (crates/query-distributed/src/
+executor.rs:148-209, planner.rs:200-249, worker.rs:132-137); this module
+is the working TPU-native replacement: the shuffle IS the collective.
+
+Exchanges are capacity-bounded by default (BASELINE scaling target;
+docs/TPU_DESIGN.md #5): each shard's send buffer to each destination is
+the balanced share x a growth factor (multiples of 128, not pow2 — pow2
+rounding alone costs up to 2x work inflation). Overflow is detected
+in-program (one psum'd scalar), and the driver retries with the factor
+doubled — count-then-emit at the mesh level. Working factors are
+remembered per plan shape, so steady state is one dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from query_engine_tpu.columnar.batch import (
+    Column, ColumnBatch, padded_capacity,
+)
+from query_engine_tpu.core.schema import Schema
+from query_engine_tpu.engine.pipeline import (
+    _SegCtx, _ShimBatch, _TRACE_ERRORS, _TTable, _Unsupported, _bucket_bounds,
+    _col_bounds, _dup_bucket, _expr_key, _expr_traceable, _mark_static_literals,
+    _sort_key_key, ensure_bounds, ensure_device,
+)
+from query_engine_tpu.ops import kernels as K
+from query_engine_tpu.parallel import spmd
+from query_engine_tpu.parallel.mesh import ShardedTable, replicated
+from query_engine_tpu.plan import logical as lp
+from query_engine_tpu.plan import physical as pp
+
+_I64_MIN = np.int64(np.iinfo(np.int64).min)
+_I64_MAX = np.int64(np.iinfo(np.int64).max)
+
+# global aggregates (no GROUP BY) combine across shards with these partial
+# plans: func -> (partial segment funcs, combine funcs)
+_GLOBAL_PARTIAL = {
+    lp.AggFunc.COUNT: (("count",), ("sum",)),
+    lp.AggFunc.SUM: (("sum",), ("sum",)),
+    lp.AggFunc.MIN: (("min",), ("min",)),
+    lp.AggFunc.MAX: (("max",), ("max",)),
+    lp.AggFunc.AVG: (("sum", "count"), ("sum", "sum")),
+}
+
+
+class _MEntry:
+    __slots__ = ("fn", "meta", "leaves", "plan", "res", "dyn_exprs",
+                 "sub_exprs", "sub_batches", "leaf_nodes", "factor")
+
+    def __init__(self, plan, leaves, leaf_nodes):
+        self.plan = plan
+        self.leaves = leaves
+        self.leaf_nodes = leaf_nodes
+        self.meta: Dict = {}
+        self.fn = None
+        self.res = {}
+        self.dyn_exprs = []
+        self.sub_exprs = []
+        self.sub_batches = []
+        self.factor = None
+
+
+class MeshPipeline:
+    """Lowers physical plans to shard_map programs over `mesh`.
+
+    Reuses the single-chip CompiledPipeline's trace machinery for all
+    shard-local computation, so operator semantics (expression eval, join
+    emit, aggregate typing, sort keys) are shared with — and bit-identical
+    to — the single-device engine.
+    """
+
+    def __init__(self, executor, mesh: Mesh, axis: str = "data",
+                 base_factor: float = 1.25):
+        self.executor = executor
+        self.cp = executor.pipeline
+        self.mesh = mesh
+        self.axis = axis
+        self.n = int(mesh.devices.size)
+        self.base_factor = base_factor
+        self._cache: Dict = {}
+        self._factor_memory: Dict = {}  # body -> last working factor
+        self._fallback_bodies = set()
+        self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0,
+                      "exchanges": 0, "overflow_retries": 0, "queries": 0}
+
+    # ---- entry -----------------------------------------------------------
+    def try_execute(self, pplan: pp.PhysicalPlan) -> Optional[ColumnBatch]:
+        """Returns the result batch, or None to run the single-device path."""
+        if self.n < 2:
+            return None
+        limit = None
+        plan = pplan
+        if isinstance(plan, pp.PLimit):
+            # root LIMIT applies after the host gather (a global sort below
+            # it already leaves shards range-ordered)
+            limit = (plan.skip, plan.fetch)
+            plan = plan.input
+
+        ctx = _SegCtx(set())
+        try:
+            body, leaf_nodes, n_compute, n_exchange = self._mplan_key(
+                plan, ctx
+            )
+        except _Unsupported:
+            return None
+        if n_compute == 0 or isinstance(plan, pp.PScan):
+            return None  # trivial: the single-chip path is strictly cheaper
+        if body in self._fallback_bodies:
+            self.stats["fallbacks"] += 1
+            return None
+
+        leaves = [self.cp._materialize_leaf(nd) for nd in leaf_nodes]
+        if any(b.num_columns == 0 for b in leaves):
+            return None
+        for b in leaves:
+            ensure_bounds(b)
+        batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
+
+        # join resolution: the mesh path requires a statically bounded side
+        # (no count-program sync across the mesh yet); unbounded joins fall
+        # back to the single-device count->emit path
+        res = {}
+        for jnode, lprov, rprov in ctx.checks:
+            dl = self.cp._prov_max_dup(lprov, batch_by_node, res)
+            dr = self.cp._prov_max_dup(rprov, batch_by_node, res)
+            side = None
+            if dr is not None and (dl is None or dr <= dl):
+                side = ("R", _dup_bucket(dr))
+            elif dl is not None:
+                side = ("L", _dup_bucket(dl))
+            if side is None or side[1] is None:
+                return None
+            res[id(jnode)] = side
+        sides = tuple(res[id(j)] for j, _, _ in ctx.checks)
+
+        sub_batches = [self.executor.execute(x.plan) for x in ctx.sub_exprs]
+        for b in leaves + sub_batches:
+            ensure_device(b)
+        shards = [self._shard_leaf(b) for b in leaves]
+        sub_args, sub_sigs = [], []
+        for b in sub_batches:
+            sub_args.append(self._replicate_batch(b))
+            sub_sigs.append(self.cp._leaf_sig(b))
+        leaf_sigs = tuple(self.cp._leaf_sig(b) for b in leaves)
+        dyn_args = tuple(ctx.dyn_vals)
+
+        factor = self._factor_memory.get(body, self.base_factor)
+        self.stats["queries"] += 1
+        while True:
+            key = (body, leaf_sigs, tuple(sub_sigs), sides, self.n,
+                   tuple(st.shard_capacity for st in shards), factor)
+            entry = self._cache.get(key)
+            if entry is None:
+                entry = _MEntry(plan, leaves, leaf_nodes)
+                entry.res = res
+                entry.dyn_exprs = list(ctx.dyn_exprs)
+                entry.sub_exprs = list(ctx.sub_exprs)
+                entry.sub_batches = sub_batches
+                entry.factor = factor
+                entry.fn = self._build_fn(entry, shards, factor)
+                try:
+                    out = entry.fn(self._flat_args(shards, sub_args, dyn_args))
+                except _TRACE_ERRORS:
+                    self._fallback_bodies.add(body)
+                    self.stats["fallbacks"] += 1
+                    return None
+                self._cache[key] = entry
+                self.stats["compiles"] += 1
+                self.stats["exchanges"] += n_exchange
+            else:
+                self.stats["hits"] += 1
+                out = entry.fn(self._flat_args(shards, sub_args, dyn_args))
+
+            overflow = int(np.asarray(out[-1])[0])
+            if overflow == 0:
+                break
+            # a bounded exchange dropped rows: double the factor and retry
+            # (grow-and-retry; the factor memory makes this a one-time cost
+            # per plan shape)
+            self.stats["overflow_retries"] += 1
+            if factor >= self.n:
+                return None  # should not happen: factor n is worst-case
+            factor = min(factor * 2.0, float(self.n))
+        self._factor_memory[body] = factor
+
+        return self._assemble(entry, out, limit)
+
+    # ---- host-side helpers ----------------------------------------------
+    def _shard_leaf(self, b: ColumnBatch) -> ShardedTable:
+        cache = getattr(b.columns[0], "_qe_mesh_shard", None)
+        if cache is not None:
+            n, rows, st = cache
+            if n == self.n and rows == b.num_rows:
+                return st
+        st = ShardedTable(b, self.mesh, self.axis)
+        b.columns[0]._qe_mesh_shard = (self.n, b.num_rows, st)
+        return st
+
+    def _replicate_batch(self, b: ColumnBatch):
+        cache = getattr(b.columns[0], "_qe_mesh_repl", None) if b.columns else None
+        if cache is not None and cache[0] == self.n:
+            return cache[1]
+        rep = replicated(self.mesh)
+        args = {
+            "d": [jax.device_put(jnp.asarray(c.data), rep) for c in b.columns],
+            "v": [jax.device_put(jnp.asarray(c.validity), rep)
+                  for c in b.columns],
+            "n": np.int64(b.num_rows),
+        }
+        if b.columns:
+            b.columns[0]._qe_mesh_repl = (self.n, args)
+        return args
+
+    def _flat_args(self, shards, sub_args, dyn_args):
+        flat: List = []
+        for st in shards:
+            flat.extend(st.datas)
+            flat.extend(st.valids)
+            flat.append(st.shard_rows)
+        for a in sub_args:
+            flat.extend(a["d"])
+            flat.extend(a["v"])
+            flat.append(a["n"])
+        flat.extend(dyn_args)
+        return tuple(flat)
+
+    def _assemble(self, entry, out, limit) -> ColumnBatch:
+        meta = entry.meta
+        datas, valids, sel = out[0], out[1], out[2]
+        sel_np = np.asarray(sel)
+        total = int(sel_np.sum())
+        cap = padded_capacity(max(total, 1))
+        cols = []
+        for d, v, dt, dic in zip(datas, valids, meta["dtypes"],
+                                 meta["dicts"]):
+            hd = np.asarray(d)[sel_np]
+            hv = np.asarray(v)[sel_np]
+            pd = np.zeros(cap, dtype=hd.dtype)
+            pv = np.zeros(cap, dtype=bool)
+            pd[:total] = hd
+            pv[:total] = hv
+            cols.append(Column(pd, pv, dt, dic))
+        batch = ColumnBatch(meta["schema"], cols, total)
+        if limit is not None:
+            skip, fetch = limit
+            hi = total if fetch is None else min(skip + fetch, total)
+            lo = min(skip, total)
+            idx = np.arange(lo, hi, dtype=np.int64)
+            batch = batch.take_host(idx)
+        return batch
+
+    # ---- program construction -------------------------------------------
+    def _build_fn(self, entry: _MEntry, shards, factor: float):
+        n = self.n
+        axis = self.axis
+        leaves = entry.leaves
+        n_leaf_cols = [b.num_columns for b in leaves]
+        n_sub_cols = [b.num_columns for b in entry.sub_batches]
+        caps = [st.shard_capacity for st in shards]
+
+        def step(*flat):
+            i = 0
+            my = jax.lax.axis_index(axis)
+            tables: Dict[int, _TTable] = {}
+            for nd, b, nc, cap in zip(entry.leaf_nodes, leaves, n_leaf_cols,
+                                      caps):
+                datas = flat[i: i + nc]
+                valids = flat[i + nc: i + 2 * nc]
+                rows = flat[i + 2 * nc]
+                i += 2 * nc + 1
+                cols = [
+                    Column(d, v, c.dtype, c.dictionary)
+                    for d, v, c in zip(datas, valids, b.columns)
+                ]
+                bounds = [
+                    (None if (bb := _bucket_bounds(_col_bounds(c))) is None
+                     or bb == ("big",) else bb)
+                    for c in b.columns
+                ]
+                tables[id(nd)] = _TTable(
+                    b.schema, cols, K.live_mask(cap, rows[my]), cap, True,
+                    bounds,
+                )
+            ev = self.executor.evaluator
+            sub_shims = {}
+            for x, b, nc in zip(entry.sub_exprs, entry.sub_batches,
+                                n_sub_cols):
+                datas = flat[i: i + nc]
+                valids = flat[i + nc: i + 2 * nc]
+                nrows = flat[i + 2 * nc]
+                i += 2 * nc + 1
+                st = _TTable(
+                    b.schema,
+                    [Column(d, v, c.dtype, c.dictionary)
+                     for d, v, c in zip(datas, valids, b.columns)],
+                    K.live_mask(b.capacity, nrows), b.capacity, True,
+                    [None] * b.num_columns,
+                )
+                sub_shims[id(x.plan)] = _ShimBatch(st)
+            dyn = flat[i:]
+            ev._dyn_literals = {
+                id(e): v for e, v in zip(entry.dyn_exprs, dyn)
+            }
+            ev._subplans = sub_shims
+            ov: List[jnp.ndarray] = []
+            try:
+                t = self._mtrace(entry.plan, tables, entry.res, ov, factor)
+            finally:
+                ev._dyn_literals = None
+                ev._subplans = None
+            if not entry.meta:
+                entry.meta.update(
+                    schema=t.schema,
+                    dtypes=[c.dtype for c in t.cols],
+                    dicts=[c.dictionary for c in t.cols],
+                    capacity=t.capacity,
+                )
+            total_ov = jnp.int64(0)
+            for o in ov:
+                total_ov = total_ov + o
+            overflow = jax.lax.psum(total_ov, axis)
+            return (
+                tuple(c.data for c in t.cols),
+                tuple(c.validity for c in t.cols),
+                t.sel,
+                overflow.reshape(1),
+            )
+
+        in_specs: List = []
+        for nc in n_leaf_cols:
+            in_specs += [P(axis)] * (2 * nc) + [P()]
+        for nc in n_sub_cols:
+            in_specs += [P()] * (2 * nc + 1)
+        in_specs += [P()] * len(entry.dyn_exprs)
+
+        # output pytree: per-shard column planes + selection mask (P(axis))
+        # and the psum'd (replicated) overflow scalar (P())
+        out_len = len(entry.plan.schema())
+        out_specs = (
+            (P(axis),) * out_len, (P(axis),) * out_len, P(axis), P(),
+        )
+        inner = spmd.shard_map(
+            step, mesh=self.mesh, in_specs=tuple(in_specs),
+            out_specs=out_specs,
+        )
+        return jax.jit(lambda flat: inner(*flat))
+
+    # ---- admission + structural key -------------------------------------
+    def _mchild(self, plan, ctx):
+        """Key a child subtree; unsupported subtrees become eager leaf
+        boundaries (executed single-device, result sharded) — same demotion
+        pattern as CompiledPipeline._child."""
+        cp_checks, cp_dyn = len(ctx.checks), len(ctx.dyn_vals)
+        cp_sub = len(ctx.sub_exprs)
+        try:
+            return self._mplan_key(plan, ctx)
+        except _Unsupported:
+            del ctx.checks[cp_checks:]
+            del ctx.dyn_vals[cp_dyn:]
+            del ctx.dyn_ids[cp_dyn:]
+            del ctx.dyn_exprs[cp_dyn:]
+            del ctx.sub_exprs[cp_sub:]
+            return ("leaf",), [plan], 0, 0
+
+    def _mplan_key(self, plan, ctx):
+        """-> (body, leaf_nodes, n_compute, n_exchange). Mirrors
+        CompiledPipeline._plan_key, restricted to nodes with a correct
+        distributed execution (cross-shard semantics get an exchange;
+        shard-local nodes reuse the single-chip tracer)."""
+        if isinstance(plan, pp.PScan):
+            return ("leaf",), [plan], 0, 0
+        if isinstance(plan, pp.PFilter):
+            if not _expr_traceable(plan.predicate):
+                raise _Unsupported("filter predicate")
+            body, leaves, nc, ne = self._mchild(plan.input, ctx)
+            _mark_static_literals(plan.predicate, ctx.static_ids)
+            return (
+                ("filter", _expr_key(plan.predicate, ctx), body),
+                leaves, nc + 1, ne,
+            )
+        if isinstance(plan, pp.PProjection):
+            if not all(_expr_traceable(e) for e in plan.exprs):
+                raise _Unsupported("projection exprs")
+            body, leaves, nc, ne = self._mchild(plan.input, ctx)
+            trivial = all(
+                isinstance(e, lp.ColumnRef)
+                or (isinstance(e, lp.AliasExpr)
+                    and isinstance(e.expr, lp.ColumnRef))
+                for e in plan.exprs
+            )
+            for e in plan.exprs:
+                _mark_static_literals(e, ctx.static_ids)
+            return (
+                ("proj", tuple(_expr_key(e, ctx) for e in plan.exprs), body),
+                leaves, nc if trivial else nc + 1, ne,
+            )
+        if isinstance(plan, pp.PSubquery):
+            body, leaves, nc, ne = self._mchild(plan.input, ctx)
+            return (
+                ("subq", tuple(plan.out_schema.names()), body),
+                leaves, nc, ne,
+            )
+        if isinstance(plan, pp.PHashJoin):
+            return self._mplan_key_join(plan, ctx)
+        if isinstance(plan, pp.PHashAggregate):
+            return self._mplan_key_agg(plan, ctx)
+        if isinstance(plan, pp.PSort):
+            if not all(_expr_traceable(k.expr) for k in plan.keys):
+                raise _Unsupported("sort keys")
+            body, leaves, nc, ne = self._mchild(plan.input, ctx)
+            for k in plan.keys:
+                _mark_static_literals(k.expr, ctx.static_ids)
+            return (
+                ("msort", tuple(_sort_key_key(k, ctx) for k in plan.keys),
+                 body),
+                leaves, nc + 1, ne + 1,
+            )
+        if isinstance(plan, pp.PDistinct):
+            on = plan.on
+            if on is not None and not all(_expr_traceable(e) for e in on):
+                raise _Unsupported("distinct exprs")
+            body, leaves, nc, ne = self._mchild(plan.input, ctx)
+            if on is not None:
+                for e in on:
+                    _mark_static_literals(e, ctx.static_ids)
+            okey = None if on is None else tuple(
+                _expr_key(e, ctx) for e in on
+            )
+            return ("mdistinct", okey, body), leaves, nc + 1, ne + 1
+        # PWindow / PSetOp / PLimit (inner) / PIndexScan / PValues / ...:
+        # no distributed lowering yet — the enclosing _mchild makes the
+        # subtree an eager leaf, so the rest of the plan still runs SPMD
+        raise _Unsupported(type(plan).__name__)
+
+    def _mplan_key_join(self, plan: pp.PHashJoin, ctx):
+        if plan.join_type is lp.JoinType.CROSS or not plan.key_pairs:
+            raise _Unsupported("cross join")
+        for le, re_ in plan.key_pairs:
+            if not (_expr_traceable(le) and _expr_traceable(re_)):
+                raise _Unsupported("join key exprs")
+        if plan.residual is not None and not _expr_traceable(plan.residual):
+            raise _Unsupported("join residual")
+        lprov = self.cp._unique_prov_multi(
+            plan.left, [le for le, _ in plan.key_pairs], ctx
+        )
+        rprov = self.cp._unique_prov_multi(
+            plan.right, [re_ for _, re_ in plan.key_pairs], ctx
+        )
+        if lprov is None and rprov is None:
+            raise _Unsupported("no statically bounded join side")
+        lbody, lleaves, ln, lne = self._mchild(plan.left, ctx)
+        rbody, rleaves, rn, rne = self._mchild(plan.right, ctx)
+        ctx.checks.append((plan, lprov, rprov))
+        for le, re_ in plan.key_pairs:
+            _mark_static_literals(le, ctx.static_ids)
+            _mark_static_literals(re_, ctx.static_ids)
+        if plan.residual is not None:
+            _mark_static_literals(plan.residual, ctx.static_ids)
+        body = (
+            "mjoin", plan.join_type.value,
+            tuple(
+                (_expr_key(le, ctx), _expr_key(re_, ctx))
+                for le, re_ in plan.key_pairs
+            ),
+            None if plan.residual is None else _expr_key(plan.residual, ctx),
+            tuple(plan.out_schema.names()),
+            lbody, rbody,
+        )
+        return body, lleaves + rleaves, ln + rn + 1, lne + rne + 2
+
+    def _mplan_key_agg(self, plan: pp.PHashAggregate, ctx):
+        if plan.mode != "single":
+            raise _Unsupported("non-single aggregate mode")
+        exprs = list(plan.group_exprs) + [
+            a.expr for a in plan.agg_exprs if a.expr is not None
+        ]
+        if not all(_expr_traceable(e) for e in exprs):
+            raise _Unsupported("aggregate exprs")
+        if not plan.group_exprs:
+            # global aggregate: partial-per-shard + all_gather combine;
+            # needs a partial decomposition for every aggregate
+            for a in plan.agg_exprs:
+                if a.distinct:
+                    raise _Unsupported("global DISTINCT aggregate")
+                if a.expr is None:
+                    continue  # COUNT(*)
+                if a.func not in _GLOBAL_PARTIAL:
+                    raise _Unsupported(f"global {a.func}")
+                if a.expr.dtype.kind.name == "DECIMAL128":
+                    raise _Unsupported("global decimal aggregate")
+        body, leaves, nc, ne = self._mchild(plan.input, ctx)
+        for e in exprs:
+            _mark_static_literals(e, ctx.static_ids)
+        return (
+            (
+                "magg",
+                tuple(_expr_key(g, ctx) for g in plan.group_exprs),
+                tuple(
+                    (a.func.value, a.distinct,
+                     None if a.expr is None else _expr_key(a.expr, ctx))
+                    for a in plan.agg_exprs
+                ),
+                tuple(plan.schema().names()),
+                body,
+            ),
+            leaves, nc + 1, ne + 1,
+        )
+
+    # ---- in-program tracing ----------------------------------------------
+    def _mtrace(self, plan, tables, res, ov, factor) -> _TTable:
+        """Build the traced per-shard table for `plan` inside shard_map.
+
+        Local nodes delegate to CompiledPipeline._trace with the child
+        pre-traced as a leaf; exchange-bearing nodes first repartition via
+        all_to_all so the local kernels see co-located data.
+        """
+        cp = self.cp
+        if id(plan) in tables:
+            return tables[id(plan)]
+        if isinstance(plan, (pp.PFilter, pp.PProjection, pp.PSubquery)):
+            t = self._mtrace(plan.input, tables, res, ov, factor)
+            return cp._trace(
+                plan, iter([t]), frozenset({id(plan.input)}), res
+            )
+        if isinstance(plan, pp.PHashJoin):
+            return self._mtrace_join(plan, tables, res, ov, factor)
+        if isinstance(plan, pp.PHashAggregate):
+            return self._mtrace_aggregate(plan, tables, res, ov, factor)
+        if isinstance(plan, pp.PSort):
+            return self._mtrace_sort(plan, tables, res, ov, factor)
+        if isinstance(plan, pp.PDistinct):
+            t = self._mtrace(plan.input, tables, res, ov, factor)
+            ev = self.executor.evaluator
+            if plan.on is not None:
+                kvals = [ev.eval(e, _ShimBatch(t)) for e in plan.on]
+                kd = [v.data for v in kvals]
+                kv = [v.validity for v in kvals]
+            else:
+                kd = [c.data for c in t.cols]
+                kv = [c.validity for c in t.cols]
+            pid = spmd.combined_partition_ids(kd, kv, self.n)
+            t2 = self._exchange(t, pid, ov, factor)
+            return cp._trace(
+                plan, iter([t2]), frozenset({id(plan.input)}), res
+            )
+        raise _Unsupported(type(plan).__name__)
+
+    def _mtrace_join(self, plan, tables, res, ov, factor) -> _TTable:
+        from query_engine_tpu.engine.expr_eval import unify_dicts
+
+        ev = self.executor.evaluator
+        lt = self._mtrace(plan.left, tables, res, ov, factor)
+        rt = self._mtrace(plan.right, tables, res, ov, factor)
+        lkd, lkv, rkd, rkv = [], [], [], []
+        for le, re_ in plan.key_pairs:
+            lv = ev.eval(le, _ShimBatch(lt))
+            rv = ev.eval(re_, _ShimBatch(rt))
+            if lv.dictionary is not None or rv.dictionary is not None:
+                # hash UNIFIED codes so both sides route value-consistently
+                lv, rv = unify_dicts(lv, rv)
+            lkd.append(lv.data)
+            lkv.append(lv.validity)
+            rkd.append(rv.data)
+            rkv.append(rv.validity)
+        lpid = spmd.combined_partition_ids(lkd, lkv, self.n)
+        rpid = spmd.combined_partition_ids(rkd, rkv, self.n)
+        lt2 = self._exchange(lt, lpid, ov, factor)
+        rt2 = self._exchange(rt, rpid, ov, factor)
+        return self.cp._trace(
+            plan, iter([lt2, rt2]),
+            frozenset({id(plan.left), id(plan.right)}), res,
+        )
+
+    def _mtrace_aggregate(self, plan, tables, res, ov, factor) -> _TTable:
+        ev = self.executor.evaluator
+        t = self._mtrace(plan.input, tables, res, ov, factor)
+        if not plan.group_exprs:
+            return self._mtrace_global_agg(plan, t)
+        gvals = [ev.eval(g, _ShimBatch(t)) for g in plan.group_exprs]
+        pid = spmd.combined_partition_ids(
+            [v.data for v in gvals], [v.validity for v in gvals], self.n
+        )
+        t2 = self._exchange(t, pid, ov, factor)
+        # groups are now co-located: the single-chip grouped aggregate is
+        # correct per shard, and shards hold disjoint group sets
+        return self.cp._trace(
+            plan, iter([t2]), frozenset({id(plan.input)}), res
+        )
+
+    def _mtrace_global_agg(self, plan, t: _TTable) -> _TTable:
+        """No GROUP BY: per-shard partials -> all_gather -> combine.
+
+        Every shard computes the combined result (replicated), but only
+        shard 0 marks its row live so the host gather yields one row —
+        semantics parity with the single-chip global aggregate (reference
+        operators.rs:745-848: COUNT counts rows, SUM/MIN/MAX NULL on empty).
+        """
+        ev = self.executor.evaluator
+        shim = _ShimBatch(t)
+        cap = t.capacity
+        my = jax.lax.axis_index(self.axis)
+        n = self.n
+        schema = plan.schema()
+        S = 128
+        cols: List[Column] = []
+        zeros = jnp.zeros(cap, jnp.int64)
+        ones = jnp.ones(cap, bool)
+        for agg, f in zip(plan.agg_exprs, schema):
+            if agg.expr is None:
+                # COUNT(*): local count -> sum across shards
+                lc, _ = K.global_aggregate("count_star", zeros, ones,
+                                           t.sel, S)
+                parts = jax.lax.all_gather(lc[:1], self.axis).reshape(n)
+                val = jnp.sum(parts)
+                out_d = jnp.zeros(S, parts.dtype).at[0].set(val)
+                out_v = jnp.ones(S, bool)
+                cols.append(Column(out_d, out_v, f.data_type, None))
+                continue
+            av = ev.eval(agg.expr, shim)
+            pfuncs, cfuncs = _GLOBAL_PARTIAL[agg.func]
+            combined = []
+            for pf, cf in zip(pfuncs, cfuncs):
+                pv, pok = K.global_aggregate(pf, av.data, av.validity,
+                                             t.sel, S)
+                parts = jax.lax.all_gather(pv[:1], self.axis).reshape(n)
+                pvalid = jax.lax.all_gather(pok[:1], self.axis).reshape(n)
+                cv, cok = K.segment_aggregate(
+                    cf, parts, pvalid, jnp.zeros(n, jnp.int32),
+                    jnp.int64(n), 1,
+                )
+                combined.append((cv[0], cok[0]))
+            val, ok = combined[0]
+            if agg.func is lp.AggFunc.AVG:
+                csum, cok_ = combined[1]
+                val = val.astype(jnp.float64) / jnp.maximum(
+                    csum, 1
+                ).astype(jnp.float64)
+            out_d = jnp.zeros(S, val.dtype).at[0].set(val)
+            out_v = jnp.zeros(S, bool).at[0].set(ok)
+            out_dict = (
+                av.dictionary
+                if agg.func in (lp.AggFunc.MIN, lp.AggFunc.MAX)
+                and av.dictionary is not None
+                else None
+            )
+            if out_dict is not None:
+                out_d = out_d.astype(jnp.int32)
+            cols.append(Column(out_d, out_v, f.data_type, out_dict))
+        sel = (jnp.arange(S, dtype=jnp.int32) < 1) & (my == 0)
+        return _TTable(schema, cols, sel, S, False, [None] * len(cols))
+
+    def _mtrace_sort(self, plan, tables, res, ov, factor) -> _TTable:
+        """Global sort: sampled range partition on the primary key (ties
+        co-locate, so secondary keys resolve locally), then the single-chip
+        sort per shard. Shard-order concatenation is the global ORDER BY
+        (sorted-merge parity, reference operators.rs:141-194)."""
+        ev = self.executor.evaluator
+        t = self._mtrace(plan.input, tables, res, ov, factor)
+        k0 = plan.keys[0]
+        v = ev.eval(k0.expr, _ShimBatch(t))
+        okey = K.orderable_i64(v.data)
+        if not k0.asc:
+            okey = jnp.int64(-1) - okey  # order-reversing, overflow-free
+        nf = k0.resolved_nulls_first()
+        okey = jnp.where(
+            v.validity, okey, jnp.int64(_I64_MIN if nf else _I64_MAX)
+        )
+        cap = t.capacity
+        live = t.sel
+        # dead rows ride at +inf so live keys pack to the front of the
+        # local sorted sample plane
+        skey = jnp.where(live, okey, jnp.int64(_I64_MAX))
+        ssorted = jnp.sort(skey)
+        c = jnp.sum(live.astype(jnp.int64))
+        ns = min(64, cap)
+        pos = (jnp.arange(ns, dtype=jnp.int64) * jnp.maximum(c, 1)) // ns
+        samples = ssorted[jnp.clip(pos, 0, cap - 1)]
+        allsamp = jnp.sort(
+            jax.lax.all_gather(samples, self.axis).reshape(-1)
+        )
+        bidx = (jnp.arange(1, self.n, dtype=jnp.int64)
+                * allsamp.shape[0]) // self.n
+        pivots = allsamp[bidx]
+        pid = jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
+        t2 = self._exchange(t, pid, ov, factor)
+        return self.cp._trace(
+            plan, iter([t2]), frozenset({id(plan.input)}), res
+        )
+
+    # ---- the exchange ----------------------------------------------------
+    def _exchange(self, t: _TTable, pid, ov, factor) -> _TTable:
+        """Repartition a traced table's selected rows by `pid` via ONE
+        lax.all_to_all per plane. Send capacity per destination is the
+        balanced share x factor rounded to 128 (docs/TPU_DESIGN.md #5:
+        unbounded exchanges inflate local work ~Nx); dropped rows raise the
+        overflow scalar and the driver retries with a doubled factor."""
+        n = self.n
+        cap = t.capacity
+        sc = spmd.send_cap(cap, n, None if factor >= n else factor)
+        idx, counts = spmd.bucket_rows(pid, t.sel, n, sc)
+        datas = [c.data for c in t.cols]
+        valids = [c.validity for c in t.cols]
+        rd, rv, rlive = spmd.exchange_columns(
+            self.axis, idx, counts, datas, valids
+        )
+        ov.append(jnp.sum(jnp.maximum(counts - sc, 0)))
+        cols = [
+            Column(d, v, c.dtype, c.dictionary)
+            for d, v, c in zip(rd, rv, t.cols)
+        ]
+        return _TTable(t.schema, cols, rlive, n * sc, False, list(t.bounds))

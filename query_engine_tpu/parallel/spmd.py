@@ -310,9 +310,31 @@ def _recv_key_valid(key_validity, rlive, ccount):
 # ---------------------------------------------------------------------------
 
 
+def _cap128(x: int) -> int:
+    """Capacity rounding in multiples of 128 lanes — NOT pow2 buckets:
+    pow2 rounding of a 1.25x-slack capacity costs up to 2x local-work
+    inflation by itself (round-2 scaling showed 1.84-1.89x join/sort
+    inflation from exactly this; docs/TPU_DESIGN.md #5)."""
+    return max(128, ((int(x) + 127) // 128) * 128)
+
+
+def send_cap(per_shard: int, n: int, factor) -> int:
+    """Per-destination send-buffer capacity: the balanced share x factor.
+    factor=None keeps the whole-table worst case."""
+    if factor is None:
+        return per_shard
+    want = int(np.ceil(per_shard / n * factor))
+    return min(_cap128(want), per_shard)
+
+
+DEFAULT_RECV_FACTOR = 1.25  # bounded exchanges are the DEFAULT; overflow
+# flags + the caller's grow-and-retry handle skew (TPU_DESIGN #5)
+
+
 def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
                                  n_right_cols: int, axis: str = "data",
-                                 salt: int = 1, recv_factor: float = None):
+                                 salt: int = 1,
+                                 recv_factor: float = DEFAULT_RECV_FACTOR):
     """Build the SPMD 'repartition + local join count' program.
 
     Returns per-shard: exchanged left/right planes (compacted) + local
@@ -324,23 +346,23 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
     consecutive partitions of its key hash, and every build (right) row is
     replicated to all `salt` of them — hot keys spread over `salt` shards
     instead of melting one. salt=1 is the plain hash shuffle.
+
+    Exchanges are bounded by DEFAULT (recv_factor=1.25): both the send
+    planes (balanced share x factor per destination) and the compacted
+    receive planes. Skew beyond the bound trips the trailing overflow
+    output — the caller retries with a larger factor (or salts). Pass
+    recv_factor=None for the always-correct whole-table worst case
+    (measured 4.7x total-work inflation at N=8).
     """
     n = mesh.devices.size
     salt = max(1, min(salt, n))
 
     def _rcap(per_shard: int, mult: int = 1) -> int:
-        """Receive capacity. recv_factor=None keeps the whole-table worst
-        case (always correct, but per-shard local work stays O(rows), not
-        O(rows/N) — measured 4.7x total-work inflation at N=8). With a
-        factor, capacity is the balanced share x factor; callers MUST
-        check the trailing overflow output and retry unbounded (or salt
-        the exchange, which spreads hot keys so the bound holds)."""
+        """Compacted receive capacity: balanced share x factor."""
         if recv_factor is None:
             return per_shard * mult * n
-        from query_engine_tpu.columnar.batch import padded_capacity
-
         want = int(per_shard * mult * recv_factor)
-        return min(padded_capacity(max(want, 128)), per_shard * mult * n)
+        return min(_cap128(want), per_shard * mult * n)
 
     def step(lkey, lkv, l_rows, rkey, rkv, r_rows, *cols):
         my = jax.lax.axis_index(axis)
@@ -359,7 +381,9 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
             row_salt = (jnp.arange(lcap, dtype=jnp.int32) % salt)
             lpid = (lpid + row_salt) % n
         llive = jnp.arange(lcap) < nl
-        lidx, lcounts = bucket_rows(lpid, llive, n, lcap)
+        sc_l = send_cap(lcap, n, recv_factor)
+        lidx, lcounts = bucket_rows(lpid, llive, n, sc_l)
+        send_drop_l = jnp.sum(jnp.maximum(lcounts - sc_l, 0))
         ld, lv, llive_r = exchange_columns(
             axis, lidx, lcounts, [lkey] + ldatas, [lkv] + lvalids
         )
@@ -384,7 +408,9 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
             rpid = partition_ids(rkey, rkv, n)
             rlive = jnp.arange(rcap) < nr
             rcap_eff = rcap
-        ridx, rcounts = bucket_rows(rpid, rlive, n, rcap_eff)
+        sc_r = send_cap(rcap_eff, n, recv_factor)
+        ridx, rcounts = bucket_rows(rpid, rlive, n, sc_r)
+        send_drop_r = jnp.sum(jnp.maximum(rcounts - sc_r, 0))
         rd, rv, rlive_r = exchange_columns(
             axis, ridx, rcounts, [rkey_r] + rdatas_r, [rkv_r] + rvalids_r
         )
@@ -401,11 +427,12 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
         overflow = (
             (lcount > _rcap(lcap)).astype(jnp.int64)
             + (rcount > _rcap(rcap, salt)).astype(jnp.int64)
+            + send_drop_l + send_drop_r
         )
         out = [total.reshape(1), lcount.reshape(1), rcount.reshape(1)]
         out += [counts, lr, rank_start, right_by_rank]
         out += lcd + lcv + rcd + rcv
-        out.append(overflow.reshape(1))  # recv-capacity overflow: retry bigger
+        out.append(overflow.reshape(1))  # capacity overflow: retry bigger
         return tuple(out)
 
     n_cols = 2 * (n_left_cols + n_right_cols)
@@ -424,11 +451,17 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
 
 
 def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
-                          axis: str = "data", recv_factor: float = None):
+                          axis: str = "data",
+                          recv_factor: float = DEFAULT_RECV_FACTOR):
     """Build the SPMD global sort: after it runs, shard i holds keys <=
     shard i+1's keys and each shard is locally sorted — the concatenation in
     shard order is the global ORDER BY (sorted-merge parity,
-    reference operators.rs:141-194, without the single-node concat)."""
+    reference operators.rs:141-194, without the single-node concat).
+
+    Bounded exchange by default (see make_distributed_join_counts);
+    sampled pivots keep range partitions balanced, so the default factor
+    holds unless the key distribution is pathological — then the trailing
+    overflow output trips and the caller retries larger."""
     n = mesh.devices.size
 
     def step(key, kv, shard_rows, *cols):
@@ -450,24 +483,23 @@ def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
         bidx = (jnp.arange(1, n) * (all_sorted.shape[0] // n)).astype(jnp.int64)
         pivots = all_sorted[bidx]
         pid = jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
-        idx, counts = bucket_rows(pid, live, n, cap)
+        sc = send_cap(cap, n, recv_factor)
+        idx, counts = bucket_rows(pid, live, n, sc)
+        send_drop = jnp.sum(jnp.maximum(counts - sc, 0))
         rd, rv, rlive = exchange_columns(
             axis, idx, counts, [key] + datas, [kv] + valids
         )
         if recv_factor is None:
             oc = cap * n
         else:
-            from query_engine_tpu.columnar.batch import padded_capacity
-
-            oc = min(
-                padded_capacity(max(int(cap * recv_factor), 128)), cap * n
-            )
+            oc = min(_cap128(int(cap * recv_factor)), cap * n)
         cd, cv, ccount = compact_received(rlive, rd, rv, oc)
         # local sort of received rows
         perm = K.sort_permutation([cd[0]], [cv[0]], [True], [False], ccount)
         out = [d[perm] for d in cd] + [v[perm] for v in cv]
         out.append(ccount.reshape(1))
-        out.append((ccount > oc).astype(jnp.int64).reshape(1))  # overflow
+        overflow = (ccount > oc).astype(jnp.int64) + send_drop
+        out.append(overflow.reshape(1))  # capacity overflow: retry bigger
         return tuple(out)
 
     in_specs = tuple([P(axis), P(axis), P()] + [P(axis)] * (2 * n_cols))

@@ -1,0 +1,259 @@
+"""SQL-level SPMD tests: full queries through Session(mesh=...) on the
+virtual 8-device mesh, bit-identical to the single-device engine.
+
+This certifies the distributed compiled pipelines (parallel/
+mesh_pipeline.py): the SQL-reachable shard_map + lax.all_to_all path the
+reference's distributed executor only simulates
+(crates/query-distributed/src/executor.rs:242-251, worker.rs:132-137).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from query_engine_tpu.engine.session import Session
+from query_engine_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device CPU mesh"
+    return make_mesh(devs[:8])
+
+
+RNG = np.random.default_rng(7)
+N_ORDERS = 4000
+ORDERS = {
+    "o_id": list(range(N_ORDERS)),
+    "cust": RNG.integers(0, 60, N_ORDERS).tolist(),
+    "amount": RNG.integers(1, 1000, N_ORDERS).tolist(),
+    "tag": RNG.choice(["red", "green", "blue", "cyan"], N_ORDERS).tolist(),
+    "score": RNG.normal(50, 10, N_ORDERS).round(3).tolist(),
+}
+# sprinkle NULLs
+for i in range(0, N_ORDERS, 97):
+    ORDERS["cust"][i] = None
+for i in range(0, N_ORDERS, 131):
+    ORDERS["amount"][i] = None
+CUSTOMERS = {
+    "c_id": list(range(60)),
+    "region": RNG.integers(0, 6, 60).tolist(),
+    "name": [f"cust_{i:03d}" for i in range(60)],
+}
+
+
+def make_sessions(mesh):
+    out = []
+    for m in (None, mesh):
+        s = Session(mesh=m)
+        s.register_table("orders", ORDERS)
+        s.register_table("customers", CUSTOMERS)
+        out.append(s)
+    return out
+
+
+def check(mesh, sql, ordered=True, mesh_used=True):
+    """Run on both engines; compare bit-exactly (as sets when unordered)."""
+    single, dist = make_sessions(mesh)
+    a = single.sql(sql).to_pylist()
+    b = dist.sql(sql).to_pylist()
+    if ordered:
+        assert a == b, f"ordered mismatch for {sql}\n{a[:5]}\n{b[:5]}"
+    else:
+        assert sorted(map(repr, a)) == sorted(map(repr, b)), (
+            f"set mismatch for {sql}"
+        )
+    if mesh_used:
+        st = dist.mesh_pipeline.stats
+        assert st["compiles"] + st["hits"] >= 1, (
+            f"mesh path not used for {sql}: {st}"
+        )
+    return b
+
+
+def test_filter_join_group_sort(mesh):
+    # the VERDICT round-2 'done' criterion query shape
+    check(
+        mesh,
+        "SELECT c.region, SUM(o.amount) AS total, COUNT(*) AS cnt "
+        "FROM orders o JOIN customers c ON o.cust = c.c_id "
+        "WHERE o.amount > 100 GROUP BY c.region ORDER BY total DESC",
+    )
+
+
+def test_filter_sort_limit(mesh):
+    check(
+        mesh,
+        "SELECT o_id, amount FROM orders WHERE amount > 900 "
+        "ORDER BY amount DESC, o_id LIMIT 17",
+    )
+    check(
+        mesh,
+        "SELECT o_id FROM orders WHERE amount BETWEEN 10 AND 40 "
+        "ORDER BY o_id LIMIT 10 OFFSET 5",
+    )
+
+
+def test_left_join_null_keys(mesh):
+    # NULL cust rows survive a LEFT JOIN with NULL right-side columns
+    check(
+        mesh,
+        "SELECT o.o_id, c.name FROM orders o "
+        "LEFT JOIN customers c ON o.cust = c.c_id "
+        "WHERE o.amount < 50 ORDER BY o.o_id",
+    )
+
+
+def test_right_and_full_join(mesh):
+    check(
+        mesh,
+        "SELECT c.c_id, o.o_id FROM orders o "
+        "RIGHT JOIN customers c ON o.cust = c.c_id "
+        "WHERE c.region = 2 ORDER BY c.c_id, o.o_id",
+    )
+    check(
+        mesh,
+        "SELECT c.c_id, o.o_id FROM orders o "
+        "FULL JOIN customers c ON o.cust = c.c_id "
+        "ORDER BY c.c_id NULLS FIRST, o.o_id LIMIT 50",
+    )
+
+
+def test_string_group_keys(mesh):
+    check(
+        mesh,
+        "SELECT tag, COUNT(*) AS n, AVG(score) AS avg_s FROM orders "
+        "GROUP BY tag ORDER BY tag",
+    )
+
+
+def test_multi_key_group_and_sort(mesh):
+    check(
+        mesh,
+        "SELECT cust, tag, SUM(amount) AS s FROM orders "
+        "WHERE amount IS NOT NULL GROUP BY cust, tag "
+        "ORDER BY cust NULLS LAST, tag",
+    )
+
+
+def test_global_aggregates(mesh):
+    check(
+        mesh,
+        "SELECT COUNT(*), COUNT(amount), SUM(amount), MIN(amount), "
+        "MAX(amount), AVG(amount) FROM orders",
+    )
+    check(mesh, "SELECT MIN(tag), MAX(tag) FROM orders WHERE amount > 500")
+
+
+def test_having_and_expressions(mesh):
+    check(
+        mesh,
+        "SELECT cust, SUM(amount) AS s FROM orders GROUP BY cust "
+        "HAVING SUM(amount) > 20000 ORDER BY s DESC",
+    )
+    check(
+        mesh,
+        "SELECT o_id, amount * 2 + 1 AS a2 FROM orders "
+        "WHERE amount % 7 = 3 AND tag = 'red' ORDER BY o_id",
+    )
+
+
+def test_distinct(mesh):
+    check(mesh, "SELECT DISTINCT cust FROM orders ORDER BY cust NULLS LAST")
+    check(mesh, "SELECT DISTINCT tag, cust % 5 FROM orders", ordered=False)
+
+
+def test_count_distinct_grouped(mesh):
+    # DISTINCT aggregates ride the row-exchange path (groups co-located)
+    check(
+        mesh,
+        "SELECT tag, COUNT(DISTINCT cust) AS u FROM orders "
+        "GROUP BY tag ORDER BY tag",
+    )
+
+
+def test_scalar_subquery_filter(mesh):
+    check(
+        mesh,
+        "SELECT o_id, amount FROM orders "
+        "WHERE amount > (SELECT AVG(amount) + 400 FROM orders) "
+        "ORDER BY o_id",
+    )
+
+
+def test_join_string_keys(mesh):
+    single, dist = make_sessions(mesh)
+    lookup = {
+        "tag": ["red", "green", "blue", "cyan", "unknown"],
+        "prio": [3, 1, 2, 0, 9],
+    }
+    for s in (single, dist):
+        s.register_table("tags", lookup)
+    sql = (
+        "SELECT t.prio, COUNT(*) AS n FROM orders o "
+        "JOIN tags t ON o.tag = t.tag GROUP BY t.prio ORDER BY t.prio"
+    )
+    assert single.sql(sql).to_pylist() == dist.sql(sql).to_pylist()
+
+
+def test_skewed_keys_overflow_retry(mesh):
+    """Every row shares one join key: the bounded exchange must overflow
+    and the driver grow-and-retry to the correct result."""
+    single, dist = make_sessions(mesh)
+    skew = {"k": [1] * 3000, "v": list(range(3000))}
+    dim = {"k": [1, 2], "w": [10, 20]}
+    for s in (single, dist):
+        s.register_table("skew", skew)
+        s.register_table("dim", dim)
+    sql = (
+        "SELECT SUM(s.v + d.w) AS t FROM skew s JOIN dim d ON s.k = d.k"
+    )
+    assert single.sql(sql).to_pylist() == dist.sql(sql).to_pylist()
+    assert dist.mesh_pipeline.stats["overflow_retries"] >= 1
+
+
+def test_unsupported_shapes_fall_back_correctly(mesh):
+    # window functions have no mesh lowering yet: subtree demotes to an
+    # eager leaf (or the query falls back entirely) but results must match
+    check(
+        mesh,
+        "SELECT o_id, ROW_NUMBER() OVER (ORDER BY amount DESC, o_id) AS rn "
+        "FROM orders WHERE amount > 990 ORDER BY rn LIMIT 5",
+        mesh_used=False,
+    )
+    # set ops fall back too
+    check(
+        mesh,
+        "SELECT tag FROM orders WHERE amount > 995 "
+        "UNION SELECT name FROM customers WHERE c_id < 2",
+        ordered=False, mesh_used=False,
+    )
+
+
+def test_empty_result(mesh):
+    check(mesh, "SELECT o_id FROM orders WHERE amount > 100000 ORDER BY o_id")
+
+
+def test_dml_invalidates_mesh_shards(mesh):
+    single, dist = make_sessions(mesh)
+    sql = "SELECT cust, SUM(amount) AS s FROM orders GROUP BY cust ORDER BY cust NULLS LAST"
+    assert single.sql(sql).to_pylist() == dist.sql(sql).to_pylist()
+    for s in (single, dist):
+        s.sql("INSERT INTO orders (o_id, cust, amount, tag, score) "
+              "VALUES (99999, 3, 500, 'red', 1.0)")
+        s.sql("DELETE FROM orders WHERE amount < 20")
+    assert single.sql(sql).to_pylist() == dist.sql(sql).to_pylist()
+
+
+def test_program_reuse_across_calls(mesh):
+    single, dist = make_sessions(mesh)
+    sql = ("SELECT cust, COUNT(*) FROM orders WHERE amount > 500 "
+           "GROUP BY cust ORDER BY cust NULLS LAST")
+    a = dist.sql(sql)
+    c0 = dist.mesh_pipeline.stats["compiles"]
+    b = dist.sql(sql)
+    assert dist.mesh_pipeline.stats["compiles"] == c0, "program not reused"
+    assert dist.mesh_pipeline.stats["hits"] >= 1
+    assert a.to_pylist() == b.to_pylist() == single.sql(sql).to_pylist()

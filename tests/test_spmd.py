@@ -165,7 +165,12 @@ def test_skew_aware_salted_join(mesh):
     expected = sum(cl[k] * cr.get(k, 0) for k in cl)
 
     for salt in (1, 4):
-        djoin = spmd.make_distributed_join_counts(mesh, 1, 1, salt=salt)
+        # recv_factor=None: salt=1 deliberately melts one shard (80% of
+        # rows on one key), which the default bounded exchange would (by
+        # design) flag as overflow rather than absorb
+        djoin = spmd.make_distributed_join_counts(
+            mesh, 1, 1, salt=salt, recv_factor=None
+        )
         out = djoin(
             stl.datas[0], stl.valids[0], stl.shard_rows,
             strr.datas[0], strr.valids[0], strr.shard_rows,
