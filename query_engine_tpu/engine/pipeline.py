@@ -1626,6 +1626,117 @@ class CompiledPipeline:
                        t.bounds)
 
     # ---- aggregate ---------------------------------------------------------
+    def _fd_dependent_keys(self, plan, leaf_ids, res):
+        """Group keys functionally dependent on other group keys through a
+        unique-side equi-join — the TPC-H Q3 shape: GROUP BY l_orderkey,
+        o_orderdate, o_shippriority where orders is unique on o_orderkey,
+        so the o_* keys are determined by l_orderkey. Dropping them from
+        the grouping-key set turns multi-key sort-based grouping into
+        single-key direct/bucket grouping (sort-free when the key is
+        bounded); their output values come from a representative row.
+
+        Sound because: on the join's unique (dup=1) side, one key VALUE
+        matches at most one build row, so every output column of that side
+        is single-valued per probe-key value. Outer rows are safe only
+        when the probe side is the outer side (their dependent columns are
+        all-NULL, still single-valued per key) — hence the join-type gate.
+        """
+        exprs = plan.group_exprs
+        if len(exprs) < 2 or not res:
+            return frozenset()
+
+        def unwrap(e):
+            while isinstance(e, lp.AliasExpr):
+                e = e.expr
+            return e
+
+        def resolve(node, idx):
+            """-> (terminal node id, col idx, [(join, side) crossings])"""
+            crossings = []
+            while True:
+                if id(node) in leaf_ids:
+                    return (id(node), idx, crossings)
+                if isinstance(node, (pp.PFilter, pp.PSort, pp.PLimit,
+                                     pp.PDistinct, pp.PSubquery)):
+                    node = node.input
+                    continue
+                if isinstance(node, pp.PProjection):
+                    pe = unwrap(node.exprs[idx])
+                    if not isinstance(pe, lp.ColumnRef):
+                        return None
+                    idx = pe.index
+                    node = node.input
+                    continue
+                if isinstance(node, pp.PHashJoin):
+                    n_left = len(node.left.schema())
+                    if idx < n_left:
+                        crossings.append((node, "L"))
+                        node = node.left
+                    else:
+                        crossings.append((node, "R"))
+                        idx -= n_left
+                        node = node.right
+                    continue
+                return (id(node), idx, crossings)
+
+        provs = []
+        for e in exprs:
+            ee = unwrap(e)
+            provs.append(
+                resolve(plan.input, ee.index)
+                if isinstance(ee, lp.ColumnRef) else None
+            )
+
+        dep: set = set()
+        joins = {}
+        for p in provs:
+            if p:
+                for j, _s in p[2]:
+                    joins[id(j)] = j
+        for jid, J in joins.items():
+            r = res.get(jid)
+            if r is None or r[0] not in ("L", "R") or r[1] != 1:
+                continue
+            side_b = r[0]
+            jt = J.join_type
+            if not (
+                jt is lp.JoinType.INNER
+                or (jt is lp.JoinType.LEFT and side_b == "R")
+                or (jt is lp.JoinType.RIGHT and side_b == "L")
+            ):
+                continue
+            cand = [
+                i for i, p in enumerate(provs)
+                if p and any(j is J and s == side_b for j, s in p[2])
+            ]
+            if not cand:
+                continue
+            # every probe-side join key must be among the kept group keys
+            probe_child = J.left if side_b == "R" else J.right
+            probe_terms = []
+            ok = True
+            for le, re_ in J.key_pairs:
+                pe = unwrap(le if side_b == "R" else re_)
+                if not isinstance(pe, lp.ColumnRef):
+                    ok = False
+                    break
+                term = resolve(probe_child, pe.index)
+                if term is None:
+                    ok = False
+                    break
+                probe_terms.append((term[0], term[1]))
+            if not ok:
+                continue
+            kept_terms = {
+                (p[0], p[1]) for i, p in enumerate(provs)
+                if p and i not in cand and i not in dep
+            }
+            if all(t in kept_terms for t in probe_terms):
+                dep.update(cand)
+        if not dep or len(dep) >= len(exprs):
+            return frozenset()
+        return frozenset(dep)
+
     def _trace_aggregate(self, plan: pp.PHashAggregate, tables, leaf_ids, res) -> _TTable:
         ex = self.executor
         t = self._trace(plan.input, tables, leaf_ids, res)
@@ -1635,8 +1746,16 @@ class CompiledPipeline:
         schema = plan.schema()
 
         mxu_bound = None  # static dense-gid bound enabling the MXU kernel
+        dep_keys = self._fd_dependent_keys(plan, leaf_ids, res)
+        if dep_keys:
+            self.stats["fd_pruned_keys"] = (
+                self.stats.get("fd_pruned_keys", 0) + len(dep_keys)
+            )
         if plan.group_exprs:
             gvals = [ex.evaluator.eval(g, shim) for g in plan.group_exprs]
+            ind = [i for i in range(len(gvals)) if i not in dep_keys]
+            g_exprs_i = [plan.group_exprs[i] for i in ind]
+            gvals_i = [gvals[i] for i in ind]
             # direct (sort-free) grouping when the single key's value range
             # is statically bounded: dictionary codes (range = dict size) or
             # an integer column with leaf min/max stats (bounds survive
@@ -1644,8 +1763,12 @@ class CompiledPipeline:
             # for the same information). Also shrinks every downstream
             # operator from row capacity to group capacity.
             direct = None  # (key plane, validity, lo, num_buckets)
-            ranges = []  # per key: (lo, range) or None
-            for g, v in zip(plan.group_exprs, gvals):
+            # FD-pruned grouping: only the independent keys participate in
+            # group-id computation (dense ids sorted by the independent
+            # keys equal those sorted by all keys — dependents are
+            # functions of them)
+            ranges = []  # per INDEPENDENT key: (lo, range) or None
+            for g, v in zip(g_exprs_i, gvals_i):
                 if v.dictionary is not None:
                     ranges.append((0, max(len(v.dictionary), 1)))
                 elif jnp.issubdtype(v.data.dtype, jnp.integer):
@@ -1654,10 +1777,11 @@ class CompiledPipeline:
                     ranges.append((0, 2))
                 else:
                     ranges.append(None)
-            if len(gvals) == 1:
+            if len(gvals_i) == 1:
                 r0 = ranges[0]
                 if r0 is not None and r0[1] + 1 <= ex._DIRECT_GROUP_MAX_RANGE:
-                    direct = (gvals[0].data, gvals[0].validity, r0[0], r0[1])
+                    direct = (gvals_i[0].data, gvals_i[0].validity,
+                              r0[0], r0[1])
             elif all(r is not None for r in ranges):
                 # combined code: lexicographic packing with a null slot per
                 # key (code R_i), matching the sort-based group order
@@ -1670,7 +1794,7 @@ class CompiledPipeline:
                         break
                 if prod <= ex._DIRECT_GROUP_MAX_RANGE:
                     combined = None
-                    for v, (lo_i, rng_i) in zip(gvals, ranges):
+                    for v, (lo_i, rng_i) in zip(gvals_i, ranges):
                         code = jnp.where(
                             v.validity,
                             jnp.clip(
@@ -1716,7 +1840,7 @@ class CompiledPipeline:
                 # bounded keys whose combination space exceeds the direct
                 # bucket range still compose into ONE i64 sort operand
                 gid, ng, rep = K.group_ids(
-                    [v.data for v in gvals], [v.validity for v in gvals],
+                    [v.data for v in gvals_i], [v.validity for v in gvals_i],
                     sel, ranges=ranges,
                 )
                 S = cap
@@ -1731,12 +1855,12 @@ class CompiledPipeline:
         cols: List[Column] = []
         if bucket_mode:
             iota_s = jnp.arange(S, dtype=jnp.int32)
-            if len(gvals) == 1:
-                v = gvals[0]
-                f = schema.field(0)
+            key_cols = {}  # group-key position -> (data, validity, dict)
+            if len(gvals_i) == 1:
+                v = gvals_i[0]
                 # int64 intermediate: lo can exceed int32 (timestamps)
                 d = (iota_s.astype(jnp.int64) + lo).astype(v.data.dtype)
-                cols.append(Column(d, iota_s < nb, f.data_type, v.dictionary))
+                key_cols[ind[0]] = (d, iota_s < nb, v.dictionary)
             else:
                 # decompose the combined lexicographic code per key
                 rem = iota_s
@@ -1745,13 +1869,42 @@ class CompiledPipeline:
                     codes.append(rem % (rng_i + 1))
                     rem = rem // (rng_i + 1)
                 codes.reverse()
-                for v, f, code, (lo_i, rng_i) in zip(
-                    gvals, schema, codes, ranges
+                for pos, v, code, (lo_i, rng_i) in zip(
+                    ind, gvals_i, codes, ranges
                 ):
                     d = (code.astype(jnp.int64) + lo_i).astype(v.data.dtype)
-                    cols.append(
-                        Column(d, code < rng_i, f.data_type, v.dictionary)
-                    )
+                    key_cols[pos] = (d, code < rng_i, v.dictionary)
+            if dep_keys:
+                # FD-dependent keys: single-valued per bucket, so any live
+                # row of the bucket serves; ONE i32 scatter-max builds the
+                # representative-row plane the bucket path otherwise avoids
+                lm_b = K.live_mask(cap, sel)
+                rep_b = jnp.zeros(S, dtype=jnp.int32).at[
+                    jnp.where(lm_b, gid, S)
+                ].max(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+                dpos = sorted(dep_keys)
+                dvals = [gvals[i] for i in dpos]
+                kb_d = []
+                for i in dpos:
+                    v = gvals[i]
+                    if v.dictionary is not None:
+                        kb_d.append((0, max(len(v.dictionary), 1)))
+                    else:
+                        b = _group_key_bounds(plan.group_exprs[i], t)
+                        kb_d.append(
+                            b if (b is not None and len(b) == 2) else None
+                        )
+                g_d, g_v = K.gather_columns_packed(
+                    [v.data for v in dvals], [v.validity for v in dvals],
+                    kb_d, rep_b,
+                )
+                for pos, d, vv, v in zip(dpos, g_d, g_v, dvals):
+                    key_cols[pos] = (d, vv, v.dictionary)
+            for i, f in enumerate(schema):
+                if i >= len(gvals):
+                    break
+                d, vv, dic = key_cols[i]
+                cols.append(Column(d, vv, f.data_type, dic))
         elif gvals:
             # representative-row gather of the group keys, packed: narrow
             # keys + validity bits share words (one gather, not 2/key)
@@ -1940,23 +2093,72 @@ class CompiledPipeline:
         out_cols = list(t.cols)
         schema = plan.schema()
 
-        spec_cache = {}
-        for wi, (wexpr, _name) in enumerate(zip(plan.window_exprs, plan.names)):
-            spec_key = (
+        # ---- shared-sort planning (VERDICT r2 item 6) -------------------
+        # Specs with the same PARTITION BY whose ORDER BY is a PREFIX of
+        # another spec's share that spec's single sort permutation: the
+        # within-peer order the extra keys impose is invisible to
+        # order-independent functions (RANK/DENSE_RANK; aggregates over
+        # whole-partition or RANGE..CURRENT frames — peers resolve them).
+        # A 3-spec query then costs ~1 sort instead of 3.
+        def _spec_key(wexpr):
+            return (
                 tuple(str(_expr_key(p)) for p in wexpr.partition_by),
                 tuple(
                     (str(_expr_key(k.expr)), k.asc, k.resolved_nulls_first())
                     for k in wexpr.order_by
                 ),
             )
-            if spec_key in spec_cache:
-                perm, pad_sorted, seg_change, peer_change, seg = spec_cache[spec_key]
-            else:
+
+        def _order_independent(wexpr):
+            fn = wexpr.func
+            if fn in (lp.WindowFn.RANK, lp.WindowFn.DENSE_RANK):
+                return True
+            if fn in (lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.AVG,
+                      lp.WindowFn.MIN, lp.WindowFn.MAX):
+                from query_engine_tpu.engine.executor import (
+                    classify_window_frame,
+                )
+
+                try:
+                    fdesc = classify_window_frame(
+                        wexpr.frame, bool(wexpr.order_by)
+                    )
+                except Exception:
+                    return False
+                return fdesc[0] in ("partition", "range_current")
+            return False
+
+        spec_keys = [_spec_key(w) for w in plan.window_exprs]
+        spec_exprs = {}  # spec key -> a window expr carrying those keys
+        for w, sk in zip(plan.window_exprs, spec_keys):
+            spec_exprs.setdefault(sk, w)
+        host_of = []
+        for w, (pk, okeys) in zip(plan.window_exprs, spec_keys):
+            best = (pk, okeys)
+            if _order_independent(w):
+                for pk2, ok2 in spec_exprs:
+                    if (
+                        pk2 == pk and len(ok2) > len(best[1])
+                        and ok2[: len(okeys)] == okeys
+                    ):
+                        best = (pk2, ok2)
+            host_of.append(best)
+
+        host_cache = {}  # host key -> (perm, pad_sorted, parts_norm,
+        #                               orders_norm per-key, np_)
+        seg_cache = {}   # (host key, n order keys used) -> seg triple
+        spec_cache = {}  # inverse permutations per host
+        for wi, (wexpr, _name) in enumerate(zip(plan.window_exprs, plan.names)):
+            spec_key = host_of[wi]
+            n_own_order = len(wexpr.order_by)
+            host = host_cache.get(spec_key)
+            if host is None:
+                hexpr = spec_exprs[spec_key]
                 part_vals = [
-                    ex.evaluator.eval(p, shim) for p in wexpr.partition_by
+                    ex.evaluator.eval(p, shim) for p in hexpr.partition_by
                 ]
                 o_vals, o_ascs, o_nfs = [], [], []
-                for k in wexpr.order_by:
+                for k in hexpr.order_by:
                     o_vals.append(ex.evaluator.eval(k.expr, shim))
                     o_ascs.append(k.asc)
                     o_nfs.append(k.resolved_nulls_first())
@@ -1964,8 +2166,8 @@ class CompiledPipeline:
                 o_valids = [v.validity for v in o_vals]
                 p_datas = [v.data for v in part_vals]
                 p_valids = [v.validity for v in part_vals]
-                key_exprs = list(wexpr.partition_by) + [
-                    k.expr for k in wexpr.order_by
+                key_exprs = list(hexpr.partition_by) + [
+                    k.expr for k in hexpr.order_by
                 ]
                 kb = _key_ranges(key_exprs, part_vals + o_vals, t)
                 perm = K.sort_permutation(
@@ -1983,18 +2185,28 @@ class CompiledPipeline:
                     p_datas + o_datas, p_valids + o_valids, kb, perm
                 )
                 np_ = len(p_datas)
-                part_sorted = []
+                parts_norm = []
                 for d, v in zip(g_d[:np_], g_v[:np_]):
                     key, null = K.normalize_key(d, v)
-                    part_sorted += [null.astype(jnp.int32), key]
-                order_sorted = []
+                    parts_norm += [null.astype(jnp.int32), key]
+                orders_norm = []  # one [null, key] pair per order key
                 for d, v in zip(g_d[np_:], g_v[np_:]):
                     key, null = K.normalize_key(d, v)
-                    order_sorted += [null.astype(jnp.int32), key]
-                seg_change, peer_change, seg = K.window_segments(
-                    part_sorted, order_sorted, pad_sorted
+                    orders_norm.append([null.astype(jnp.int32), key])
+                host = (perm, pad_sorted, parts_norm, orders_norm)
+                host_cache[spec_key] = host
+            perm, pad_sorted, parts_norm, orders_norm = host
+            seg_key = (spec_key, n_own_order)
+            trip = seg_cache.get(seg_key)
+            if trip is None:
+                order_sorted = [
+                    p for pair in orders_norm[:n_own_order] for p in pair
+                ]
+                trip = K.window_segments(
+                    parts_norm, order_sorted, pad_sorted
                 )
-                spec_cache[spec_key] = (perm, pad_sorted, seg_change, peer_change, seg)
+                seg_cache[seg_key] = trip
+            seg_change, peer_change, seg = trip
 
             def sorted_arg(av, e):
                 """Argument plane through perm, packed (1 gather when the
@@ -2114,6 +2326,12 @@ class CompiledPipeline:
                 out_d = out_d.astype(jnp.int32)
             out_cols.append(Column(out_d, out_v, f.data_type, out_dict))
 
+        self.stats["window_sorts"] = (
+            self.stats.get("window_sorts", 0) + len(host_cache)
+        )
+        self.stats["window_specs"] = (
+            self.stats.get("window_specs", 0) + len(set(spec_keys))
+        )
         return _TTable(schema, out_cols, sel, cap, t.dense,
                        t.bounds + [None] * len(plan.window_exprs))
 

@@ -167,3 +167,40 @@ def test_compiled_matches_eager(env):
         assert s.sql(q).to_pylist() == fast
     finally:
         s.executor._compiled = True
+
+
+def test_shared_sort_across_prefix_specs():
+    """Three window specs sharing a PARTITION BY + ORDER BY prefix compile
+    to ONE sort permutation (VERDICT r2 item 6); results match eager."""
+    import numpy as np
+    from query_engine_tpu.engine.session import Session
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    data = {
+        "dept": rng.integers(0, 8, n).tolist(),
+        "sal": rng.integers(1, 100000, n).tolist(),
+        "id": list(range(n)),
+    }
+    sql = (
+        "SELECT id, "
+        "RANK() OVER (PARTITION BY dept ORDER BY sal) AS r, "
+        "SUM(sal) OVER (PARTITION BY dept ORDER BY sal) AS run, "
+        "ROW_NUMBER() OVER (PARTITION BY dept ORDER BY sal, id) AS rn "
+        "FROM t ORDER BY id LIMIT 50"
+    )
+    res = []
+    for compiled in (True, False):
+        s = Session()
+        s.register_table("t", data)
+        s.executor._compiled = compiled
+        r = s.sql(sql).to_pylist()
+        if compiled:
+            st = s.executor.pipeline.stats
+            # RANK and SUM share one spec; ROW_NUMBER adds the longer one
+            assert st.get("window_specs", 0) == 2
+            assert st.get("window_sorts", 0) == 1, (
+                f"prefix specs did not share the sort: {st}"
+            )
+        res.append(r)
+    assert res[0] == res[1]
