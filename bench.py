@@ -220,7 +220,10 @@ def _engine_bench(iters):
 # the same 99 ms/8M as random), so ops that index per-row are bounded by
 # the op pipeline, not HBM bandwidth.
 PRIM_NS_PER_ROW = {
-    "sort_packed": 5.9,  # lax.sort, ONE packed i64 key + i32 perm: 47 ms/8M
+    # r3 amortized re-measurement: the 47 ms/8M (5.9 ns/row) figure from
+    # round 2 carried residual dispatch; the dispatch-cancelled number is
+    # 72 ms/16.7M for packed-key + perm lax.sort
+    "sort_packed": 4.3,  # lax.sort, ONE packed i64 key + i32 perm
     "gather": 12.3,      # per gathered word: 98 ms/8M (element-serial)
     "scatter": 10.0,     # i32 scatter / scatter-add: 80 ms/8M
 }
