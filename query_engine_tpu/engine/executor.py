@@ -180,6 +180,9 @@ class QueryExecutor:
 
         self.pipeline = CompiledPipeline(self)
         self._compiled = compiled_enabled()
+        from query_engine_tpu.engine.chunked import ChunkedAggregate
+
+        self.chunked = ChunkedAggregate(self)
 
     # ---- entry ---------------------------------------------------------
     def execute(self, plan: pp.PhysicalPlan) -> ColumnBatch:
@@ -192,6 +195,9 @@ class QueryExecutor:
         name = type(plan).__name__
         name = (name[1:] if name.startswith("P") else name).lower() or "node"
         if self._compiled:
+            out = self.chunked.try_execute(plan)  # engages above threshold
+            if out is not None:
+                return out
             with GLOBAL_PROFILER.op("compiled_pipeline") as rec:
                 out = self.pipeline.try_execute(plan)
                 if out is not None:
@@ -210,6 +216,12 @@ class QueryExecutor:
         if isinstance(plan, _Materialized):
             return plan.batch
         if self._compiled and not _skip_compiled:
+            # 100M+-row aggregates run chunked (partial per row-chunk ->
+            # final combine) to stay inside HBM; engages only above the
+            # QE_CHUNK_ENGAGE capacity threshold
+            out = self.chunked.try_execute(plan)
+            if out is not None:
+                return out
             out = self.pipeline.try_execute(plan)
             if out is not None:
                 return out

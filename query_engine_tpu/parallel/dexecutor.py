@@ -77,7 +77,13 @@ class ExecutionStats:
 class DistributedExecutor:
     def __init__(self, coordinator: Coordinator,
                  config: Optional[ExecutorConfig] = None,
-                 fault: Optional[FaultManager] = None):
+                 fault: Optional[FaultManager] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh. When set, eligible plans
+        execute as ONE shard_map program over the mesh (the TPU-native
+        path, parallel/mesh_pipeline.py) instead of the host-side stage
+        walk; plans without a distributed lowering (and all fault/
+        checkpoint-exercising paths) use the stage walk below."""
         self.coordinator = coordinator
         self.config = config or ExecutorConfig()
         self.planner = DistributedPlanner(
@@ -86,6 +92,8 @@ class DistributedExecutor:
         self.scheduler = TaskScheduler()
         self.fault = fault or FaultManager()
         self.stats = ExecutionStats()
+        self.mesh = mesh
+        self._mesh_pipeline = None
         self._queries: Dict[str, QueryExecution] = {}
         self._cancelled: set = set()
         self._lock = threading.RLock()
@@ -138,12 +146,30 @@ class DistributedExecutor:
 
     # ---- stage walk -----------------------------------------------------
     def _execute_inner(self, query_id, plan, sources) -> ColumnBatch:
+        if self.mesh is not None:
+            out = self._try_mesh(plan, sources)
+            if out is not None:
+                return out
         dplan = self.planner.plan(plan)
         if dplan.is_local:
             pplan = Lowering(sources).lower(dplan.local_plan)
             return QueryExecutor().execute(pplan)
 
-        lowering = Lowering(sources)
+        return self._stage_walk(query_id, dplan, Lowering(sources))
+
+    def _try_mesh(self, plan, sources) -> Optional[ColumnBatch]:
+        """Route through the SPMD shard_map path (one program, all_to_all
+        exchanges) — the execution model the stage walk only coordinates."""
+        from query_engine_tpu.engine.executor import QueryExecutor
+        from query_engine_tpu.parallel.mesh_pipeline import MeshPipeline
+
+        if self._mesh_pipeline is None:
+            self._mesh_executor = QueryExecutor()
+            self._mesh_pipeline = MeshPipeline(self._mesh_executor, self.mesh)
+        pplan = Lowering(sources).lower(plan)
+        return self._mesh_pipeline.try_execute(pplan)
+
+    def _stage_walk(self, query_id, dplan, lowering) -> ColumnBatch:
         outputs: Dict[int, List[ColumnBatch]] = {}
         execution = self._queries[query_id]
         for stage in dplan.stages:

@@ -612,107 +612,15 @@ class MeshPipeline:
 
     @staticmethod
     def _partial_eligible(plan) -> bool:
-        """Partial -> exchange -> final decomposition (the reference's
-        two-stage aggregate split, planner.rs:200-226, as collectives):
-        eligible for the decomposable aggregates. DISTINCT and decimal
-        aggregates ride the row-exchange path instead (exact semantics
-        via the single-chip tracer on co-located rows)."""
-        for a in plan.agg_exprs:
-            if a.distinct:
-                return False
-            if a.expr is None:
-                continue
-            if a.func not in _GLOBAL_PARTIAL:
-                return False
-            if a.expr.dtype.kind.name == "DECIMAL128":
-                return False
-        return True
+        from query_engine_tpu.engine.partial_agg import partial_eligible
 
-    def _partial_final_plans(self, plan):
-        """Build (partial aggregate, final aggregate, output projection)
-        plan nodes. All positional: Schema tolerates duplicate names and
-        the traced path never looks columns up by name."""
-        from query_engine_tpu.core.types import DataType
+        return partial_eligible(plan)
 
-        cached = getattr(plan, "_qe_partial_final", None)
-        if cached is not None:
-            return cached
-        k = len(plan.group_exprs)
-        partial_aggs: List[lp.AggregateExpr] = []
-        # per original agg: list of partial column offsets
-        slots: List[List[int]] = []
-        for a in plan.agg_exprs:
-            if a.func is lp.AggFunc.AVG:
-                slots.append([len(partial_aggs), len(partial_aggs) + 1])
-                partial_aggs.append(lp.AggregateExpr(lp.AggFunc.SUM, a.expr))
-                partial_aggs.append(
-                    lp.AggregateExpr(lp.AggFunc.COUNT, a.expr)
-                )
-            else:
-                slots.append([len(partial_aggs)])
-                partial_aggs.append(lp.AggregateExpr(a.func, a.expr))
-        partial = pp.PHashAggregate(
-            input=plan.input, group_exprs=list(plan.group_exprs),
-            agg_exprs=partial_aggs, mode="single",
-        )
-        pschema = partial.schema()
+    @staticmethod
+    def _partial_final_plans(plan):
+        from query_engine_tpu.engine.partial_agg import build_partial_final
 
-        def colref(i):
-            f = pschema.field(i)
-            return lp.ColumnRef(i, f.name, f.data_type, f.nullable)
-
-        _COMBINE = {
-            lp.AggFunc.COUNT: lp.AggFunc.SUM,
-            lp.AggFunc.SUM: lp.AggFunc.SUM,
-            lp.AggFunc.MIN: lp.AggFunc.MIN,
-            lp.AggFunc.MAX: lp.AggFunc.MAX,
-        }
-        final_aggs: List[lp.AggregateExpr] = []
-        for j, pa in enumerate(partial_aggs):
-            final_aggs.append(
-                lp.AggregateExpr(_COMBINE[pa.func], colref(k + j))
-            )
-        final = pp.PHashAggregate(
-            input=partial, group_exprs=[colref(i) for i in range(k)],
-            agg_exprs=final_aggs, mode="single",
-        )
-        fschema = final.schema()
-
-        def fref(i):
-            f = fschema.field(i)
-            return lp.ColumnRef(i, f.name, f.data_type, f.nullable)
-
-        out_schema = plan.schema()
-        proj_exprs: List[lp.LogicalExpr] = []
-        for i in range(k):
-            proj_exprs.append(
-                lp.AliasExpr(fref(i), out_schema.field(i).name)
-            )
-        f64 = DataType.float64()
-        for a, sl, f in zip(plan.agg_exprs, slots,
-                            out_schema.fields[k:]):
-            if a.func is lp.AggFunc.AVG:
-                s_col = fref(k + sl[0])
-                c_col = fref(k + sl[1])
-                # NULLIF(count, 0): all-null groups stay NULL, matching
-                # the single-chip AVG's validity (has = count > 0)
-                div = lp.BinaryExpr(
-                    lp.CastExpr(s_col, f64), lp.BinOp.DIV,
-                    lp.CastExpr(
-                        lp.ScalarFnExpr(
-                            lp.ScalarFn.NULLIF,
-                            [c_col, lp.Literal(lp.ScalarValue.int64(0))],
-                        ),
-                        f64,
-                    ),
-                )
-                proj_exprs.append(lp.AliasExpr(div, f.name))
-            else:
-                proj_exprs.append(lp.AliasExpr(fref(k + sl[0]), f.name))
-        proj = pp.PProjection(input=final, exprs=proj_exprs)
-        out = (partial, final, proj)
-        plan._qe_partial_final = out
-        return out
+        return build_partial_final(plan)
 
     def _mtrace_partial_final(self, plan, t, res, ov, factor) -> _TTable:
         """Grouped aggregate as partial -> all_to_all of partial GROUPS ->

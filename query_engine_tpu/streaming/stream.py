@@ -44,6 +44,13 @@ class StreamConfig:
     max_lateness_secs: float = 0.0
     enable_checkpointing: bool = False
     event_time_column: Optional[str] = None
+    # device-resident append buffer: each batch uploads ONCE into
+    # capacity-doubling device planes (dictionary delta-merge included);
+    # window emission snapshots zero-copy and runs through ONE persistent
+    # Session, so compiled programs are reused across windows. Falls back
+    # to host buffering when checkpointing is on (snapshots need the raw
+    # batches) or no SQL query is attached.
+    device_buffer: bool = True
 
 
 @dataclass
@@ -91,6 +98,14 @@ class StreamingQuery:
         self._results: List[ColumnBatch] = []
         self._pause = threading.Event()
         self._stop = threading.Event()
+        self._use_device = (
+            self.config.device_buffer
+            and not self.config.enable_checkpointing
+            and self.query is not None
+        )
+        self._dev_table = None  # built on the first batch (needs a schema)
+        self._dev_last_batch_rows = 0
+        self._session = None
 
     # ---- checkpointing (the reference's enable_checkpointing flag is
     # never consumed, stream.rs:24-26; here it snapshots/restores the
@@ -150,7 +165,9 @@ class StreamingQuery:
                     self._emit_window()
                     self._window.reset()
             # flush-on-end (stream.rs flush)
-            if self._buffer:
+            if self._buffer or (
+                self._dev_table is not None and self._dev_table.num_rows > 0
+            ):
                 self._emit_window()
             self.status = StreamStatus.COMPLETED
         except Exception as e:  # noqa: BLE001 stream isolation boundary
@@ -166,7 +183,19 @@ class StreamingQuery:
                 return
         if self._window is not None and hasattr(self._window, "on_event"):
             self._window.on_event()
-        self._buffer.append(batch)
+        if self._use_device:
+            if self._dev_table is None:
+                from query_engine_tpu.streaming.device_table import (
+                    DeviceStreamTable,
+                )
+
+                self._dev_table = DeviceStreamTable(
+                    batch.schema, max(self.config.batch_size, 1024)
+                )
+            self._dev_table.append(batch)
+            self._dev_last_batch_rows = batch.num_rows
+        else:
+            self._buffer.append(batch)
         self.stats.batches_processed += 1
         self.stats.rows_processed += batch.num_rows
 
@@ -194,6 +223,9 @@ class StreamingQuery:
         return batch.take_host(np.asarray(keep, dtype=np.int64))
 
     def _emit_window(self) -> None:
+        if self._use_device:
+            self._emit_window_device()
+            return
         if not self._buffer:
             return
         window_batch = (
@@ -218,6 +250,27 @@ class StreamingQuery:
             self._buffer = self._buffer[-1:]
         else:
             self._buffer = []
+
+    def _emit_window_device(self) -> None:
+        if self._dev_table is None or self._dev_table.num_rows == 0:
+            return
+        if self._session is None:
+            from query_engine_tpu.engine.session import Session
+
+            self._session = Session()
+        snap = self._dev_table.snapshot()
+        # re-register the zero-copy snapshot; the persistent Session keeps
+        # compiled programs warm across windows (same capacity bucket)
+        self._session.register_table(self.table_name, snap)
+        result = self._session.sql(self.query)
+        self._results.append(result)
+        self.stats.windows_emitted += 1
+        if self.on_result is not None:
+            self.on_result(result)
+        if self._window is not None and self._window.keeps_rows_after_trigger():
+            self._dev_table.retain_last(self._dev_last_batch_rows)
+        else:
+            self._dev_table.clear()
 
     @property
     def results(self) -> List[ColumnBatch]:

@@ -291,3 +291,38 @@ def test_checkpoint_disk_spill(tmp_path):
     assert loaded[0].to_pydict() == b.to_pydict()
     assert loaded[1].num_rows == 5
     assert fm.recover_from_checkpoint("q9").resume_from_stage == 1
+
+
+def test_distributed_executor_mesh_route():
+    """DistributedExecutor(mesh=...) executes eligible plans as ONE
+    shard_map program (parallel/mesh_pipeline.py) instead of the
+    host-side stage walk."""
+    import jax
+    import numpy as np
+
+    from query_engine_tpu.engine.session import Session
+    from query_engine_tpu.parallel.coordinator import Coordinator
+    from query_engine_tpu.parallel.dexecutor import DistributedExecutor
+    from query_engine_tpu.parallel.mesh import make_mesh
+    from query_engine_tpu.sql.parser import parse_sql
+
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(4)
+    n = 2000
+    data = {"k": rng.integers(0, 20, n).tolist(),
+            "v": rng.integers(0, 100, n).tolist()}
+    s = Session()
+    s.register_table("t", data)
+    plan = s.planner.create_logical_plan(parse_sql(
+        "SELECT k, SUM(v) AS s, COUNT(*) AS c FROM t "
+        "WHERE v > 10 GROUP BY k ORDER BY k"
+    ))
+    dx = DistributedExecutor(Coordinator(), mesh=mesh)
+    out = dx.execute(plan, s.sources)
+    expected = s.sql(
+        "SELECT k, SUM(v) AS s, COUNT(*) AS c FROM t "
+        "WHERE v > 10 GROUP BY k ORDER BY k"
+    )
+    assert out.to_pylist() == expected.to_pylist()
+    assert dx._mesh_pipeline is not None
+    assert dx._mesh_pipeline.stats["compiles"] >= 1
