@@ -373,18 +373,33 @@ def _per_op(cap, bcap, args, iters):
         )
 
     def join_op(salt, d, dv, bd, bdv, n, nb):
-        lr, rr = K.join_ranks([(d + salt.astype(d.dtype), dv)],
-                              [(bd, bdv)], n, nb)
-        return K.join_counts(lr, rr, n, nb)[0]
+        # the engine's general join path: fused ranks+counts (counts from
+        # sorted-space scans, no rank-table gather)
+        out = K.join_ranks_counts(
+            [(d + salt.astype(d.dtype), dv)], [(bd, bdv)], n, nb
+        )
+        return out[2] + jnp.sum(out[0])  # total + ranks (keep both live)
 
-    # joint packed rank sort over cap+bcap rows + the right-by-rank stable
-    # sort; the rank-space segment sums and the cnt_r gather run over a
-    # DENSE contiguous id space, far cheaper than the random-scatter
-    # ceiling, so they enter as a bandwidth term
+    # joint packed rank sort + right-by-rank sort + the rank/count row
+    # scatters + segmented scans
     timed(
         "sort_rank_join_count", 5,
-        [("sort_packed", 1.07), ("sort_packed", 0.07), ("hbm", 24)],
+        [("sort_packed", 1.07), ("sort_packed", 0.07), ("scatter", 2.0),
+         ("hbm", 24)],
         join_op, dept, dept_v, bdept, bdept_v, n_rows, n_build,
+    )
+
+    def count_op(salt, d, dv, bd, bdv, n, nb):
+        # the emit-capacity COUNT program: sorted-space only, no
+        # scatters/gathers at all (kernels.join_count_total)
+        return K.join_count_total(
+            [(d + salt.astype(d.dtype), dv)], [(bd, bdv)], n, nb
+        )[0]
+
+    timed(
+        "join_count_program", 5,
+        [("sort_packed", 1.07), ("hbm", 20)],
+        count_op, dept, dept_v, bdept, bdept_v, n_rows, n_build,
     )
 
     # the join that actually serves engine queries (FK fast path: direct

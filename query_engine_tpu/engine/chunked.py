@@ -75,8 +75,14 @@ class ChunkedAggregate:
             return None
         cc = min(chunk_rows(), batch.capacity)
 
-        from query_engine_tpu.engine.pipeline import ensure_bounds
+        from query_engine_tpu.engine.pipeline import (
+            ensure_bounds, ensure_device,
+        )
 
+        # the table must be device-resident BEFORE chunking: chunk slices
+        # are then device-side ops — without this every chunk re-uploads
+        # its slice through the (tunneled) host path on EVERY dispatch
+        ensure_device(batch)
         ensure_bounds(batch)
         partial, final, proj = build_partial_final(agg)
 

@@ -1328,16 +1328,31 @@ class CompiledPipeline:
         # bounded (dictionary codes or int min/max stats): rank = key - lo,
         # skipping join_ranks' joint sort entirely
         n_ranks = None
+        lr = rr = None
         if len(plan.key_pairs) == 1:
             n_ranks, lr, rr = self._direct_join_ranks(
                 plan, lkeys[0], rkeys[0], lt, rt
             )
-        if n_ranks is None:
-            lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
 
         if side == "C":
-            # count pass (emit-capacity sync): same ranks as the emit
-            # program; surface the total output size to the host
+            # count pass (emit-capacity sync): surface the total output
+            # size to the host. Sorted path: join_count_total works
+            # entirely in sorted space — no rank scatter, no count gather
+            # (the count program costs ~the joint sort alone).
+            if n_ranks is None:
+                total, ml, mr = K.join_count_total(
+                    lkeys, rkeys, lt.sel, rt.sel
+                )
+                out_rows = total
+                if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+                    out_rows = out_rows + (
+                        jnp.sum(lt.sel.astype(jnp.int64)) - ml
+                    )
+                if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+                    out_rows = out_rows + (
+                        jnp.sum(rt.sel.astype(jnp.int64)) - mr
+                    )
+                raise _CountReady(plan, out_rows)
             total, _, _, _, _, lm_c, rm_c = K.join_counts(
                 lr, rr, lt.sel, rt.sel
             )
@@ -1352,6 +1367,11 @@ class CompiledPipeline:
                 )
             raise _CountReady(plan, out_rows)
 
+        if n_ranks is None and dup == 1 and side == "R" and jt in (
+            lp.JoinType.INNER, lp.JoinType.LEFT,
+        ):
+            # the FK fast path needs row-order ranks only
+            lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
         if dup == 1 and side == "R" and jt in (
             lp.JoinType.INNER, lp.JoinType.LEFT,
         ):
@@ -1393,8 +1413,16 @@ class CompiledPipeline:
                               False, out.bounds)
             return out
 
-        (total, counts, _off, rank_start, right_by_rank,
-         lmatched, rmatched) = K.join_counts(lr, rr, lt.sel, rt.sel)
+        if n_ranks is None:
+            # fused general path: counts from sorted-space scans (no
+            # rank-table gather; kernels.join_ranks_counts)
+            (lr, rr, total, counts, _off, rank_start, right_by_rank,
+             lmatched, rmatched) = K.join_ranks_counts(
+                lkeys, rkeys, lt.sel, rt.sel
+            )
+        else:
+            (total, counts, _off, rank_start, right_by_rank,
+             lmatched, rmatched) = K.join_counts(lr, rr, lt.sel, rt.sel)
 
         li, ri, valid = K.join_emit_inner(
             counts, rank_start, right_by_rank, lr, total, out_cap

@@ -1000,9 +1000,9 @@ def join_ranks(
     left_keys/right_keys: per-key (data, validity); capacities may differ.
     Returns (left_ranks[cap_l], right_ranks[cap_r]) int32.
     """
-    l, r, _, _ = _join_ranks_full(left_keys, right_keys, n_left, n_right,
-                                  null_equal)
-    return l, r
+    out = _join_ranks_full(left_keys, right_keys, n_left, n_right,
+                           null_equal)
+    return out[0], out[1]
 
 
 def _join_ranks_full(left_keys, right_keys, n_left, n_right,
@@ -1069,7 +1069,116 @@ def _join_ranks_full(left_keys, right_keys, n_left, n_right,
     if not null_equal:
         # null keys never match: unique negative rank per row
         ranks = jnp.where(any_null, -(perm + 2), ranks)
-    return ranks[:cap_l], ranks[cap_l:], sperm, sorted_lead
+    return ranks[:cap_l], ranks[cap_l:], sperm, sorted_lead, change
+
+
+def _seg_total_i32(x: jnp.ndarray, change: jnp.ndarray) -> jnp.ndarray:
+    """Per-position segment total of x (segments delimited by `change`
+    start flags) — pure scans, no gathers: cumsum + broadcast-first of
+    the inclusive prefix at both segment ends."""
+    c = jnp.cumsum(x)
+    first_c = _run_broadcast_first(c, change)
+    first_x = _run_broadcast_first(x, change)
+    end_flag = jnp.roll(change, -1).at[-1].set(True)
+    last_c = _run_broadcast_first(c[::-1], end_flag[::-1])[::-1]
+    return last_c - first_c + first_x
+
+
+def join_ranks_counts(
+    left_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    right_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    n_left,
+    n_right,
+):
+    """Fused join_ranks + join_counts from ONE joint sort.
+
+    join_counts' per-left-row count was a random gather from the rank
+    table (`cnt_r[lr_c]`, ~12 ns/row element-serial on TPU — the largest
+    single term in the 355 ms/16.7M round-3 measurement). Here the
+    per-segment right-count is computed IN SORTED SPACE with scans
+    (bandwidth-bound) and scattered once to row order — the scatter
+    shares its cost class with the rank scatter that already exists.
+
+    Returns (lr, rr, total, counts, offsets, rank_start, right_by_rank,
+    left_matched, right_matched) — same contract as join_ranks followed
+    by join_counts (SQL equi-join NULL semantics: NULL keys never match).
+    """
+    cap_l = left_keys[0][0].shape[0]
+    cap_r = right_keys[0][0].shape[0]
+    n_ranks = cap_l + cap_r
+    lr, rr, sperm, sorted_lead, change = _join_ranks_full(
+        left_keys, right_keys, n_left, n_right
+    )
+    valid_pos = sorted_lead == 0  # live, non-null keys
+    is_right = sperm >= cap_l
+    x_r = (valid_pos & is_right).astype(jnp.int32)
+    tot_r = _seg_total_i32(x_r, change)
+    left_pos = valid_pos & ~is_right
+    # scatter per-left counts back to row order (i32; drop non-left)
+    tgt = jnp.where(left_pos, sperm, jnp.int32(n_ranks))
+    counts = (
+        jnp.zeros(cap_l, dtype=jnp.int32)
+        .at[tgt]
+        .set(jnp.where(left_pos, tot_r, 0), mode="drop")
+    )
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int64)
+    total = jnp.sum(counts.astype(jnp.int64))
+    left_matched = counts > 0
+    x_l = left_pos.astype(jnp.int32)
+    tot_l = _seg_total_i32(x_l, change)
+    rtgt = jnp.where(valid_pos & is_right, sperm - cap_l, jnp.int32(n_ranks))
+    right_matched = (
+        jnp.zeros(cap_r, dtype=bool)
+        .at[rtgt]
+        .set(tot_l > 0, mode="drop")
+    )
+    # emit machinery: right rows grouped by rank (small-side sort)
+    lm_r = live_mask(cap_r, n_right)
+    r_ok = lm_r & (rr >= 0)
+    rr_c = jnp.where(r_ok, rr, n_ranks - 1).astype(jnp.int32)
+    cnt_r_table = jax.ops.segment_sum(
+        r_ok.astype(jnp.int32), rr_c, num_segments=n_ranks
+    )
+    rank_start = jnp.cumsum(cnt_r_table) - cnt_r_table
+    rperm = jnp.arange(cap_r, dtype=jnp.int32)
+    _, right_by_rank = jax.lax.sort([rr_c, rperm], num_keys=1,
+                                    is_stable=True)
+    return (lr, rr, total, counts, offsets, rank_start, right_by_rank,
+            left_matched, right_matched)
+
+
+def join_count_total(
+    left_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    right_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    n_left,
+    n_right,
+):
+    """COUNT-pass-only join size with NO scatters or gathers: one joint
+    sort + segmented scans + reductions (the emit-capacity count program
+    reads one scalar; ranks are never materialized — XLA DCE removes the
+    rank scatter inside _join_ranks_full since lr/rr go unused).
+
+    Returns (total_matches, matched_left_rows, matched_right_rows).
+    """
+    cap_l = left_keys[0][0].shape[0]
+    _, _, sperm, sorted_lead, change = _join_ranks_full(
+        left_keys, right_keys, n_left, n_right
+    )
+    valid_pos = sorted_lead == 0
+    is_right = sperm >= cap_l
+    x_r = (valid_pos & is_right).astype(jnp.int32)
+    x_l = (valid_pos & ~is_right).astype(jnp.int32)
+    tot_r = _seg_total_i32(x_r, change)
+    tot_l = _seg_total_i32(x_l, change)
+    left_pos = valid_pos & ~is_right
+    total = jnp.sum(
+        jnp.where(left_pos, tot_r, 0).astype(jnp.int64)
+    )
+    matched_left = jnp.sum((left_pos & (tot_r > 0)).astype(jnp.int64))
+    matched_right = jnp.sum(
+        (valid_pos & is_right & (tot_l > 0)).astype(jnp.int64)
+    )
+    return total, matched_left, matched_right
 
 
 def join_counts(

@@ -394,3 +394,42 @@ def test_group_ids_composite_ranges_matches_default():
     assert np.array_equal(np.asarray(g0)[: n - 13], np.asarray(g1)[: n - 13])
     ng = int(n0)
     assert np.array_equal(np.asarray(r0)[:ng], np.asarray(r1)[:ng])
+
+
+def test_join_ranks_counts_fused_matches_legacy():
+    """join_ranks_counts / join_count_total (sorted-space scans) agree
+    with join_ranks + join_counts on every output, incl. NULL keys."""
+    import numpy as np
+    import jax.numpy as jnp
+    from query_engine_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(17)
+    cap_l, cap_r = 512, 256
+    nl, nr = 490, 230
+    ld = jnp.asarray(rng.integers(0, 50, cap_l))
+    lv = jnp.asarray(rng.random(cap_l) > 0.1)
+    rd = jnp.asarray(rng.integers(0, 50, cap_r))
+    rv = jnp.asarray(rng.random(cap_r) > 0.1)
+
+    lr0, rr0 = K.join_ranks([(ld, lv)], [(rd, rv)], nl, nr)
+    legacy = K.join_counts(lr0, rr0, nl, nr)
+    (lt, lc, lo, lrs, lrbr, llm, lrm) = legacy
+
+    (lr1, rr1, total, counts, offsets, rank_start, right_by_rank,
+     lmatched, rmatched) = K.join_ranks_counts(
+        [(ld, lv)], [(rd, rv)], nl, nr
+    )
+    assert np.array_equal(np.asarray(lr1), np.asarray(lr0))
+    assert np.array_equal(np.asarray(rr1), np.asarray(rr0))
+    assert int(total) == int(lt)
+    assert np.array_equal(np.asarray(counts), np.asarray(lc))
+    assert np.array_equal(np.asarray(offsets), np.asarray(lo))
+    assert np.array_equal(np.asarray(rank_start), np.asarray(lrs))
+    assert np.array_equal(np.asarray(right_by_rank), np.asarray(lrbr))
+    assert np.array_equal(np.asarray(lmatched), np.asarray(llm))
+    assert np.array_equal(np.asarray(rmatched), np.asarray(lrm))
+
+    t2, ml, mr = K.join_count_total([(ld, lv)], [(rd, rv)], nl, nr)
+    assert int(t2) == int(lt)
+    assert int(ml) == int(np.asarray(llm).sum())
+    assert int(mr) == int(np.asarray(lrm).sum())
