@@ -50,6 +50,20 @@ class Session:
         self.optimizer = Optimizer()
         self.executor = QueryExecutor(self.udfs)
         self.mesh_pipeline = None
+        if mesh is None:
+            # QE_MESH_DEVICES=N turns every entry point (REPL, CLI,
+            # pgwire, Flight) into a mesh session without code changes
+            import os
+
+            n = int(os.environ.get("QE_MESH_DEVICES", "0"))
+            if n > 1:
+                import jax
+
+                from query_engine_tpu.parallel.mesh import make_mesh
+
+                devs = jax.devices()
+                if len(devs) >= n:
+                    mesh = make_mesh(devs[:n])
         if mesh is not None:
             from query_engine_tpu.parallel.mesh_pipeline import MeshPipeline
 

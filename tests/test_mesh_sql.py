@@ -276,3 +276,14 @@ def test_program_reuse_across_calls(mesh):
     assert dist.mesh_pipeline.stats["compiles"] == c0, "program not reused"
     assert dist.mesh_pipeline.stats["hits"] >= 1
     assert a.to_pylist() == b.to_pylist() == single.sql(sql).to_pylist()
+
+
+def test_env_mesh_enable(monkeypatch):
+    """QE_MESH_DEVICES=8 turns a plain Session into a mesh session — the
+    path every entry point (REPL/CLI/pgwire/Flight) inherits."""
+    monkeypatch.setenv("QE_MESH_DEVICES", "8")
+    s = Session()
+    assert s.mesh_pipeline is not None and s.mesh_pipeline.n == 8
+    s.register_table("t", {"k": [1, 2, 1, 2], "v": [10, 20, 30, 40]})
+    r = s.sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY k")
+    assert r.to_pylist() == [(1, 40), (2, 60)]
