@@ -448,8 +448,37 @@ class MeshPipeline:
                 _expr_key(e, ctx) for e in on
             )
             return ("mdistinct", okey, body), leaves, nc + 1, ne + 1
-        # PWindow / PSetOp / PLimit (inner) / PIndexScan / PValues / ...:
-        # no distributed lowering yet — the enclosing _mchild makes the
+        if isinstance(plan, pp.PWindow):
+            # window functions distribute when every spec has the SAME
+            # non-empty PARTITION BY: one exchange co-locates whole
+            # partitions, then the single-chip window tracer is correct
+            # per shard. Global windows (no partition) would serialize
+            # on one shard — they fall back.
+            if not all(_expr_traceable(w) for w in plan.window_exprs):
+                raise _Unsupported("window exprs")
+            part_keys = None
+            for w in plan.window_exprs:
+                if not w.partition_by:
+                    raise _Unsupported("global window")
+                pk = tuple(_expr_key(p) for p in w.partition_by)
+                if part_keys is None:
+                    part_keys = pk
+                elif pk != part_keys:
+                    raise _Unsupported("mixed window partitions")
+            body, leaves, nc, ne = self._mchild(plan.input, ctx)
+            for w in plan.window_exprs:
+                _mark_static_literals(w, ctx.static_ids)
+            return (
+                (
+                    "mwindow",
+                    tuple(_expr_key(w, ctx) for w in plan.window_exprs),
+                    tuple(plan.names),
+                    body,
+                ),
+                leaves, nc + 1, ne + 1,
+            )
+        # PSetOp / PLimit (inner) / PIndexScan / PValues / ...: no
+        # distributed lowering yet — the enclosing _mchild makes the
         # subtree an eager leaf, so the rest of the plan still runs SPMD
         raise _Unsupported(type(plan).__name__)
 
@@ -549,6 +578,21 @@ class MeshPipeline:
             return self._mtrace_aggregate(plan, tables, res, ov, factor)
         if isinstance(plan, pp.PSort):
             return self._mtrace_sort(plan, tables, res, ov, factor)
+        if isinstance(plan, pp.PWindow):
+            t = self._mtrace(plan.input, tables, res, ov, factor)
+            ev = self.executor.evaluator
+            pvals = [
+                ev.eval(p, _ShimBatch(t))
+                for p in plan.window_exprs[0].partition_by
+            ]
+            pid = spmd.combined_partition_ids(
+                [v.data for v in pvals], [v.validity for v in pvals],
+                self.n,
+            )
+            t2 = self._exchange(t, pid, ov, factor)
+            return cp._trace(
+                plan, iter([t2]), frozenset({id(plan.input)}), res
+            )
         if isinstance(plan, pp.PDistinct):
             t = self._mtrace(plan.input, tables, res, ov, factor)
             ev = self.executor.evaluator

@@ -287,3 +287,25 @@ def test_env_mesh_enable(monkeypatch):
     s.register_table("t", {"k": [1, 2, 1, 2], "v": [10, 20, 30, 40]})
     r = s.sql("SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY k")
     assert r.to_pylist() == [(1, 40), (2, 60)]
+
+
+def test_partitioned_windows_on_mesh(mesh):
+    """Window functions with a shared PARTITION BY distribute: one
+    exchange co-locates partitions, the single-chip window kernels run
+    per shard. Unique ORDER BY keys keep results deterministic."""
+    check(
+        mesh,
+        "SELECT o_id, "
+        "ROW_NUMBER() OVER (PARTITION BY cust ORDER BY amount, o_id) AS rn, "
+        "SUM(amount) OVER (PARTITION BY cust ORDER BY amount, o_id) AS run "
+        "FROM orders WHERE amount > 800 ORDER BY o_id",
+    )
+    # mixed partition keys fall back (still correct)
+    check(
+        mesh,
+        "SELECT o_id, "
+        "RANK() OVER (PARTITION BY cust ORDER BY amount, o_id) AS r1, "
+        "RANK() OVER (PARTITION BY tag ORDER BY amount, o_id) AS r2 "
+        "FROM orders WHERE amount > 950 ORDER BY o_id",
+        mesh_used=False,
+    )
