@@ -610,6 +610,10 @@ class CompiledPipeline:
             # go through the count->emit two-program capacity sync
             res = {}
             for jnode, lprov, rprov in ctx.checks:
+                if lprov == "AGG":
+                    # unbounded-key aggregate: group-space count->emit
+                    res[id(jnode)] = ("C", None)
+                    continue
                 dl = self._prov_max_dup(lprov, batch_by_node, res)
                 dr = self._prov_max_dup(rprov, batch_by_node, res)
                 side = None
@@ -998,6 +1002,13 @@ class CompiledPipeline:
             body, leaves, n = self._child(plan.input, ctx)
             for e in exprs:
                 _mark_static_literals(e, ctx.static_ids)
+            # group-space count->emit: group keys that can't carry static
+            # ranges (computed expressions, floats) would otherwise run
+            # every downstream plane at ROW capacity. Register a count
+            # check: a cached COUNT program returns ng once, and the emit
+            # program aggregates at padded(ng).
+            if plan.group_exprs and self._agg_needs_count(plan):
+                ctx.checks.append((plan, "AGG", None))
             return (
                 (
                     "agg",
@@ -1024,6 +1035,26 @@ class CompiledPipeline:
             )
         # anything else: eager leaf boundary (index scan, values, ...)
         raise _Unsupported(type(plan).__name__)
+
+    @staticmethod
+    def _agg_needs_count(plan: pp.PHashAggregate) -> bool:
+        """Static proxy for 'this aggregate will land in the S=capacity
+        sort-based grouping branch': some group key is not a bare
+        integer/bool/dictionary column (whose leaf stats/dict sizes give
+        static ranges). Conservative both ways — a spurious check costs
+        one cached count dispatch; a miss keeps the status-quo S=cap."""
+        for g in plan.group_exprs:
+            e = g
+            while isinstance(e, lp.AliasExpr):
+                e = e.expr
+            if not isinstance(e, lp.ColumnRef):
+                return True
+            if e.dtype.is_dictionary:
+                continue
+            dt = e.dtype.device_dtype
+            if not (np.issubdtype(dt, np.integer) or dt == np.bool_):
+                return True
+        return False
 
     def _plan_key_join(self, plan: pp.PHashJoin, ctx):
         """A join joins the segment when one side's key multiplicity is
@@ -1774,6 +1805,7 @@ class CompiledPipeline:
         schema = plan.schema()
 
         mxu_bound = None  # static dense-gid bound enabling the MXU kernel
+        resolution = (res or {}).get(id(plan))  # group-space count->emit
         dep_keys = self._fd_dependent_keys(plan, leaf_ids, res)
         if dep_keys:
             self.stats["fd_pruned_keys"] = (
@@ -1872,6 +1904,18 @@ class CompiledPipeline:
                     sel, ranges=ranges,
                 )
                 S = cap
+            if resolution is not None and not bucket_mode:
+                if resolution == ("C", None):
+                    # group-space COUNT pass: surface ng; the emit program
+                    # then aggregates at padded(ng), not row capacity
+                    raise _CountReady(plan, ng)
+                if resolution[0] == "E":
+                    S = min(resolution[1], S)
+            elif resolution == ("C", None):
+                # bucket mode reached despite the count check (static
+                # bounds appeared at materialize time): the bucket bound
+                # already caps S — report it so the count program returns
+                raise _CountReady(plan, jnp.int64(S))
         else:
             gvals = []
             bucket_mode = False
