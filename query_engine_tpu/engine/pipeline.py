@@ -1398,14 +1398,56 @@ class CompiledPipeline:
                 )
             raise _CountReady(plan, out_rows)
 
-        if n_ranks is None and dup == 1 and side == "R" and jt in (
+        fk_r = dup == 1 and side == "R" and jt in (
             lp.JoinType.INNER, lp.JoinType.LEFT,
-        ):
-            # the FK fast path needs row-order ranks only
+        )
+        fk_l = dup == 1 and side == "L" and jt in (
+            lp.JoinType.INNER, lp.JoinType.RIGHT,
+        )
+        if n_ranks is None and (fk_r or fk_l):
+            # the FK fast paths need row-order ranks only
             lr, rr = K.join_ranks(lkeys, rkeys, lt.sel, rt.sel)
-        if dup == 1 and side == "R" and jt in (
-            lp.JoinType.INNER, lp.JoinType.LEFT,
-        ):
+
+        if fk_l:
+            # mirrored FK fast path: the UNIQUE side is the LEFT (the
+            # dim ⋈ fact / TPC-H Q3 orders ⋈ lineitem shape): <=1 match
+            # per RIGHT row, so left columns gather by the right rows'
+            # ranks and the right planes pass through untouched — no
+            # join_counts, no emit, no right-side packed gather.
+            ld = [c.data for c in lt.cols]
+            lvs = [c.validity for c in lt.cols]
+            nl_eff = n_ranks if n_ranks is not None else cap_l + cap_r
+            fused = K.fk_gather_by_rank(
+                ld, lvs, _gather_bounds(lt), lr,
+                K.live_mask(cap_l, lt.sel), rr,
+                K.live_mask(cap_r, rt.sel), nl_eff,
+            )
+            if fused is not None:
+                gl_d, gl_v, matched = fused
+            else:
+                li, matched = K.fk_join_right_lookup(
+                    rr, lr, rt.sel, lt.sel, n_ranks
+                )
+                gl_d, gl_v = K.gather_columns_packed(
+                    ld, lvs, _gather_bounds(lt), li, matched,
+                    mxu_small=_mxu_gather_ok(lt.capacity),
+                )
+            cols = [
+                Column(d, v, c.dtype, c.dictionary)
+                for d, v, c in zip(gl_d, gl_v, lt.cols)
+            ] + list(rt.cols)
+            sel = rt.sel if jt is lp.JoinType.RIGHT else (rt.sel & matched)
+            out = _TTable(plan.out_schema, cols, sel, cap_r, False,
+                          lt.bounds + rt.bounds)
+            if plan.residual is not None:
+                mask = ex.evaluator.eval_predicate_mask(
+                    plan.residual, _ShimBatch(out)
+                )
+                out = _TTable(out.schema, out.cols, out.sel & mask, cap_r,
+                              False, out.bounds)
+            return out
+
+        if fk_r:
             # FK fast path: <=1 match per probe row -> direct rank lookup;
             # left planes pass through untouched, output rows keep their
             # left positions (identical order to the general left-major
