@@ -477,9 +477,22 @@ class MeshPipeline:
                 ),
                 leaves, nc + 1, ne + 1,
             )
-        # PSetOp / PLimit (inner) / PIndexScan / PValues / ...: no
-        # distributed lowering yet — the enclosing _mchild makes the
-        # subtree an eager leaf, so the rest of the plan still runs SPMD
+        if isinstance(plan, pp.PSetOp):
+            lbody, lleaves, ln, lne = self._mchild(plan.left, ctx)
+            rbody, rleaves, rn, rne = self._mchild(plan.right, ctx)
+            # UNION [ALL] concatenates per shard (no exchange; the
+            # Distinct the planner adds above UNION exchanges anyway);
+            # INTERSECT/EXCEPT exchange both sides by full-row hash
+            extra = 0 if plan.kind in (
+                lp.SetOpKind.UNION, lp.SetOpKind.UNION_ALL
+            ) else 2
+            return (
+                ("msetop", plan.kind.value, lbody, rbody),
+                lleaves + rleaves, ln + rn + 1, lne + rne + extra,
+            )
+        # PLimit (inner) / PIndexScan / PValues / ...: no distributed
+        # lowering yet — the enclosing _mchild makes the subtree an eager
+        # leaf, so the rest of the plan still runs SPMD
         raise _Unsupported(type(plan).__name__)
 
     def _mplan_key_join(self, plan: pp.PHashJoin, ctx):
@@ -592,6 +605,32 @@ class MeshPipeline:
             t2 = self._exchange(t, pid, ov, factor)
             return cp._trace(
                 plan, iter([t2]), frozenset({id(plan.input)}), res
+            )
+        if isinstance(plan, pp.PSetOp):
+            lt = self._mtrace(plan.left, tables, res, ov, factor)
+            rt = self._mtrace(plan.right, tables, res, ov, factor)
+            if plan.kind in (lp.SetOpKind.UNION, lp.SetOpKind.UNION_ALL):
+                # per-shard concatenation IS the distributed union
+                return cp._trace(
+                    plan, iter([lt, rt]),
+                    frozenset({id(plan.left), id(plan.right)}), res,
+                )
+            # INTERSECT/EXCEPT: co-locate equal rows (NULLs compare equal
+            # here, but combined_partition_ids routes NULL-containing
+            # rows consistently on both sides, so membership is local)
+            lpid = spmd.combined_partition_ids(
+                [c.data for c in lt.cols],
+                [c.validity for c in lt.cols], self.n,
+            )
+            rpid = spmd.combined_partition_ids(
+                [c.data for c in rt.cols],
+                [c.validity for c in rt.cols], self.n,
+            )
+            lt2 = self._exchange(lt, lpid, ov, factor)
+            rt2 = self._exchange(rt, rpid, ov, factor)
+            return cp._trace(
+                plan, iter([lt2, rt2]),
+                frozenset({id(plan.left), id(plan.right)}), res,
             )
         if isinstance(plan, pp.PDistinct):
             t = self._mtrace(plan.input, tables, res, ov, factor)

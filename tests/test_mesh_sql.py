@@ -242,12 +242,12 @@ def test_unsupported_shapes_fall_back_correctly(mesh):
         "FROM orders WHERE amount > 990 ORDER BY rn LIMIT 5",
         mesh_used=False,
     )
-    # set ops fall back too
+    # inner limits fall back too
     check(
         mesh,
-        "SELECT tag FROM orders WHERE amount > 995 "
-        "UNION SELECT name FROM customers WHERE c_id < 2",
-        ordered=False, mesh_used=False,
+        "SELECT o_id FROM (SELECT o_id FROM orders ORDER BY amount DESC "
+        "LIMIT 100) sub WHERE o_id % 2 = 0 ORDER BY o_id",
+        mesh_used=False,
     )
 
 
@@ -308,4 +308,33 @@ def test_partitioned_windows_on_mesh(mesh):
         "RANK() OVER (PARTITION BY tag ORDER BY amount, o_id) AS r2 "
         "FROM orders WHERE amount > 950 ORDER BY o_id",
         mesh_used=False,
+    )
+
+
+def test_set_ops_on_mesh(mesh):
+    """UNION [ALL] concatenates per shard; INTERSECT/EXCEPT co-locate
+    equal rows by full-row hash then resolve locally."""
+    check(
+        mesh,
+        "SELECT cust FROM orders WHERE amount > 900 "
+        "UNION ALL SELECT c_id FROM customers WHERE region = 1",
+        ordered=False,
+    )
+    check(
+        mesh,
+        "SELECT cust FROM orders WHERE amount > 500 "
+        "UNION SELECT c_id FROM customers",
+        ordered=False,
+    )
+    check(
+        mesh,
+        "SELECT cust FROM orders WHERE amount > 200 "
+        "INTERSECT SELECT c_id FROM customers WHERE region < 3",
+        ordered=False,
+    )
+    check(
+        mesh,
+        "SELECT c_id FROM customers "
+        "EXCEPT SELECT cust FROM orders WHERE amount > 700",
+        ordered=False,
     )
