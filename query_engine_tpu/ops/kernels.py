@@ -715,13 +715,30 @@ def _segment_sum_i64(
     if span_bits < 64:
         n_chunks = min(n_chunks, -(-span_bits // bits))
     u = x64.astype(jnp.uint64)
-    mask = jnp.uint64((1 << bits) - 1)
-    out = jnp.zeros(num_segments, dtype=jnp.uint64)
-    for k in range(n_chunks):
-        chunk = ((u >> jnp.uint64(bits * k)) & mask).astype(acc)
-        s = jax.ops.segment_sum(chunk, gid, num_segments=num_segments)
-        out = out + (s.astype(jnp.uint64) << jnp.uint64(bits * k))
-    result = out.astype(jnp.int64)
+
+    def chunked(bits_k, n_k, acc_k):
+        mask = jnp.uint64((1 << bits_k) - 1)
+        out = jnp.zeros(num_segments, dtype=jnp.uint64)
+        for k in range(n_k):
+            chunk = ((u >> jnp.uint64(bits_k * k)) & mask).astype(acc_k)
+            s = jax.ops.segment_sum(chunk, gid, num_segments=num_segments)
+            out = out + (s.astype(jnp.uint64) << jnp.uint64(bits_k * k))
+        return out.astype(jnp.int64)
+
+    if counts is not None and bits < 16:
+        # 16-bit chunks HALVE the scatter passes whenever per-segment row
+        # counts stay under 2^16 (uint32 chunk accumulation cannot
+        # overflow: cnt * (2^16-1) < 2^32) — one runtime lax.cond decides.
+        # Analytic groupings (TPC-H: a handful of lineitems per order)
+        # take the fast branch; pathological ones keep the safe widths.
+        n16 = min(4, -(-span_bits // 16)) if span_bits < 64 else 4
+        result = jax.lax.cond(
+            jnp.max(counts) < (1 << 16),
+            lambda: chunked(16, n16, jnp.uint32),
+            lambda: chunked(bits, n_chunks, acc),
+        )
+    else:
+        result = chunked(bits, n_chunks, acc)
     if bias != 0:
         result = result + jnp.int64(bias) * counts
     return result

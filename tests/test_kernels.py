@@ -433,3 +433,44 @@ def test_join_ranks_counts_fused_matches_legacy():
     assert int(t2) == int(lt)
     assert int(ml) == int(np.asarray(llm).sum())
     assert int(mr) == int(np.asarray(lrm).sum())
+
+
+def test_segment_sum_i64_16bit_chunk_branch():
+    """The runtime 16-bit chunk branch (per-segment counts < 2^16) must
+    agree exactly with the safe-width branch and plain segment_sum."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from query_engine_tpu.ops import kernels as K
+
+    rng = np.random.default_rng(5)
+    cap = 1 << 16  # > 2^15: selects the 8-bit default width
+    n_seg = 512
+    data = jnp.asarray(rng.integers(-(1 << 40), 1 << 40, cap))
+    ok = jnp.asarray(rng.random(cap) > 0.1)
+    gid = jnp.asarray(rng.integers(0, n_seg, cap).astype(np.int32))
+    counts = jax.ops.segment_sum(
+        ok.astype(jnp.int32), gid, num_segments=n_seg
+    ).astype(jnp.int64)
+    expected = jax.ops.segment_sum(
+        jnp.where(ok, data, 0), gid, num_segments=n_seg
+    )
+    got = K._segment_sum_i64(
+        data, ok, gid, n_seg,
+        value_bounds=(-(1 << 40), 1 << 40), counts=counts,
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(expected))
+
+    # force the safe branch: one segment holding > 2^16 rows
+    gid_hot = jnp.zeros(cap, dtype=jnp.int32)
+    counts_hot = jax.ops.segment_sum(
+        ok.astype(jnp.int32), gid_hot, num_segments=n_seg
+    ).astype(jnp.int64)
+    expected_hot = jax.ops.segment_sum(
+        jnp.where(ok, data, 0), gid_hot, num_segments=n_seg
+    )
+    got_hot = K._segment_sum_i64(
+        data, ok, gid_hot, n_seg,
+        value_bounds=(-(1 << 40), 1 << 40), counts=counts_hot,
+    )
+    assert np.array_equal(np.asarray(got_hot), np.asarray(expected_hot))
