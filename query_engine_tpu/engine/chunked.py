@@ -43,10 +43,11 @@ def chunk_engage_rows() -> int:
 
 
 def chunk_rows() -> int:
-    """Chunk capacity: 2^26 (67M) rows runs single-shot within v5e HBM
-    (round-2 measurement: 61.5M rows/s at 67M) — bigger chunks amortize
-    the per-chunk dispatch better; 100M = 2 chunks."""
-    return int(os.environ.get("QE_CHUNK_ROWS", 1 << 26))
+    """Chunk capacity. Measured on the 100M steady-state probe (v5e):
+    2^25 chunks run 32.2M rows/s vs 26.9M at 2^26 — per-row throughput
+    IMPROVES at smaller working sets (43M rows/s per 33.5M-row chunk vs
+    36M per 67M-row chunk), outweighing the extra dispatches."""
+    return int(os.environ.get("QE_CHUNK_ROWS", 1 << 25))
 
 
 class ChunkedAggregate:
