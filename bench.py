@@ -134,7 +134,20 @@ def main():
         )
 
     t0 = time.time()
-    run_once()
+    # the remote TPU tunnel occasionally surfaces a transient
+    # FAILED_PRECONDITION on the first dispatch after another process was
+    # killed mid-compile; retry the warmup a couple of times before giving
+    # up so a one-off hiccup doesn't zero out the whole bench run
+    for attempt in range(3):
+        try:
+            run_once()
+            break
+        except Exception as e:  # noqa: BLE001 — jax runtime error classes vary
+            if attempt == 2:
+                raise
+            print(f"warmup attempt {attempt} failed ({e!r}); retrying",
+                  file=sys.stderr)
+            time.sleep(20)
     compile_s = time.time() - t0
     print(f"compile: {compile_s:.1f}s device={jax.devices()[0]}",
           file=sys.stderr)
