@@ -84,6 +84,18 @@ QUERIES = [
     "SELECT departments.dept_name, SUM(employees.salary) AS s FROM employees "
     "JOIN departments ON employees.dept_id = departments.dept_id "
     "WHERE employees.age > 25 GROUP BY departments.dept_name ORDER BY s DESC",
+    # mirrored FK fast path: the UNIQUE side is the LEFT table (dim JOIN
+    # fact); INNER/RIGHT output rows sit at right (fact) positions
+    "SELECT departments.dept_name, employees.name FROM departments "
+    "JOIN employees ON departments.dept_id = employees.dept_id "
+    "ORDER BY employees.id",
+    "SELECT departments.dept_name, employees.name FROM departments "
+    "RIGHT JOIN employees ON departments.dept_id = employees.dept_id "
+    "ORDER BY employees.id",
+    "SELECT departments.dept_name, SUM(employees.salary) AS s "
+    "FROM departments JOIN employees "
+    "ON departments.dept_id = employees.dept_id "
+    "WHERE employees.age > 25 GROUP BY departments.dept_name ORDER BY s DESC",
     # self-join on a non-unique key: demoted to an eager leaf, segment above
     # still compiles
     "SELECT a.name, b.name FROM employees a JOIN employees b "
