@@ -66,10 +66,14 @@ class _CountReady(Exception):
     reads this one scalar, picks a pow2 emit bucket, and dispatches the
     companion emit program; SURVEY.md §7 hard-part #1)."""
 
-    def __init__(self, node, count):
+    def __init__(self, node, count, extras=()):
         super().__init__("join count ready")
         self.node = node
         self.count = count
+        # sorted-space planes (sperm, sorted_lead, change) the emit program
+        # can reuse to skip its joint sort (VERDICT r2 item 4a); () when the
+        # count path had no sort to share (direct ranks / aggregates)
+        self.extras = extras
 
 
 class _Unsupported(Exception):
@@ -580,6 +584,9 @@ class CompiledPipeline:
         self._cache = {}  # plan key -> _Entry
         self._eager_bodies = set()  # structural keys known to fail tracing
         self._compact_cache = {}  # (cap, out_cap, dtypes) -> jitted fn
+        self._xfer_by_node = None  # trace-time: counted-join node id ->
+        # (sperm, sorted_lead, change) planes handed over from the count
+        # program (emit skips its joint sort)
         self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0,
                       "joins_inlined": 0, "joins_demoted": 0,
                       "joins_counted": 0}
@@ -659,6 +666,7 @@ class CompiledPipeline:
             # read; the emit program is then fully static. Replaces the
             # eager demotion for joins with unbounded key duplication.
             demoted = False
+            xfers_by_ord = {}  # check ordinal -> sorted-space device planes
             while True:
                 pending = [
                     j for j, _, _ in ctx.checks
@@ -674,15 +682,17 @@ class CompiledPipeline:
                         plan, ctx, leaves, leaf_nodes, res, sub_batches
                     )
                     try:
-                        out_val = centry.fn(leaf_args, sub_args, dyn_args)
+                        out_val, extras = centry.fn(
+                            leaf_args, sub_args, dyn_args
+                        )
                     except _TRACE_ERRORS:
-                        out_val = None
+                        out_val, extras = None, ()
                     if out_val is not None and centry.ordinal is not None:
                         self._cache[ckey] = centry
                         self.stats["compiles"] += 1
                 else:
                     self.stats["hits"] += 1
-                    out_val = centry.fn(leaf_args, sub_args, dyn_args)
+                    out_val, extras = centry.fn(leaf_args, sub_args, dyn_args)
                 jnode = (
                     ctx.checks[centry.ordinal][0]
                     if centry is not None and centry.ordinal is not None
@@ -703,12 +713,16 @@ class CompiledPipeline:
                     demoted = True
                     break
                 res[id(jnode)] = ("E", bucket)
+                if extras:
+                    xfers_by_ord[centry.ordinal] = extras
                 self.stats["joins_counted"] += 1
             if not demoted:
                 break
 
         sides = tuple(res[id(j)] for j, _, _ in ctx.checks)
-        key = (key_body, leaf_sigs, sub_sigs, sides)
+        xfer_ords = tuple(sorted(xfers_by_ord))
+        xfer_args = tuple(xfers_by_ord[o] for o in xfer_ords)
+        key = (key_body, leaf_sigs, sub_sigs, sides, xfer_ords)
         entry = self._cache.get(key)
 
         if entry is None:
@@ -718,9 +732,11 @@ class CompiledPipeline:
             entry.dyn_exprs = list(ctx.dyn_exprs)
             entry.sub_exprs = list(ctx.sub_exprs)
             entry.sub_batches = sub_batches  # dict/schema refs for tracing
+            entry.xfer_ords = xfer_ords
+            entry.check_nodes = [j for j, _, _ in ctx.checks]
 
             @jax.jit
-            def fn(args, subs, dyn):
+            def fn(args, subs, dyn, xfer):
                 tables = [
                     _TTable(
                         schema=b.schema,
@@ -759,11 +775,16 @@ class CompiledPipeline:
                     )
                     sub_shims[id(x.plan)] = _ShimBatch(st)
                 ev._subplans = sub_shims
+                self._xfer_by_node = {
+                    id(entry.check_nodes[o]): x
+                    for o, x in zip(entry.xfer_ords, xfer)
+                }
                 try:
                     t = self._trace(entry.plan, it, entry.leaf_ids, entry.res)
                 finally:
                     ev._dyn_literals = None
                     ev._subplans = None
+                    self._xfer_by_node = None
                 if not entry.meta:
                     entry.meta.update(
                         schema=t.schema,
@@ -782,7 +803,7 @@ class CompiledPipeline:
 
             entry.fn = fn
             try:
-                out = fn(leaf_args, sub_args, dyn_args)
+                out = fn(leaf_args, sub_args, dyn_args, xfer_args)
             except _TRACE_ERRORS:
                 self._eager_bodies.add(key_body)
                 self.stats["fallbacks"] += 1
@@ -791,7 +812,7 @@ class CompiledPipeline:
             self.stats["compiles"] += 1
         else:
             self.stats["hits"] += 1
-            out = entry.fn(leaf_args, sub_args, dyn_args)
+            out = entry.fn(leaf_args, sub_args, dyn_args, xfer_args)
 
         datas, valids, sel, count = out
         count = int(count)
@@ -909,7 +930,8 @@ class CompiledPipeline:
                         if j is e.node:
                             entry.ordinal = i
                             break
-                return e.count
+                # extras: sorted-space planes the emit program reuses
+                return e.count, tuple(e.extras)
             finally:
                 ev._dyn_literals = None
                 ev._subplans = None
@@ -1371,8 +1393,8 @@ class CompiledPipeline:
             # entirely in sorted space — no rank scatter, no count gather
             # (the count program costs ~the joint sort alone).
             if n_ranks is None:
-                total, ml, mr = K.join_count_total(
-                    lkeys, rkeys, lt.sel, rt.sel
+                total, ml, mr, space = K.join_count_total(
+                    lkeys, rkeys, lt.sel, rt.sel, return_space=True
                 )
                 out_rows = total
                 if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
@@ -1383,7 +1405,7 @@ class CompiledPipeline:
                     out_rows = out_rows + (
                         jnp.sum(rt.sel.astype(jnp.int64)) - mr
                     )
-                raise _CountReady(plan, out_rows)
+                raise _CountReady(plan, out_rows, extras=space)
             total, _, _, _, _, lm_c, rm_c = K.join_counts(
                 lr, rr, lt.sel, rt.sel
             )
@@ -1488,10 +1510,17 @@ class CompiledPipeline:
 
         if n_ranks is None:
             # fused general path: counts from sorted-space scans (no
-            # rank-table gather; kernels.join_ranks_counts)
+            # rank-table gather; kernels.join_ranks_counts). A counted
+            # join reuses the count program's sorted space (handed across
+            # dispatches as device planes) and skips the joint sort.
+            space = (self._xfer_by_node or {}).get(id(plan))
+            if space is not None:
+                self.stats["join_sorts_reused"] = (
+                    self.stats.get("join_sorts_reused", 0) + 1
+                )
             (lr, rr, total, counts, _off, rank_start, right_by_rank,
              lmatched, rmatched) = K.join_ranks_counts(
-                lkeys, rkeys, lt.sel, rt.sel
+                lkeys, rkeys, lt.sel, rt.sel, space=space
             )
         else:
             (total, counts, _off, rank_start, right_by_rank,
@@ -1940,17 +1969,28 @@ class CompiledPipeline:
                 mxu_bound = S
             else:
                 # bounded keys whose combination space exceeds the direct
-                # bucket range still compose into ONE i64 sort operand
-                gid, ng, rep = K.group_ids(
-                    [v.data for v in gvals_i], [v.validity for v in gvals_i],
-                    sel, ranges=ranges,
-                )
+                # bucket range still compose into ONE i64 sort operand.
+                # A counted aggregate reuses the count program's grouping
+                # (gid/ng/rep handed over as device planes) and skips the
+                # group sort in the emit program.
+                space = (self._xfer_by_node or {}).get(id(plan))
+                if space is not None:
+                    gid, ng, rep = space
+                    self.stats["group_sorts_reused"] = (
+                        self.stats.get("group_sorts_reused", 0) + 1
+                    )
+                else:
+                    gid, ng, rep = K.group_ids(
+                        [v.data for v in gvals_i],
+                        [v.validity for v in gvals_i],
+                        sel, ranges=ranges,
+                    )
                 S = cap
             if resolution is not None and not bucket_mode:
                 if resolution == ("C", None):
                     # group-space COUNT pass: surface ng; the emit program
                     # then aggregates at padded(ng), not row capacity
-                    raise _CountReady(plan, ng)
+                    raise _CountReady(plan, ng, extras=(gid, ng, rep))
                 if resolution[0] == "E":
                     S = min(resolution[1], S)
             elif resolution == ("C", None):
@@ -2454,7 +2494,8 @@ class _Entry:
     """Cached compiled program + trace-captured output metadata."""
 
     __slots__ = ("plan", "leaves", "leaf_ids", "res", "dyn_exprs",
-                 "sub_exprs", "sub_batches", "fn", "meta", "ordinal")
+                 "sub_exprs", "sub_batches", "fn", "meta", "ordinal",
+                 "xfer_ords", "check_nodes")
 
     def __init__(self, plan, leaves):
         self.plan = plan
@@ -2467,6 +2508,9 @@ class _Entry:
         self.fn = None
         self.meta = {}
         self.ordinal = None  # count programs: which ctx.checks join counts
+        self.xfer_ords = ()  # emit programs: check ordinals whose counted
+        # joins receive the count program's sorted space as extra inputs
+        self.check_nodes = []  # ctx.checks join nodes (ordinal -> node)
 
 
 def compiled_enabled() -> bool:

@@ -1023,23 +1023,36 @@ def join_ranks(
 
 
 def _join_ranks_full(left_keys, right_keys, n_left, n_right,
-                     null_equal: bool = False):
+                     null_equal: bool = False, space=None):
     """Also returns (sorted_perm, sorted_pad_or_null) for reuse by
-    join_counts (right-side rank ordering comes from the same sort)."""
+    join_counts (right-side rank ordering comes from the same sort).
+    `space` = (sperm, sorted_lead, change) from a prior count-program
+    dispatch over the SAME inputs skips the joint sort entirely — the
+    emit half of the count->emit capacity sync reuses the count's sort."""
     cap_l = left_keys[0][0].shape[0]
     cap_r = right_keys[0][0].shape[0]
     cap = cap_l + cap_r
+    any_null = jnp.zeros(cap, dtype=bool)
+    for (_, lv), (_, rv) in zip(left_keys, right_keys):
+        any_null = any_null | ~jnp.concatenate([lv, rv])
+    perm = jnp.arange(cap, dtype=jnp.int32)
+    if space is not None:
+        sperm, sorted_lead, change = space
+        seg = jnp.cumsum(change.astype(jnp.int32)) - 1
+        ranks = (
+            jnp.zeros(cap, dtype=jnp.int32).at[sperm].set(seg.astype(jnp.int32))
+        )
+        if not null_equal:
+            ranks = jnp.where(any_null, -(perm + 2), ranks)
+        return ranks[:cap_l], ranks[cap_l:], sperm, sorted_lead, change
     pad = jnp.concatenate(
         [~live_mask(cap_l, n_left), ~live_mask(cap_r, n_right)]
     )
-    any_null = jnp.zeros(cap, dtype=bool)
     datas: List[jnp.ndarray] = []
     valids: List[jnp.ndarray] = []
     for (ld, lv), (rd, rv) in zip(left_keys, right_keys):
         datas.append(jnp.concatenate([orderable_i64(ld), orderable_i64(rd)]))
-        valid = jnp.concatenate([lv, rv])
-        valids.append(valid)
-        any_null = any_null | ~valid
+        valids.append(jnp.concatenate([lv, rv]))
     # sort order: live non-null rows first (grouped by key), then nulls,
     # then pad — so rank-r rows are contiguous from the front. Each
     # 32-bit-image key packs its class word + unsigned key image into ONE
@@ -1069,7 +1082,6 @@ def _join_ranks_full(left_keys, right_keys, n_left, n_right,
             if cls is not None:
                 operands.append(cls)
             operands.append(dz)
-    perm = jnp.arange(cap, dtype=jnp.int32)
     sorted_all = jax.lax.sort(
         operands + [perm], num_keys=len(operands), is_stable=True
     )
@@ -1106,6 +1118,7 @@ def join_ranks_counts(
     right_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     n_left,
     n_right,
+    space=None,
 ):
     """Fused join_ranks + join_counts from ONE joint sort.
 
@@ -1124,7 +1137,7 @@ def join_ranks_counts(
     cap_r = right_keys[0][0].shape[0]
     n_ranks = cap_l + cap_r
     lr, rr, sperm, sorted_lead, change = _join_ranks_full(
-        left_keys, right_keys, n_left, n_right
+        left_keys, right_keys, n_left, n_right, space=space
     )
     valid_pos = sorted_lead == 0  # live, non-null keys
     is_right = sperm >= cap_l
@@ -1169,13 +1182,16 @@ def join_count_total(
     right_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     n_left,
     n_right,
+    return_space: bool = False,
 ):
     """COUNT-pass-only join size with NO scatters or gathers: one joint
     sort + segmented scans + reductions (the emit-capacity count program
     reads one scalar; ranks are never materialized — XLA DCE removes the
     rank scatter inside _join_ranks_full since lr/rr go unused).
 
-    Returns (total_matches, matched_left_rows, matched_right_rows).
+    Returns (total_matches, matched_left_rows, matched_right_rows)
+    [+ (sperm, sorted_lead, change) when return_space — the count program
+    surfaces its sorted space so the emit program skips the joint sort].
     """
     cap_l = left_keys[0][0].shape[0]
     _, _, sperm, sorted_lead, change = _join_ranks_full(
@@ -1195,6 +1211,8 @@ def join_count_total(
     matched_right = jnp.sum(
         (valid_pos & is_right & (tot_l > 0)).astype(jnp.int64)
     )
+    if return_space:
+        return total, matched_left, matched_right, (sperm, sorted_lead, change)
     return total, matched_left, matched_right
 
 

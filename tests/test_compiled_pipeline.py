@@ -216,6 +216,36 @@ def test_bounded_dup_join_emit_capacity():
     assert s.executor.pipeline.stats["compiles"] >= 3
 
 
+def test_counted_join_reuses_count_programs_sort():
+    """The emit program of a count->emit join consumes the count program's
+    sorted space (sperm/lead/change planes handed across dispatches) and
+    skips its own joint sort. Huge-range keys defeat both direct ranks and
+    duplication bounds, forcing the sorted count path."""
+    big = 10**15
+    # both sides heavily duplicated -> no static dup bound on either side
+    lt = {"k": [big + 1, big + 1, big + 2, big + 2, big + 3] * 40,
+          "a": list(range(200))}
+    rt = {"k": [big + 1, big + 2, big + 2, big + 9] * 60,
+          "b": list(range(240))}
+    s = make_session(True)
+    s.register_table("lt", dict(lt))
+    s.register_table("rt", dict(rt))
+    e = make_session(False)
+    e.register_table("lt", dict(lt))
+    e.register_table("rt", dict(rt))
+    for q in [
+        "SELECT lt.a, rt.b FROM rt JOIN lt ON rt.k = lt.k ORDER BY rt.b, lt.a",
+        "SELECT lt.a, rt.b FROM lt FULL JOIN rt ON lt.k = rt.k "
+        "ORDER BY lt.a, rt.b",
+    ]:
+        assert s.sql(q).to_pylist() == e.sql(q).to_pylist(), q
+        # steady state: count + emit stay 2 cached dispatches
+        assert s.sql(q).to_pylist() == e.sql(q).to_pylist(), q
+    st = s.executor.pipeline.stats
+    assert st["joins_counted"] >= 2, st
+    assert st.get("join_sorts_reused", 0) >= 2, st
+
+
 def test_parameterized_program_reuse():
     """Eligible numeric literals are traced inputs: one compiled program
     serves every parameter value (no recompile per constant)."""
@@ -293,3 +323,5 @@ def test_group_space_count_emit_for_unbounded_keys():
     c0 = s.executor.pipeline.stats["compiles"]
     assert s.sql(sql).to_pylist() == r1
     assert s.executor.pipeline.stats["compiles"] == c0
+    # the emit program reuses the count program's grouping (no re-sort)
+    assert s.executor.pipeline.stats.get("group_sorts_reused", 0) >= 1
