@@ -164,7 +164,12 @@ def main():
     if os.environ.get("QE_BENCH_OPS", "1") != "0":
         per_op = _per_op(cap, bcap, args, iters)
 
-    engine = _engine_bench(iters)
+    try:
+        engine = _engine_bench(iters)
+    except Exception as e:  # noqa: BLE001
+        engine = {"error": repr(e)[:200]}
+        print(f"engine_sql_pipeline: MEASUREMENT FAILED ({e!r})",
+              file=sys.stderr)
 
     # pipeline reads each input plane once: age 4+1, salary 8+1, dept 4+1,
     # grp 4, dim-side negligible -> 23 B/row min traffic
@@ -274,7 +279,19 @@ def _per_op(cap, bcap, args, iters):
 
     def timed(name, bytes_per_row, sol_terms, op, *a, rows=None, note=None):
         """op(salt, *a) -> output pytree; salt is an int64 scalar in {0,1}
-        that the op must fold into at least one input plane."""
+        that the op must fold into at least one input plane.
+
+        A failure in one op (transient tunnel hiccup) records an "error"
+        entry instead of killing the run — the driver must always get the
+        final JSON line."""
+        try:
+            _timed(name, bytes_per_row, sol_terms, op, *a, rows=rows,
+                   note=note)
+        except Exception as e:  # noqa: BLE001 — jax runtime errors vary
+            results[name] = {"error": repr(e)[:200]}
+            print(f"{name}: MEASUREMENT FAILED ({e!r})", file=sys.stderr)
+
+    def _timed(name, bytes_per_row, sol_terms, op, *a, rows=None, note=None):
         rows_n = int(n_rows if rows is None else rows)
 
         def digest(out):
