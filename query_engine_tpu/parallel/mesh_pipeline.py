@@ -40,6 +40,7 @@ from query_engine_tpu.columnar.batch import (
 )
 from query_engine_tpu.core.schema import Schema
 from query_engine_tpu.engine.pipeline import (
+    _CountReady,
     _SegCtx, _ShimBatch, _TRACE_ERRORS, _TTable, _Unsupported, _bucket_bounds,
     _col_bounds, _dup_bucket, _expr_key, _expr_traceable, _mark_static_literals,
     _sort_key_key, ensure_bounds, ensure_device,
@@ -137,10 +138,14 @@ class MeshPipeline:
             ensure_bounds(b)
         batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
 
-        # join resolution: the mesh path requires a statically bounded side
-        # (no count-program sync across the mesh yet); unbounded joins fall
-        # back to the single-device count->emit path
+        # join resolution: bounded sides get a static emit capacity; a join
+        # with unbounded key duplication goes through a MESH count->emit
+        # sync — one extra cached shard_map dispatch (the count program)
+        # returns the max per-shard emit size via lax.pmax, then the emit
+        # program is fully static. The single-chip count->emit pattern
+        # (engine/pipeline.py try_execute) lifted to the mesh.
         res = {}
+        counted = []
         for jnode, lprov, rprov in ctx.checks:
             dl = self.cp._prov_max_dup(lprov, batch_by_node, res)
             dr = self.cp._prov_max_dup(rprov, batch_by_node, res)
@@ -150,9 +155,12 @@ class MeshPipeline:
             elif dl is not None:
                 side = ("L", _dup_bucket(dl))
             if side is None or side[1] is None:
-                return None
-            res[id(jnode)] = side
-        sides = tuple(res[id(j)] for j, _, _ in ctx.checks)
+                res[id(jnode)] = ("C", None)
+                counted.append(jnode)
+            else:
+                res[id(jnode)] = side
+        if len(counted) > 1:
+            return None  # one counted join per mesh program (rare shape)
 
         sub_batches = [self.executor.execute(x.plan) for x in ctx.sub_exprs]
         for b in leaves + sub_batches:
@@ -167,6 +175,62 @@ class MeshPipeline:
 
         factor = self._factor_memory.get(body, self.base_factor)
         self.stats["queries"] += 1
+
+        if counted:
+            # count program: same trace, but the counted join raises
+            # _CountReady with its per-shard output size; the program
+            # returns pmax(count) + the psum'd exchange overflow. Runs
+            # under the same factor grow-and-retry loop as the emit
+            # program (its exchanges are bounded too).
+            jnode = counted[0]
+            while True:
+                sides_c = tuple(res[id(j)] for j, _, _ in ctx.checks)
+                ckey = (body, leaf_sigs, tuple(sub_sigs), sides_c, self.n,
+                        tuple(st.shard_capacity for st in shards), factor,
+                        "count")
+                centry = self._cache.get(ckey)
+                if centry is None:
+                    centry = _MEntry(plan, leaves, leaf_nodes)
+                    centry.res = dict(res)
+                    centry.dyn_exprs = list(ctx.dyn_exprs)
+                    centry.sub_exprs = list(ctx.sub_exprs)
+                    centry.sub_batches = sub_batches
+                    centry.factor = factor
+                    centry.fn = self._build_fn(centry, shards, factor,
+                                               count_mode=True)
+                    try:
+                        out = centry.fn(
+                            self._flat_args(shards, sub_args, dyn_args)
+                        )
+                    except _TRACE_ERRORS:
+                        self._fallback_bodies.add(body)
+                        self.stats["fallbacks"] += 1
+                        return None
+                    self._cache[ckey] = centry
+                    self.stats["compiles"] += 1
+                else:
+                    self.stats["hits"] += 1
+                    out = centry.fn(
+                        self._flat_args(shards, sub_args, dyn_args)
+                    )
+                if int(np.asarray(out[-1])[0]) == 0:
+                    break
+                self.stats["overflow_retries"] += 1
+                if factor >= self.n:
+                    return None
+                factor = min(factor * 2.0, float(self.n))
+            out_rows = int(np.asarray(out[0])[0])
+            bucket = 128
+            while bucket < out_rows:
+                bucket *= 2
+            if bucket > (1 << 26):  # HBM guard on the counted size
+                return None  # data-dependent: no body blacklist
+            res[id(jnode)] = ("E", bucket)
+            self.stats["joins_counted"] = (
+                self.stats.get("joins_counted", 0) + 1
+            )
+
+        sides = tuple(res[id(j)] for j, _, _ in ctx.checks)
         while True:
             key = (body, leaf_sigs, tuple(sub_sigs), sides, self.n,
                    tuple(st.shard_capacity for st in shards), factor)
@@ -271,7 +335,8 @@ class MeshPipeline:
         return batch
 
     # ---- program construction -------------------------------------------
-    def _build_fn(self, entry: _MEntry, shards, factor: float):
+    def _build_fn(self, entry: _MEntry, shards, factor: float,
+                  count_mode: bool = False):
         n = self.n
         axis = self.axis
         leaves = entry.leaves
@@ -326,9 +391,23 @@ class MeshPipeline:
             ov: List[jnp.ndarray] = []
             try:
                 t = self._mtrace(entry.plan, tables, entry.res, ov, factor)
+            except _CountReady as e:
+                if not count_mode:
+                    raise
+                # count program: the counted join surfaced its per-shard
+                # output size; the emit capacity must cover the LARGEST
+                # shard, so reduce with pmax (overflow still psums)
+                total_ov = jnp.int64(0)
+                for o in ov:
+                    total_ov = total_ov + o
+                cnt = jax.lax.pmax(e.count.astype(jnp.int64), axis)
+                return (cnt.reshape(1),
+                        jax.lax.psum(total_ov, axis).reshape(1))
             finally:
                 ev._dyn_literals = None
                 ev._subplans = None
+            if count_mode:
+                raise _Unsupported("counted join not reached in mesh trace")
             if not entry.meta:
                 entry.meta.update(
                     schema=t.schema,
@@ -360,6 +439,10 @@ class MeshPipeline:
         out_specs = (
             (P(axis),) * out_len, (P(axis),) * out_len, P(axis), P(),
         )
+        if count_mode:
+            # (max per-shard join output size, summed exchange overflow) —
+            # both replicated scalars
+            out_specs = (P(), P())
         inner = spmd.shard_map(
             step, mesh=self.mesh, in_specs=tuple(in_specs),
             out_specs=out_specs,

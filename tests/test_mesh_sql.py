@@ -338,3 +338,48 @@ def test_set_ops_on_mesh(mesh):
         "EXCEPT SELECT cust FROM orders WHERE amount > 700",
         ordered=False,
     )
+
+
+def test_unbounded_dup_join_count_emit_sync(mesh):
+    """A join where NEITHER side has a bounded key multiplicity (both sides
+    repeat every key ~20-30x) runs on the mesh through the count->emit
+    sync: one cached count shard_map program returns the max per-shard
+    output size (lax.pmax), then the emit program builds with that static
+    capacity. Results stay bit-identical to the single-device engine."""
+    rng = np.random.default_rng(21)
+    ta = {
+        "k": rng.integers(0, 20, 600).tolist(),
+        "va": rng.integers(0, 100, 600).tolist(),
+    }
+    tb = {
+        "k": rng.integers(0, 20, 400).tolist(),
+        "vb": rng.integers(0, 100, 400).tolist(),
+    }
+    # sprinkle NULL keys (never match)
+    for i in range(0, 600, 83):
+        ta["k"][i] = None
+    sqls = [
+        ("SELECT a.k, a.va, b.vb FROM ta a JOIN tb b ON a.k = b.k", False),
+        ("SELECT a.k, COUNT(*) AS c, SUM(a.va + b.vb) AS s "
+         "FROM ta a JOIN tb b ON a.k = b.k GROUP BY a.k ORDER BY a.k",
+         True),
+        ("SELECT a.k, a.va, b.vb FROM ta a LEFT JOIN tb b "
+         "ON a.k = b.k WHERE a.va > 30", False),
+    ]
+    for sql, ordered in sqls:
+        single, dist = Session(), Session(mesh=mesh)
+        for s in (single, dist):
+            s.register_table("ta", ta)
+            s.register_table("tb", tb)
+        a = single.sql(sql).to_pylist()
+        b = dist.sql(sql).to_pylist()
+        if ordered:
+            assert a == b, f"ordered mismatch for {sql}"
+        else:
+            assert sorted(map(repr, a)) == sorted(map(repr, b)), (
+                f"set mismatch for {sql}"
+            )
+        st = dist.mesh_pipeline.stats
+        assert st.get("joins_counted", 0) >= 1, (
+            f"mesh count->emit not used for {sql}: {st}"
+        )
