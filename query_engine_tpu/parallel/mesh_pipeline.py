@@ -272,19 +272,27 @@ class MeshPipeline:
 
     # ---- host-side helpers ----------------------------------------------
     def _shard_leaf(self, b: ColumnBatch) -> ShardedTable:
+        # cache rides on the first column object (shared with the source
+        # table, so it persists across query materializations). Keyed by
+        # the projected column NAMES too: two projections of the same
+        # table (e.g. (k,v) and (k,v,f) in a self-set-op) share
+        # columns[0] but need different shard plane sets.
+        key = (self.n, b.num_rows) + tuple(b.schema.names())
         cache = getattr(b.columns[0], "_qe_mesh_shard", None)
-        if cache is not None:
-            n, rows, st = cache
-            if n == self.n and rows == b.num_rows:
-                return st
-        st = ShardedTable(b, self.mesh, self.axis)
-        b.columns[0]._qe_mesh_shard = (self.n, b.num_rows, st)
+        if not isinstance(cache, dict):
+            cache = {}
+            b.columns[0]._qe_mesh_shard = cache
+        st = cache.get(key)
+        if st is None:
+            st = ShardedTable(b, self.mesh, self.axis)
+            cache[key] = st
         return st
 
     def _replicate_batch(self, b: ColumnBatch):
+        key = (self.n, b.num_rows) + tuple(b.schema.names())
         cache = getattr(b.columns[0], "_qe_mesh_repl", None) if b.columns else None
-        if cache is not None and cache[0] == self.n:
-            return cache[1]
+        if isinstance(cache, dict) and key in cache:
+            return cache[key]
         rep = replicated(self.mesh)
         args = {
             "d": [jax.device_put(jnp.asarray(c.data), rep) for c in b.columns],
@@ -293,7 +301,10 @@ class MeshPipeline:
             "n": np.int64(b.num_rows),
         }
         if b.columns:
-            b.columns[0]._qe_mesh_repl = (self.n, args)
+            if not isinstance(cache, dict):
+                cache = {}
+                b.columns[0]._qe_mesh_repl = cache
+            cache[key] = args
         return args
 
     def _flat_args(self, shards, sub_args, dyn_args):
