@@ -550,10 +550,40 @@ class MeshPipeline:
             # on one shard — they fall back.
             if not all(_expr_traceable(w) for w in plan.window_exprs):
                 raise _Unsupported("window exprs")
+            if all(not w.partition_by for w in plan.window_exprs):
+                # global (no PARTITION BY) windows: the rank family
+                # distributes when every spec shares the same first ORDER
+                # BY key — a range exchange on that key co-locates ties
+                # (equal keys get equal partition ids), so local ranks
+                # are exact up to a per-shard offset patched from
+                # all_gather'd shard totals (_mtrace_global_window)
+                rank_fns = (lp.WindowFn.ROW_NUMBER, lp.WindowFn.RANK,
+                            lp.WindowFn.DENSE_RANK)
+                fkey = None
+                for w in plan.window_exprs:
+                    if w.func not in rank_fns or not w.order_by:
+                        raise _Unsupported("global window fn")
+                    kk = _sort_key_key(w.order_by[0], ctx)
+                    if fkey is None:
+                        fkey = kk
+                    elif kk != fkey:
+                        raise _Unsupported("mixed global window order")
+                body, leaves, nc, ne = self._mchild(plan.input, ctx)
+                for w in plan.window_exprs:
+                    _mark_static_literals(w, ctx.static_ids)
+                return (
+                    (
+                        "mgwindow",
+                        tuple(_expr_key(w, ctx) for w in plan.window_exprs),
+                        tuple(plan.names),
+                        body,
+                    ),
+                    leaves, nc + 1, ne + 1,
+                )
             part_keys = None
             for w in plan.window_exprs:
                 if not w.partition_by:
-                    raise _Unsupported("global window")
+                    raise _Unsupported("mixed global/partitioned windows")
                 pk = tuple(_expr_key(p) for p in w.partition_by)
                 if part_keys is None:
                     part_keys = pk
@@ -686,6 +716,9 @@ class MeshPipeline:
         if isinstance(plan, pp.PSort):
             return self._mtrace_sort(plan, tables, res, ov, factor)
         if isinstance(plan, pp.PWindow):
+            if not plan.window_exprs[0].partition_by:
+                return self._mtrace_global_window(plan, tables, res, ov,
+                                                  factor)
             t = self._mtrace(plan.input, tables, res, ov, factor)
             ev = self.executor.evaluator
             pvals = [
@@ -884,14 +917,11 @@ class MeshPipeline:
         sel = (jnp.arange(S, dtype=jnp.int32) < 1) & (my == 0)
         return _TTable(schema, cols, sel, S, False, [None] * len(cols))
 
-    def _mtrace_sort(self, plan, tables, res, ov, factor) -> _TTable:
-        """Global sort: sampled range partition on the primary key (ties
-        co-locate, so secondary keys resolve locally), then the single-chip
-        sort per shard. Shard-order concatenation is the global ORDER BY
-        (sorted-merge parity, reference operators.rs:141-194)."""
+    def _range_pid(self, t: _TTable, k0):
+        """Sampled range-partition ids for traced table `t` on sort key
+        `k0`: same-key rows always get the same id (searchsorted against
+        fixed pivots), so key ties co-locate after the exchange."""
         ev = self.executor.evaluator
-        t = self._mtrace(plan.input, tables, res, ov, factor)
-        k0 = plan.keys[0]
         v = ev.eval(k0.expr, _ShimBatch(t))
         okey = K.orderable_i64(v.data)
         if not k0.asc:
@@ -916,11 +946,58 @@ class MeshPipeline:
         bidx = (jnp.arange(1, self.n, dtype=jnp.int64)
                 * allsamp.shape[0]) // self.n
         pivots = allsamp[bidx]
-        pid = jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
+        return jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
+
+    def _mtrace_sort(self, plan, tables, res, ov, factor) -> _TTable:
+        """Global sort: sampled range partition on the primary key (ties
+        co-locate, so secondary keys resolve locally), then the single-chip
+        sort per shard. Shard-order concatenation is the global ORDER BY
+        (sorted-merge parity, reference operators.rs:141-194)."""
+        t = self._mtrace(plan.input, tables, res, ov, factor)
+        pid = self._range_pid(t, plan.keys[0])
         t2 = self._exchange(t, pid, ov, factor)
         return self.cp._trace(
             plan, iter([t2]), frozenset({id(plan.input)}), res
         )
+
+    def _mtrace_global_window(self, plan, tables, res, ov, factor) -> _TTable:
+        """Global (no PARTITION BY) rank-family windows: range-exchange on
+        the shared first ORDER BY key (ties co-locate), run the single-chip
+        window tracer per shard, then patch each rank column with its
+        cross-shard offset — prior shards' live-row count for
+        ROW_NUMBER/RANK, prior shards' distinct-key count (= max local
+        DENSE_RANK) for DENSE_RANK. all_gather'd scalars only; no second
+        data exchange."""
+        t = self._mtrace(plan.input, tables, res, ov, factor)
+        pid = self._range_pid(t, plan.window_exprs[0].order_by[0])
+        t2 = self._exchange(t, pid, ov, factor)
+        wt = self.cp._trace(
+            plan, iter([t2]), frozenset({id(plan.input)}), res
+        )
+        my = jax.lax.axis_index(self.axis)
+        sidx = jnp.arange(self.n, dtype=jnp.int64)
+        live = wt.sel
+        cnt = jnp.sum(live.astype(jnp.int64))
+        counts = jax.lax.all_gather(cnt.reshape(1), self.axis).reshape(self.n)
+        prior_rows = jnp.sum(jnp.where(sidx < my, counts, 0))
+        n_in = len(plan.input.schema())
+        new_cols = list(wt.cols)
+        for j, w in enumerate(plan.window_exprs):
+            ci = n_in + j
+            col = wt.cols[ci]
+            if w.func is lp.WindowFn.DENSE_RANK:
+                local_d = jnp.max(jnp.where(live, col.data, 0))
+                dists = jax.lax.all_gather(
+                    local_d.reshape(1), self.axis
+                ).reshape(self.n)
+                add = jnp.sum(jnp.where(sidx < my, dists, 0))
+            else:  # ROW_NUMBER / RANK: ties never span shards
+                add = prior_rows
+            nd = jnp.where(live, col.data + add, col.data)
+            new_cols[ci] = Column(nd, col.validity, col.dtype,
+                                  col.dictionary)
+        return _TTable(wt.schema, new_cols, wt.sel, wt.capacity, wt.dense,
+                       wt.bounds)
 
     # ---- the exchange ----------------------------------------------------
     def _exchange(self, t: _TTable, pid, ov, factor) -> _TTable:

@@ -234,12 +234,13 @@ def test_skewed_keys_overflow_retry(mesh):
 
 
 def test_unsupported_shapes_fall_back_correctly(mesh):
-    # window functions have no mesh lowering yet: subtree demotes to an
-    # eager leaf (or the query falls back entirely) but results must match
+    # global LAG has no mesh lowering (needs neighbor-row transport):
+    # subtree demotes to an eager leaf (or the query falls back entirely)
+    # but results must match
     check(
         mesh,
-        "SELECT o_id, ROW_NUMBER() OVER (ORDER BY amount DESC, o_id) AS rn "
-        "FROM orders WHERE amount > 990 ORDER BY rn LIMIT 5",
+        "SELECT o_id, LAG(amount, 1) OVER (ORDER BY o_id) AS prev "
+        "FROM orders WHERE amount > 990 ORDER BY o_id LIMIT 5",
         mesh_used=False,
     )
     # inner limits fall back too
@@ -383,3 +384,36 @@ def test_unbounded_dup_join_count_emit_sync(mesh):
         assert st.get("joins_counted", 0) >= 1, (
             f"mesh count->emit not used for {sql}: {st}"
         )
+
+
+def test_global_rank_windows_on_mesh(mesh):
+    """Rank-family windows with NO PARTITION BY lower to the mesh: range
+    exchange on the first ORDER BY key (ties co-locate), local ranks,
+    cross-shard offset patches from all_gather'd shard totals."""
+    sqls = [
+        # ROW_NUMBER with a tie-breaking second key
+        "SELECT o_id, ROW_NUMBER() OVER (ORDER BY amount DESC, o_id) AS rn "
+        "FROM orders WHERE amount > 700 ORDER BY rn LIMIT 40",
+        # RANK/DENSE_RANK with heavy ties on the primary key (cust has
+        # ~65 dups per value -> ties MUST co-locate for correctness)
+        "SELECT o_id, RANK() OVER (ORDER BY cust) AS r, "
+        "DENSE_RANK() OVER (ORDER BY cust) AS d "
+        "FROM orders WHERE amount IS NOT NULL ORDER BY o_id LIMIT 60",
+        # DESC order + NULL keys in the order column
+        "SELECT o_id, DENSE_RANK() OVER (ORDER BY cust DESC) AS d "
+        "FROM orders ORDER BY o_id LIMIT 50",
+        # three specs sharing the first key
+        "SELECT o_id, ROW_NUMBER() OVER (ORDER BY amount, o_id) AS rn, "
+        "RANK() OVER (ORDER BY amount) AS r, "
+        "DENSE_RANK() OVER (ORDER BY amount) AS d "
+        "FROM orders WHERE cust IS NOT NULL ORDER BY o_id LIMIT 60",
+    ]
+    for sql in sqls:
+        check(mesh, sql)
+    # aggregate ON TOP of a global window stays on the mesh
+    check(
+        mesh,
+        "SELECT COUNT(*) AS c, MAX(r) AS mx FROM ("
+        "SELECT RANK() OVER (ORDER BY amount) AS r FROM orders "
+        "WHERE amount IS NOT NULL) sub",
+    )
