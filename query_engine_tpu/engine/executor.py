@@ -951,6 +951,11 @@ class QueryExecutor:
                 )
                 p_datas = [v.data for v in part_vals]
                 p_valids = [v.validity for v in part_vals]
+                if not (p_datas or o_datas):
+                    # OVER () — no partition, no order: constant key keeps
+                    # live rows in input order as ONE partition
+                    p_datas = [jnp.zeros(cap, jnp.int32)]
+                    p_valids = [jnp.ones(cap, bool)]
                 perm = K.sort_permutation(
                     p_datas + o_datas,
                     p_valids + o_valids,

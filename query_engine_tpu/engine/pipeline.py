@@ -2324,6 +2324,12 @@ class CompiledPipeline:
                     k.expr for k in hexpr.order_by
                 ]
                 kb = _key_ranges(key_exprs, part_vals + o_vals, t)
+                if not key_exprs:
+                    # OVER () — no partition, no order: sort by a constant
+                    # key (stable => live rows first in input order)
+                    p_datas = [jnp.zeros(t.capacity, jnp.int32)]
+                    p_valids = [jnp.ones(t.capacity, bool)]
+                    kb = [(0, 1)]
                 perm = K.sort_permutation(
                     p_datas + o_datas,
                     p_valids + o_valids,

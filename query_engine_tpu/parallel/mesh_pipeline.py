@@ -551,23 +551,15 @@ class MeshPipeline:
             if not all(_expr_traceable(w) for w in plan.window_exprs):
                 raise _Unsupported("window exprs")
             if all(not w.partition_by for w in plan.window_exprs):
-                # global (no PARTITION BY) windows: the rank family
-                # distributes when every spec shares the same first ORDER
-                # BY key — a range exchange on that key co-locates ties
-                # (equal keys get equal partition ids), so local ranks
-                # are exact up to a per-shard offset patched from
-                # all_gather'd shard totals (_mtrace_global_window)
-                rank_fns = (lp.WindowFn.ROW_NUMBER, lp.WindowFn.RANK,
-                            lp.WindowFn.DENSE_RANK)
-                fkey = None
-                for w in plan.window_exprs:
-                    if w.func not in rank_fns or not w.order_by:
-                        raise _Unsupported("global window fn")
-                    kk = _sort_key_key(w.order_by[0], ctx)
-                    if fkey is None:
-                        fkey = kk
-                    elif kk != fkey:
-                        raise _Unsupported("mixed global window order")
+                # global (no PARTITION BY) windows distribute in two
+                # patchable families (_mtrace_global_window): rank
+                # functions (the range exchange co-locates ties, local
+                # ranks get a cross-shard offset) and prefix/whole-table
+                # aggregates (local results combine with an all_gather'd
+                # carry from prior shards). LAG/LEAD and bounded ROWS
+                # frames are tie-order dependent across the exchange —
+                # they fall back.
+                self._global_window_admission(plan, ctx)
                 body, leaves, nc, ne = self._mchild(plan.input, ctx)
                 for w in plan.window_exprs:
                     _mark_static_literals(w, ctx.static_ids)
@@ -960,42 +952,203 @@ class MeshPipeline:
             plan, iter([t2]), frozenset({id(plan.input)}), res
         )
 
+    _G_RANK_FNS = (lp.WindowFn.ROW_NUMBER, lp.WindowFn.RANK,
+                   lp.WindowFn.DENSE_RANK)
+    _G_AGG_FNS = (lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.MIN,
+                  lp.WindowFn.MAX, lp.WindowFn.AVG)
+
+    def _global_window_admission(self, plan, ctx):
+        """Raise _Unsupported unless every global spec is patchable:
+        rank functions with ORDER BY, or SUM/COUNT/MIN/MAX over a
+        prefix frame (RANGE UNBOUNDED PRECEDING..CURRENT — tie-order
+        independent) / any of them plus AVG over the whole table.
+        All order-bearing specs must share the first ORDER BY key
+        (one exchange co-locates everyone's ties)."""
+        from query_engine_tpu.core.errors import ExecutionError
+        from query_engine_tpu.engine.executor import classify_window_frame
+
+        fkey = None
+        for w in plan.window_exprs:
+            if w.func in self._G_RANK_FNS and w.order_by:
+                kk = _sort_key_key(w.order_by[0], ctx)
+            elif w.func in self._G_AGG_FNS:
+                if w.args and w.args[0].dtype.kind.name not in (
+                    "INT8", "INT16", "INT32", "INT64", "UINT8", "UINT16",
+                    "UINT32", "UINT64", "FLOAT32", "FLOAT64", "DATE32",
+                    "DATE64", "TIMESTAMP",
+                ):
+                    raise _Unsupported("global window agg arg type")
+                try:
+                    fdesc = classify_window_frame(w.frame, bool(w.order_by))
+                except ExecutionError:
+                    raise _Unsupported("global window frame")
+                if fdesc == ("partition",):
+                    continue  # whole-table: order-free, always patchable
+                if fdesc == ("range_current",) and w.order_by and (
+                    w.func is not lp.WindowFn.AVG
+                ):
+                    kk = _sort_key_key(w.order_by[0], ctx)
+                else:
+                    raise _Unsupported("global window frame")
+            else:
+                raise _Unsupported("global window fn")
+            if fkey is None:
+                fkey = kk
+            elif kk != fkey:
+                raise _Unsupported("mixed global window order")
+
     def _mtrace_global_window(self, plan, tables, res, ov, factor) -> _TTable:
-        """Global (no PARTITION BY) rank-family windows: range-exchange on
-        the shared first ORDER BY key (ties co-locate), run the single-chip
-        window tracer per shard, then patch each rank column with its
-        cross-shard offset — prior shards' live-row count for
-        ROW_NUMBER/RANK, prior shards' distinct-key count (= max local
-        DENSE_RANK) for DENSE_RANK. all_gather'd scalars only; no second
-        data exchange."""
+        """Global (no PARTITION BY) windows: range-exchange on the shared
+        first ORDER BY key (ties co-locate; skipped when every spec is a
+        whole-table aggregate), run the single-chip window tracer per
+        shard, then patch each window column with an all_gather'd
+        cross-shard term:
+
+        - ROW_NUMBER/RANK: + prior shards' live-row count (ties never
+          span shards, so local rank boundaries are exact).
+        - DENSE_RANK: + prior shards' distinct-key count (= max local
+          dense rank).
+        - SUM/COUNT/MIN/MAX over RANGE UNBOUNDED PRECEDING..CURRENT:
+          combine with the carry aggregate of ALL rows on prior shards
+          (at any row, the global prefix = local prefix + whole prior
+          shards — tie peers are local).
+        - SUM/COUNT/MIN/MAX/AVG over the whole table: replace with the
+          all-shard combine, broadcast.
+
+        Scalars only — no second data exchange."""
+        from query_engine_tpu.engine.executor import classify_window_frame
+
+        ev = self.executor.evaluator
         t = self._mtrace(plan.input, tables, res, ov, factor)
-        pid = self._range_pid(t, plan.window_exprs[0].order_by[0])
-        t2 = self._exchange(t, pid, ov, factor)
+        fdescs = [
+            None if w.func in self._G_RANK_FNS
+            else classify_window_frame(w.frame, bool(w.order_by))
+            for w in plan.window_exprs
+        ]
+        needs_exchange = any(
+            fd is None or fd == ("range_current",) for fd in fdescs
+        )
+        if needs_exchange:
+            k0 = next(
+                w.order_by[0] for w in plan.window_exprs if w.order_by
+            )
+            pid = self._range_pid(t, k0)
+            t2 = self._exchange(t, pid, ov, factor)
+        else:
+            t2 = t
         wt = self.cp._trace(
             plan, iter([t2]), frozenset({id(plan.input)}), res
         )
         my = jax.lax.axis_index(self.axis)
         sidx = jnp.arange(self.n, dtype=jnp.int64)
+        prior = sidx < my
         live = wt.sel
         cnt = jnp.sum(live.astype(jnp.int64))
         counts = jax.lax.all_gather(cnt.reshape(1), self.axis).reshape(self.n)
-        prior_rows = jnp.sum(jnp.where(sidx < my, counts, 0))
+        prior_rows = jnp.sum(jnp.where(prior, counts, 0))
+
+        def gathered(x):
+            return jax.lax.all_gather(
+                x.reshape(1), self.axis
+            ).reshape(self.n)
+
         n_in = len(plan.input.schema())
         new_cols = list(wt.cols)
-        for j, w in enumerate(plan.window_exprs):
+        for j, (w, fd) in enumerate(zip(plan.window_exprs, fdescs)):
             ci = n_in + j
             col = wt.cols[ci]
-            if w.func is lp.WindowFn.DENSE_RANK:
-                local_d = jnp.max(jnp.where(live, col.data, 0))
-                dists = jax.lax.all_gather(
-                    local_d.reshape(1), self.axis
-                ).reshape(self.n)
-                add = jnp.sum(jnp.where(sidx < my, dists, 0))
-            else:  # ROW_NUMBER / RANK: ties never span shards
-                add = prior_rows
-            nd = jnp.where(live, col.data + add, col.data)
-            new_cols[ci] = Column(nd, col.validity, col.dtype,
-                                  col.dictionary)
+            if fd is None:  # rank family
+                if w.func is lp.WindowFn.DENSE_RANK:
+                    local_d = jnp.max(jnp.where(live, col.data, 0))
+                    add = jnp.sum(jnp.where(prior, gathered(local_d), 0))
+                else:
+                    add = prior_rows
+                nd = jnp.where(live, col.data + add, col.data)
+                new_cols[ci] = Column(nd, col.validity, col.dtype,
+                                      col.dictionary)
+                continue
+            # aggregate: local whole-shard reduction of the arg, then the
+            # carry combine (prior shards for prefix frames, all shards
+            # for whole-table frames)
+            mask = prior if fd == ("range_current",) else (
+                jnp.ones(self.n, bool)
+            )
+            if w.args:
+                av = ev.eval(w.args[0], _ShimBatch(t2))
+                if av.dictionary is not None:
+                    raise _Unsupported("dictionary global window agg")
+                aok = av.validity & t2.sel
+                adata = av.data
+            else:  # COUNT(*)
+                aok = t2.sel
+                adata = None
+            if w.func is lp.WindowFn.COUNT:
+                lval = jnp.sum(aok.astype(jnp.int64))
+                carry = jnp.sum(jnp.where(mask, gathered(lval), 0))
+                if fd == ("range_current",):
+                    nd = jnp.where(live, col.data + carry, col.data)
+                    nv = col.validity
+                else:
+                    nd = jnp.where(live, carry, col.data)
+                    nv = col.validity
+            elif w.func is lp.WindowFn.AVG:  # whole-table only
+                s = jnp.sum(
+                    jnp.where(aok, adata, 0).astype(jnp.float64)
+                )
+                c = jnp.sum(aok.astype(jnp.int64))
+                ts_ = jnp.sum(jnp.where(mask, gathered(s), 0.0))
+                tc = jnp.sum(jnp.where(mask, gathered(c), 0))
+                ok = tc > 0
+                val = ts_ / jnp.maximum(tc, 1).astype(jnp.float64)
+                nd = jnp.where(live, val.astype(col.data.dtype), col.data)
+                nv = jnp.where(live, ok, col.validity)
+            else:  # SUM / MIN / MAX
+                dt = col.data.dtype
+                if w.func is lp.WindowFn.SUM:
+                    lval = jnp.sum(jnp.where(aok, adata, 0).astype(dt))
+                    comb = jnp.add
+                    ident = jnp.zeros((), dt)
+                else:
+                    big = (
+                        jnp.finfo(dt).max
+                        if jnp.issubdtype(dt, jnp.floating)
+                        else jnp.iinfo(dt).max
+                    )
+                    ident = jnp.asarray(
+                        big if w.func is lp.WindowFn.MIN else
+                        (-big if jnp.issubdtype(dt, jnp.floating)
+                         else jnp.iinfo(dt).min),
+                        dt,
+                    )
+                    red = (jnp.min if w.func is lp.WindowFn.MIN
+                           else jnp.max)
+                    comb = (jnp.minimum if w.func is lp.WindowFn.MIN
+                            else jnp.maximum)
+                    lval = red(
+                        jnp.where(aok, adata.astype(dt), ident)
+                    )
+                lok = jnp.any(aok)
+                parts = gathered(lval)
+                poks = gathered(lok) & mask
+                if w.func is lp.WindowFn.SUM:
+                    carry = jnp.sum(jnp.where(poks, parts, 0).astype(dt))
+                elif w.func is lp.WindowFn.MIN:
+                    carry = jnp.min(jnp.where(poks, parts, ident))
+                else:
+                    carry = jnp.max(jnp.where(poks, parts, ident))
+                carry_ok = jnp.any(poks)
+                if fd == ("range_current",):
+                    both = col.validity & carry_ok
+                    nd = jnp.where(
+                        live & both, comb(col.data, carry),
+                        jnp.where(live & ~col.validity & carry_ok,
+                                  carry, col.data),
+                    )
+                    nv = col.validity | (live & carry_ok)
+                else:
+                    nd = jnp.where(live & carry_ok, carry, col.data)
+                    nv = jnp.where(live, carry_ok, col.validity)
+            new_cols[ci] = Column(nd, nv, col.dtype, col.dictionary)
         return _TTable(wt.schema, new_cols, wt.sel, wt.capacity, wt.dense,
                        wt.bounds)
 

@@ -417,3 +417,49 @@ def test_global_rank_windows_on_mesh(mesh):
         "SELECT RANK() OVER (ORDER BY amount) AS r FROM orders "
         "WHERE amount IS NOT NULL) sub",
     )
+
+
+def test_global_aggregate_windows_on_mesh(mesh):
+    """Prefix-frame (running) and whole-table window aggregates with no
+    PARTITION BY lower to the mesh: local results combine with an
+    all_gather'd carry from prior shards (prefix) or all shards
+    (whole-table)."""
+    # running totals over a tied key: RANGE..CURRENT includes peers, so
+    # results are tie-order independent and bit-exact
+    check(
+        mesh,
+        "SELECT o_id, SUM(amount) OVER (ORDER BY cust) AS rs, "
+        "COUNT(amount) OVER (ORDER BY cust) AS rc, "
+        "MIN(amount) OVER (ORDER BY cust) AS rmin, "
+        "MAX(amount) OVER (ORDER BY cust) AS rmax "
+        "FROM orders ORDER BY o_id LIMIT 80",
+    )
+    # whole-table aggregates (no ORDER BY): every row gets the global value
+    check(
+        mesh,
+        "SELECT o_id, SUM(amount) OVER () AS s, COUNT(*) OVER () AS c, "
+        "MIN(amount) OVER () AS lo, MAX(amount) OVER () AS hi "
+        "FROM orders WHERE cust = 7 ORDER BY o_id",
+    )
+    # AVG over the whole table (float: partial sums reassociate)
+    check(
+        mesh,
+        "SELECT o_id, AVG(score) OVER () AS a FROM orders "
+        "WHERE cust = 3 ORDER BY o_id",
+        float_tol=1e-12,
+    )
+    # mixed rank + running aggregate sharing the ORDER BY key
+    check(
+        mesh,
+        "SELECT o_id, RANK() OVER (ORDER BY amount) AS r, "
+        "SUM(amount) OVER (ORDER BY amount) AS rs "
+        "FROM orders WHERE amount IS NOT NULL AND cust < 10 "
+        "ORDER BY o_id",
+    )
+    # NULL amounts inside the running SUM (skipped, validity carries)
+    check(
+        mesh,
+        "SELECT o_id, SUM(amount) OVER (ORDER BY o_id) AS rs "
+        "FROM orders WHERE cust = 11 OR amount IS NULL "
+        "ORDER BY o_id LIMIT 60",
+    )
