@@ -171,8 +171,17 @@ class Session:
                 "",
                 f"rows: {result.num_rows}",
                 f"timing: {self.last_timing}",
-                "",
             ]
+            if self.mesh_pipeline is not None:
+                st = self.mesh_pipeline.stats
+                lines.append(
+                    f"mesh: devices={self.mesh_pipeline.n} "
+                    f"compiles={st['compiles']} hits={st['hits']} "
+                    f"fallbacks={st['fallbacks']} "
+                    f"exchanges={st['exchanges']} "
+                    f"overflow_retries={st['overflow_retries']}"
+                )
+            lines.append("")
             lines += GLOBAL_PROFILER.report().splitlines()
         return ColumnBatch.from_pydict({"QUERY PLAN": lines})
 
