@@ -65,6 +65,28 @@ _GLOBAL_PARTIAL = {
 }
 
 
+def _order_pristine(p) -> bool:
+    """True when the physical subtree preserves row order shard-monotonely:
+    leaf tables shard as contiguous row blocks (parallel/mesh.py
+    ShardedTable), filters/projections keep rows in their slots, and the
+    bucketing exchange is stable in (source shard, source slot) order
+    (spmd.bucket_rows / exchange_columns) — so after a range exchange the
+    per-shard slot order equals the original global row order, and a stable
+    local sort reproduces the single-device engine's within-tie order
+    exactly. Join/aggregate/sort/distinct/window/set-op nodes re-emit rows
+    in a mesh-specific order and break this; any other node demotes to an
+    eager leaf (single-device result, contiguous shards) which is pristine
+    again."""
+    if isinstance(p, pp.PScan):
+        return True
+    if isinstance(p, (pp.PFilter, pp.PProjection, pp.PSubquery)):
+        return _order_pristine(p.input)
+    if isinstance(p, (pp.PHashJoin, pp.PHashAggregate, pp.PSort,
+                      pp.PDistinct, pp.PWindow, pp.PSetOp)):
+        return False
+    return True  # demotes to an eager leaf: single-device order
+
+
 class _MEntry:
     __slots__ = ("fn", "meta", "leaves", "plan", "res", "dyn_exprs",
                  "sub_exprs", "sub_batches", "leaf_nodes", "factor")
@@ -551,14 +573,14 @@ class MeshPipeline:
             if not all(_expr_traceable(w) for w in plan.window_exprs):
                 raise _Unsupported("window exprs")
             if all(not w.partition_by for w in plan.window_exprs):
-                # global (no PARTITION BY) windows distribute in two
-                # patchable families (_mtrace_global_window): rank
-                # functions (the range exchange co-locates ties, local
-                # ranks get a cross-shard offset) and prefix/whole-table
-                # aggregates (local results combine with an all_gather'd
-                # carry from prior shards). LAG/LEAD and bounded ROWS
-                # frames are tie-order dependent across the exchange —
-                # they fall back.
+                # global (no PARTITION BY) windows distribute in
+                # patchable families (_gw_kind / _mtrace_global_window):
+                # rank functions get a cross-shard offset, prefix/whole-
+                # table aggregates an all_gather'd carry, and the order-
+                # sensitive families (LAG/LEAD, bounded ROWS frames,
+                # NTILE, FIRST/LAST_VALUE) boundary halos — the latter
+                # only over order-pristine inputs where the mesh row
+                # order provably matches the single-device engine's.
                 self._global_window_admission(plan, ctx)
                 body, leaves, nc, ne = self._mchild(plan.input, ctx)
                 for w in plan.window_exprs:
@@ -956,46 +978,132 @@ class MeshPipeline:
                    lp.WindowFn.DENSE_RANK)
     _G_AGG_FNS = (lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.MIN,
                   lp.WindowFn.MAX, lp.WindowFn.AVG)
+    # patch families whose value depends on the exact total row order
+    # (not just key order): they are admitted only over an order-pristine
+    # input, where the post-exchange per-shard slot order provably equals
+    # the single-device engine's row order (see _order_pristine)
+    _GW_ORDER_SENSITIVE = frozenset({
+        "ntile", "lag", "lead", "first", "last_peer", "last_global",
+        "aggrows",
+    })
 
-    def _global_window_admission(self, plan, ctx):
-        """Raise _Unsupported unless every global spec is patchable:
-        rank functions with ORDER BY, or SUM/COUNT/MIN/MAX over a
-        prefix frame (RANGE UNBOUNDED PRECEDING..CURRENT — tie-order
-        independent) / any of them plus AVG over the whole table.
-        All order-bearing specs must share the first ORDER BY key
-        (one exchange co-locates everyone's ties)."""
+    def _gw_kind(self, w):
+        """Classify a global (no PARTITION BY) window spec into its mesh
+        patch family, or raise _Unsupported. Families:
+
+        - ("rank",)         ROW_NUMBER/RANK/DENSE_RANK: + prior-shard offset
+        - ("ntile",)        recomputed from global rank + total count
+        - ("lag", k) / ("lead", k)  boundary-halo value from the adjacent
+                            shards (k = static offset)
+        - ("first",)        global first row's value, broadcast
+        - ("last_peer",)    last tie peer — fully local after the exchange
+        - ("last_global",)  global last row's value, broadcast
+        - ("agg_prefix",)   SUM/COUNT/MIN/MAX over RANGE UNBOUNDED
+                            PRECEDING..CURRENT: + whole-prior-shard carry
+        - ("agg_whole",)    aggregate over the whole table: all-shard
+                            combine, broadcast
+        - ("aggrows", s, e) SUM/COUNT/MIN/MAX over a ROWS frame: edge rows
+                            patch with halo suffix/prefix aggregates;
+                            unbounded sides add whole-shard carries
+        """
         from query_engine_tpu.core.errors import ExecutionError
         from query_engine_tpu.engine.executor import classify_window_frame
 
+        fn = w.func
+        if fn in self._G_RANK_FNS:
+            if not w.order_by:
+                raise _Unsupported("global rank window order")
+            return ("rank",)
+        if fn is lp.WindowFn.NTILE:
+            if not w.order_by:
+                raise _Unsupported("global NTILE order")
+            if not (w.args and isinstance(w.args[0], lp.Literal)):
+                raise _Unsupported("global NTILE tiles")
+            return ("ntile",)
+        if fn in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
+            if not w.order_by:
+                raise _Unsupported("global LAG/LEAD order")
+            k = 1
+            if len(w.args) > 1:
+                if not isinstance(w.args[1], lp.Literal):
+                    raise _Unsupported("global LAG/LEAD offset")
+                from query_engine_tpu.engine.executor import QueryExecutor
+
+                k = QueryExecutor._const_int(w.args[1], 1)
+            if k < 0:
+                raise _Unsupported("negative LAG/LEAD offset")
+            return ("lag" if fn is lp.WindowFn.LAG else "lead", k)
+        if fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
+            if not w.order_by:
+                raise _Unsupported("global FIRST/LAST_VALUE order")
+            try:
+                fdesc = classify_window_frame(w.frame, bool(w.order_by))
+            except ExecutionError:
+                raise _Unsupported("global window frame")
+            if fn is lp.WindowFn.FIRST_VALUE:
+                if fdesc in (("partition",), ("range_current",)) or (
+                    fdesc[0] == "rows" and fdesc[1] is None
+                ):
+                    return ("first",)
+                raise _Unsupported("global FIRST_VALUE frame")
+            # LAST_VALUE mirrors the single-chip tracer: unbounded-end
+            # frames take the partition's last row, everything else the
+            # current row's last tie peer (pipeline.py _trace_window)
+            unbounded_end = (
+                w.frame is not None and w.frame.end is not None
+                and w.frame.end.kind == "FOLLOWING"
+                and w.frame.end.offset is None
+            )
+            return ("last_global",) if unbounded_end else ("last_peer",)
+        if fn in self._G_AGG_FNS:
+            if w.args and w.args[0].dtype.kind.name not in (
+                "INT8", "INT16", "INT32", "INT64", "UINT8", "UINT16",
+                "UINT32", "UINT64", "FLOAT32", "FLOAT64", "DATE32",
+                "DATE64", "TIMESTAMP",
+            ):
+                raise _Unsupported("global window agg arg type")
+            try:
+                fdesc = classify_window_frame(w.frame, bool(w.order_by))
+            except ExecutionError:
+                raise _Unsupported("global window frame")
+            if fdesc == ("partition",):
+                return ("agg_whole",)
+            if fdesc == ("range_current",):
+                if w.order_by and fn is not lp.WindowFn.AVG:
+                    return ("agg_prefix",)
+                raise _Unsupported("global window frame")
+            # ("rows", s, e): s in {None, int>=0}, e in {None, int>=0}
+            s_off, e_off = fdesc[1], fdesc[2]
+            if s_off is None and e_off is None:
+                return ("agg_whole",)  # whole partition, order-free
+            if fn is lp.WindowFn.AVG:
+                raise _Unsupported("global AVG rows frame")
+            if not w.order_by:
+                raise _Unsupported("global rows frame order")
+            return ("aggrows", s_off, e_off)
+        raise _Unsupported("global window fn")
+
+    def _global_window_admission(self, plan, ctx):
+        """Raise _Unsupported unless every global spec has a patch family
+        (_gw_kind). All order-bearing non-whole-table specs must share the
+        first ORDER BY key (one exchange co-locates everyone's ties), and
+        order-sensitive families additionally require an order-pristine
+        input subtree (scan/filter/projection only), where the mesh row
+        order provably matches the single-device engine's."""
         fkey = None
+        sensitive = False
         for w in plan.window_exprs:
-            if w.func in self._G_RANK_FNS and w.order_by:
+            kind = self._gw_kind(w)
+            if kind[0] in self._GW_ORDER_SENSITIVE:
+                sensitive = True
+            if kind[0] != "agg_whole" and w.order_by:
                 kk = _sort_key_key(w.order_by[0], ctx)
-            elif w.func in self._G_AGG_FNS:
-                if w.args and w.args[0].dtype.kind.name not in (
-                    "INT8", "INT16", "INT32", "INT64", "UINT8", "UINT16",
-                    "UINT32", "UINT64", "FLOAT32", "FLOAT64", "DATE32",
-                    "DATE64", "TIMESTAMP",
-                ):
-                    raise _Unsupported("global window agg arg type")
-                try:
-                    fdesc = classify_window_frame(w.frame, bool(w.order_by))
-                except ExecutionError:
-                    raise _Unsupported("global window frame")
-                if fdesc == ("partition",):
-                    continue  # whole-table: order-free, always patchable
-                if fdesc == ("range_current",) and w.order_by and (
-                    w.func is not lp.WindowFn.AVG
-                ):
-                    kk = _sort_key_key(w.order_by[0], ctx)
-                else:
-                    raise _Unsupported("global window frame")
-            else:
-                raise _Unsupported("global window fn")
-            if fkey is None:
-                fkey = kk
-            elif kk != fkey:
-                raise _Unsupported("mixed global window order")
+                if fkey is None:
+                    fkey = kk
+                elif kk != fkey:
+                    raise _Unsupported("mixed global window order")
+        if sensitive and not _order_pristine(plan.input):
+            raise _Unsupported("order-sensitive global window input")
 
     def _mtrace_global_window(self, plan, tables, res, ov, factor) -> _TTable:
         """Global (no PARTITION BY) windows: range-exchange on the shared
@@ -1015,19 +1123,19 @@ class MeshPipeline:
         - SUM/COUNT/MIN/MAX/AVG over the whole table: replace with the
           all-shard combine, broadcast.
 
-        Scalars only — no second data exchange."""
-        from query_engine_tpu.engine.executor import classify_window_frame
-
+        Order-sensitive families (_GW_ORDER_SENSITIVE: LAG/LEAD, bounded
+        ROWS frames, NTILE, FIRST/LAST_VALUE) patch with boundary HALOS:
+        each shard all_gathers its first/last k live sorted rows' values,
+        builds the k rows globally adjacent to its own range, and fixes its
+        edge rows — O(n_devices x k) scalars, never a second data exchange.
+        Admitted only over order-pristine inputs (_order_pristine), where
+        per-shard slot order provably equals the single-device row order,
+        so results stay bit-identical to the single-chip engine."""
         ev = self.executor.evaluator
+        ex = self.executor
         t = self._mtrace(plan.input, tables, res, ov, factor)
-        fdescs = [
-            None if w.func in self._G_RANK_FNS
-            else classify_window_frame(w.frame, bool(w.order_by))
-            for w in plan.window_exprs
-        ]
-        needs_exchange = any(
-            fd is None or fd == ("range_current",) for fd in fdescs
-        )
+        kinds = [self._gw_kind(w) for w in plan.window_exprs]
+        needs_exchange = any(k[0] != "agg_whole" for k in kinds)
         if needs_exchange:
             k0 = next(
                 w.order_by[0] for w in plan.window_exprs if w.order_by
@@ -1052,12 +1160,89 @@ class MeshPipeline:
                 x.reshape(1), self.axis
             ).reshape(self.n)
 
+        following = sidx > my
+        cap2 = t2.capacity
+        rank_cache: Dict[tuple, tuple] = {}
+
+        def local_rank(w):
+            """(perm, pos): stable sort permutation over this spec's FULL
+            ORDER BY and each slot's 0-based local sorted rank. Cached per
+            distinct key tuple across specs."""
+            key = tuple(
+                (str(_expr_key(k.expr)), k.asc, k.resolved_nulls_first())
+                for k in w.order_by
+            )
+            hit = rank_cache.get(key)
+            if hit is None:
+                o_vals = [ev.eval(k.expr, _ShimBatch(t2)) for k in w.order_by]
+                perm = K.sort_permutation(
+                    [v.data for v in o_vals],
+                    [v.validity for v in o_vals],
+                    [k.asc for k in w.order_by],
+                    [k.resolved_nulls_first() for k in w.order_by],
+                    t2.sel,
+                )
+                pos = jnp.zeros(cap2, jnp.int32).at[perm].set(
+                    jnp.arange(cap2, dtype=jnp.int32)
+                )
+                hit = (perm, pos)
+                rank_cache[key] = hit
+            return hit
+
+        def shard_edge(perm, m, planes, head):
+            """This shard's first (head) / last m live sorted rows: each
+            plane gathered at those rows, plus an exists mask."""
+            if head:
+                sp = jnp.arange(m, dtype=jnp.int64)
+                exists = sp < cnt
+            else:
+                sp = cnt - m + jnp.arange(m, dtype=jnp.int64)
+                exists = sp >= 0
+            rows = perm[jnp.clip(sp, 0, cap2 - 1).astype(jnp.int32)]
+            return [p[rows] for p in planes], exists
+
+        def global_edge(vals, oks, exists, m, head):
+            """The m rows globally adjacent to this shard's range (just
+            before when head=False, just after when head=True), in global
+            sorted order, as (vals, oks, exists) of length m. Built from
+            one all_gather of every shard's edge (n x m scalars)."""
+            side = following if head else prior
+            gex = (jax.lax.all_gather(exists, self.axis)
+                   & side[:, None]).reshape(-1)
+            gv = jax.lax.all_gather(vals, self.axis).reshape(-1)
+            gok = jax.lax.all_gather(oks, self.axis).reshape(-1)
+            if head:
+                rk = jnp.cumsum(gex.astype(jnp.int32))
+                dest = jnp.where(gex & (rk <= m), rk - 1, m)
+            else:
+                rk = jnp.cumsum(gex[::-1].astype(jnp.int32))[::-1]
+                dest = jnp.where(gex & (rk <= m), m - rk, m)
+            pick = dest < m
+            ov = jnp.zeros(m + 1, gv.dtype).at[dest].set(
+                jnp.where(pick, gv, jnp.zeros((), gv.dtype))
+            )[:m]
+            ook = jnp.zeros(m + 1, bool).at[dest].set(pick & gok)[:m]
+            oex = jnp.zeros(m + 1, bool).at[dest].set(pick)[:m]
+            return ov, ook, oex
+
+        def merge_agg(cur, cok, add_v, add_ok, mask, comb):
+            """Combine a patch contribution into (cur, cok) on `mask` rows
+            (NULL-aware: either side alone passes through)."""
+            add_v = jnp.broadcast_to(add_v, cur.shape).astype(cur.dtype)
+            add_ok = jnp.broadcast_to(add_ok, cok.shape)
+            both = cok & add_ok
+            nv = jnp.where(both, comb(cur, add_v),
+                           jnp.where(add_ok, add_v, cur))
+            m2 = mask & live
+            return (jnp.where(m2, nv, cur),
+                    jnp.where(m2, cok | add_ok, cok))
+
         n_in = len(plan.input.schema())
         new_cols = list(wt.cols)
-        for j, (w, fd) in enumerate(zip(plan.window_exprs, fdescs)):
+        for j, (w, kind) in enumerate(zip(plan.window_exprs, kinds)):
             ci = n_in + j
             col = wt.cols[ci]
-            if fd is None:  # rank family
+            if kind == ("rank",):  # rank family
                 if w.func is lp.WindowFn.DENSE_RANK:
                     local_d = jnp.max(jnp.where(live, col.data, 0))
                     add = jnp.sum(jnp.where(prior, gathered(local_d), 0))
@@ -1067,9 +1252,100 @@ class MeshPipeline:
                 new_cols[ci] = Column(nd, col.validity, col.dtype,
                                       col.dictionary)
                 continue
-            # aggregate: local whole-shard reduction of the arg, then the
-            # carry combine (prior shards for prefix frames, all shards
-            # for whole-table frames)
+            if kind[0] == "last_peer":
+                # last tie peer: ties co-locate after the exchange, so the
+                # local tracer's answer is already globally correct
+                continue
+            if kind == ("ntile",):
+                # recompute from the global rank and total count (PG
+                # semantics: q=T//n, r=T%n, first r tiles get q+1 rows —
+                # kernels.ntile_sorted parity)
+                m_tiles = max(ex._const_int(w.args[0], 1), 1)
+                _perm, pos = local_rank(w)
+                rg = pos.astype(jnp.int64) + prior_rows
+                total = jnp.sum(counts)
+                q = total // m_tiles
+                rem = total % m_tiles
+                big = rem * (q + 1)
+                tile = jnp.where(
+                    rg < big,
+                    rg // jnp.maximum(q + 1, 1),
+                    rem + jnp.where(
+                        q > 0,
+                        (rg - big) // jnp.maximum(q, 1),
+                        jnp.zeros((), jnp.int64),
+                    ),
+                ) + 1
+                nd = jnp.where(live, tile.astype(col.data.dtype), col.data)
+                new_cols[ci] = Column(nd, col.validity, col.dtype,
+                                      col.dictionary)
+                continue
+            if kind[0] in ("lag", "lead"):
+                koff = kind[1]
+                if koff == 0:
+                    continue  # offset 0 = the row itself; local is exact
+                av = ev.eval(w.args[0], _ShimBatch(t2))
+                perm, pos = local_rank(w)
+                r = pos.astype(jnp.int64)
+                head = kind[0] == "lead"
+                (hd, hv), hex_ = shard_edge(
+                    perm, koff, [av.data, av.validity], head=head
+                )
+                Gv, Gok, Gex = global_edge(hd, hv & hex_, hex_, koff, head)
+                if head:
+                    off = r + koff - cnt
+                    need = live & (off >= 0)
+                    idxs = jnp.clip(off, 0, koff - 1).astype(jnp.int32)
+                else:
+                    need = live & (r < koff)
+                    idxs = jnp.clip(r, 0, koff - 1).astype(jnp.int32)
+                pv = Gv[idxs].astype(col.data.dtype)
+                pok, pex = Gok[idxs], Gex[idxs]
+                if len(w.args) > 2:  # default when the target is off-table
+                    dv = ev.eval(w.args[2], _ShimBatch(t2))
+                    pv = jnp.where(pex, pv, dv.data.astype(col.data.dtype))
+                    pok = jnp.where(pex, pok, dv.validity)
+                nd = jnp.where(need, pv, col.data)
+                nv = jnp.where(need, pok, col.validity)
+                new_cols[ci] = Column(nd, nv, col.dtype, col.dictionary)
+                continue
+            if kind[0] in ("first", "last_global"):
+                av = ev.eval(w.args[0], _ShimBatch(t2))
+                perm, _pos = local_rank(w)
+                has = cnt > 0
+                if kind[0] == "first":
+                    row = perm[0]
+                else:
+                    row = perm[jnp.clip(cnt - 1, 0, cap2 - 1)
+                               .astype(jnp.int32)]
+                lv = av.data[row]
+                lok = av.validity[row] & has
+                Gv, Gok, Ghas = gathered(lv), gathered(lok), gathered(has)
+                if kind[0] == "first":
+                    pickix = jnp.argmin(
+                        jnp.where(Ghas, sidx, jnp.int64(self.n))
+                    )
+                else:
+                    pickix = jnp.argmax(
+                        jnp.where(Ghas, sidx, jnp.int64(-1))
+                    )
+                val = Gv[pickix].astype(col.data.dtype)
+                ok = Gok[pickix] & jnp.any(Ghas)
+                nd = jnp.where(live, val, col.data)
+                nv = jnp.where(live, ok, col.validity)
+                new_cols[ci] = Column(nd, nv, col.dtype, col.dictionary)
+                continue
+            if kind[0] == "aggrows":
+                new_cols[ci] = self._gw_rows_patch(
+                    w, kind, col, t2, live, cnt, prior, following, gathered,
+                    local_rank, shard_edge, global_edge, merge_agg,
+                )
+                continue
+            # agg_prefix / agg_whole: local whole-shard reduction of the
+            # arg, then the carry combine (prior shards for prefix frames,
+            # all shards for whole-table frames)
+            fd = (("range_current",) if kind == ("agg_prefix",)
+                  else ("partition",))
             mask = prior if fd == ("range_current",) else (
                 jnp.ones(self.n, bool)
             )
@@ -1151,6 +1427,112 @@ class MeshPipeline:
             new_cols[ci] = Column(nd, nv, col.dtype, col.dictionary)
         return _TTable(wt.schema, new_cols, wt.sel, wt.capacity, wt.dense,
                        wt.bounds)
+
+    def _gw_rows_patch(self, w, kind, col, t2, live, cnt, prior, following,
+                       gathered, local_rank, shard_edge, global_edge,
+                       merge_agg):
+        """Patch a SUM/COUNT/MIN/MAX over a bounded ROWS frame
+        (s PRECEDING .. e FOLLOWING, either side possibly unbounded) after
+        the range exchange. The local tracer clamped the frame at the
+        shard boundary; the missing pieces decompose exactly into:
+
+        - s unbounded: every prior shard is fully inside the frame — add
+          the whole-shard carry (mask=prior), like the prefix family.
+        - e unbounded: symmetric with the following shards.
+        - s = p (int): a row with local sorted rank r < p is missing frame
+          rows tail[r..p-1], where tail = the p rows globally just before
+          this shard — patch with a suffix aggregate of the halo.
+        - e = f (int): rank r with r+f >= cnt is missing head[0..r+f-cnt],
+          head = the f rows globally just after — prefix aggregate.
+
+        Halos are one all_gather of (n_devices x p|f) scalars."""
+        ev = self.executor.evaluator
+        s_off, f_off = kind[1], kind[2]
+        fnm = w.func
+        perm, pos = local_rank(w)
+        r = pos.astype(jnp.int64)
+        dt = col.data.dtype
+        if w.args:
+            av = ev.eval(w.args[0], _ShimBatch(t2))
+            if av.dictionary is not None:
+                raise _Unsupported("dictionary global window agg")
+            ad, aok = av.data, av.validity & t2.sel
+        else:
+            ad, aok = None, t2.sel
+        additive = fnm in (lp.WindowFn.SUM, lp.WindowFn.COUNT)
+        if fnm is lp.WindowFn.COUNT:
+            # counts combine additively: each in-frame row contributes its
+            # 0/1 validity; the contribution itself is always defined
+            vals = aok.astype(dt)
+            oks = t2.sel
+            comb = jnp.add
+            ident = jnp.zeros((), dt)
+        elif fnm is lp.WindowFn.SUM:
+            vals, oks = ad.astype(dt), aok
+            comb = jnp.add
+            ident = jnp.zeros((), dt)
+        else:
+            vals, oks = ad.astype(dt), aok
+            big = (jnp.finfo(dt).max if jnp.issubdtype(dt, jnp.floating)
+                   else jnp.iinfo(dt).max)
+            small = (-big if jnp.issubdtype(dt, jnp.floating)
+                     else jnp.iinfo(dt).min)
+            if fnm is lp.WindowFn.MIN:
+                comb, ident = jnp.minimum, jnp.asarray(big, dt)
+            else:
+                comb, ident = jnp.maximum, jnp.asarray(small, dt)
+        cur, cok = col.data, col.validity
+        all_live = jnp.ones(cur.shape[0], bool)
+        # unbounded sides: whole-shard carries
+        for unb, side in ((s_off is None, prior), (f_off is None, following)):
+            if not unb:
+                continue
+            masked = jnp.where(oks, vals, ident)
+            lval = jnp.sum(masked) if additive else (
+                jnp.min(masked) if fnm is lp.WindowFn.MIN else
+                jnp.max(masked)
+            )
+            lok = jnp.any(oks)
+            pv = gathered(lval)
+            pok = gathered(lok) & side
+            shv = jnp.where(pok, pv, ident)
+            carry = jnp.sum(shv) if additive else (
+                jnp.min(shv) if fnm is lp.WindowFn.MIN else jnp.max(shv)
+            )
+            cur, cok = merge_agg(cur, cok, carry, jnp.any(pok), all_live,
+                                 comb)
+        # bounded tail: rows r < p miss the suffix of the prior halo
+        if isinstance(s_off, int) and s_off > 0:
+            (tv, tok), tex = shard_edge(perm, s_off, [vals, oks],
+                                        head=False)
+            Gv, Gok, _Gex = global_edge(tv, tok & tex, tex, s_off,
+                                        head=False)
+            gvals = jnp.where(Gok, Gv, ident)
+            if additive:
+                sfx = jnp.cumsum(gvals[::-1])[::-1].astype(dt)
+            else:
+                sfx = jax.lax.associative_scan(comb, gvals[::-1])[::-1]
+            sfx_ok = jnp.cumsum(Gok[::-1].astype(jnp.int32))[::-1] > 0
+            ridx = jnp.clip(r, 0, s_off - 1).astype(jnp.int32)
+            cur, cok = merge_agg(cur, cok, sfx[ridx], sfx_ok[ridx],
+                                 r < s_off, comb)
+        # bounded head: rows r+f >= cnt miss the prefix of the next halo
+        if isinstance(f_off, int) and f_off > 0:
+            (hv, hok), hex_ = shard_edge(perm, f_off, [vals, oks],
+                                         head=True)
+            Gv, Gok, _Gex = global_edge(hv, hok & hex_, hex_, f_off,
+                                        head=True)
+            gvals = jnp.where(Gok, Gv, ident)
+            if additive:
+                pfx = jnp.cumsum(gvals).astype(dt)
+            else:
+                pfx = jax.lax.associative_scan(comb, gvals)
+            pfx_ok = jnp.cumsum(Gok.astype(jnp.int32)) > 0
+            mh = r + f_off - cnt
+            hidx = jnp.clip(mh, 0, f_off - 1).astype(jnp.int32)
+            cur, cok = merge_agg(cur, cok, pfx[hidx], pfx_ok[hidx],
+                                 mh >= 0, comb)
+        return Column(cur, cok, col.dtype, col.dictionary)
 
     # ---- the exchange ----------------------------------------------------
     def _exchange(self, t: _TTable, pid, ov, factor) -> _TTable:

@@ -463,3 +463,101 @@ def test_global_aggregate_windows_on_mesh(mesh):
         "FROM orders WHERE cust = 11 OR amount IS NULL "
         "ORDER BY o_id LIMIT 60",
     )
+
+
+def test_global_lag_lead_on_mesh(mesh):
+    """LAG/LEAD with no PARTITION BY lower to the mesh via boundary
+    halos: each shard all_gathers its edge rows, builds the k rows
+    globally adjacent to its range, and patches its first/last k rows.
+    Admitted only over order-pristine inputs, so within-tie order (and
+    therefore the result) is bit-identical to the single-device engine."""
+    sqls = [
+        "SELECT o_id, LAG(amount) OVER (ORDER BY o_id) AS lg, "
+        "LEAD(amount) OVER (ORDER BY o_id) AS ld "
+        "FROM orders ORDER BY o_id LIMIT 60",
+        # offset > 1 plus a default value; unique composite order
+        "SELECT o_id, LAG(amount, 3) OVER (ORDER BY cust, o_id) AS lg3, "
+        "LEAD(amount, 2, -1) OVER (ORDER BY cust, o_id) AS ld2 "
+        "FROM orders WHERE amount IS NOT NULL ORDER BY o_id LIMIT 80",
+        # heavy ties on the single order key: within-tie order must match
+        # the single-device stable sort exactly (order-pristine machinery)
+        "SELECT o_id, LAG(amount) OVER (ORDER BY cust) AS lg "
+        "FROM orders ORDER BY o_id LIMIT 80",
+        # DESC order with NULLs in both the key and the argument
+        "SELECT o_id, LAG(cust) OVER (ORDER BY amount DESC, o_id) AS lg "
+        "FROM orders ORDER BY o_id LIMIT 60",
+        # dictionary-encoded (string) argument rides as codes
+        "SELECT o_id, LAG(tag) OVER (ORDER BY o_id) AS lt "
+        "FROM orders WHERE cust < 20 ORDER BY o_id LIMIT 50",
+    ]
+    for sql in sqls:
+        check(mesh, sql)
+
+
+def test_global_rows_frames_on_mesh(mesh):
+    """Bounded ROWS frames with no PARTITION BY: edge rows combine the
+    local clamped aggregate with halo suffix/prefix aggregates; unbounded
+    sides add whole-shard carries."""
+    sqls = [
+        "SELECT o_id, SUM(amount) OVER (ORDER BY o_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s3 "
+        "FROM orders ORDER BY o_id LIMIT 80",
+        # both-bounded window spanning shard boundaries on both sides
+        "SELECT o_id, MIN(amount) OVER (ORDER BY o_id "
+        "ROWS BETWEEN 2 PRECEDING AND 4 FOLLOWING) AS lo, "
+        "MAX(amount) OVER (ORDER BY o_id "
+        "ROWS BETWEEN 2 PRECEDING AND 4 FOLLOWING) AS hi, "
+        "COUNT(amount) OVER (ORDER BY o_id "
+        "ROWS BETWEEN 2 PRECEDING AND 4 FOLLOWING) AS c "
+        "FROM orders ORDER BY o_id LIMIT 80",
+        # rows-prefix (UNBOUNDED PRECEDING: whole-prior-shard carry) with
+        # a bounded FOLLOWING edge
+        "SELECT o_id, SUM(amount) OVER (ORDER BY o_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS s "
+        "FROM orders WHERE cust < 30 ORDER BY o_id LIMIT 80",
+        # unbounded FOLLOWING (whole-following-shard carry)
+        "SELECT o_id, MAX(amount) OVER (ORDER BY o_id "
+        "ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING) AS m "
+        "FROM orders WHERE cust < 30 ORDER BY o_id LIMIT 80",
+        # ties on the order key + NULL arguments inside the frame
+        "SELECT o_id, SUM(amount) OVER (ORDER BY cust "
+        "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS s "
+        "FROM orders ORDER BY o_id LIMIT 80",
+    ]
+    for sql in sqls:
+        check(mesh, sql)
+
+
+def test_global_ntile_first_last_on_mesh(mesh):
+    """NTILE recomputes from the global rank + total count; FIRST_VALUE /
+    unbounded-end LAST_VALUE broadcast the global first/last row's value;
+    default-frame LAST_VALUE is the last tie peer (fully local)."""
+    sqls = [
+        # NTILE over a tied key: tile assignment is order-dependent
+        "SELECT o_id, NTILE(7) OVER (ORDER BY cust) AS t "
+        "FROM orders ORDER BY o_id LIMIT 80",
+        # uneven tiles (total % tiles != 0) with a unique composite key
+        "SELECT o_id, NTILE(13) OVER (ORDER BY amount, o_id) AS t "
+        "FROM orders WHERE amount IS NOT NULL ORDER BY o_id LIMIT 80",
+        "SELECT o_id, FIRST_VALUE(amount) OVER (ORDER BY cust, o_id) AS f "
+        "FROM orders ORDER BY o_id LIMIT 60",
+        # last tie peer (default frame) and global last (unbounded end)
+        "SELECT o_id, LAST_VALUE(amount) OVER (ORDER BY cust) AS lp, "
+        "LAST_VALUE(amount) OVER (ORDER BY cust ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS lg "
+        "FROM orders ORDER BY o_id LIMIT 60",
+    ]
+    for sql in sqls:
+        check(mesh, sql)
+
+
+def test_order_sensitive_window_fallback(mesh):
+    """Order-sensitive global windows over a REORDERING input (join below)
+    are not order-pristine — they must fall back and still be correct."""
+    check(
+        mesh,
+        "SELECT s.o_id, LAG(s.amount) OVER (ORDER BY s.o_id) AS lg FROM ("
+        "SELECT o.o_id AS o_id, o.amount AS amount FROM orders o "
+        "JOIN customers c ON o.cust = c.c_id) s ORDER BY s.o_id LIMIT 60",
+        mesh_used=False,
+    )
