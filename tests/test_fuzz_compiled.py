@@ -71,6 +71,19 @@ WINDOWS = [
     "COUNT(v) OVER (PARTITION BY s) AS w1",
     "MAX(v) OVER (PARTITION BY k ORDER BY id) AS w1",
     "MIN(f) OVER (ORDER BY id) AS w1",
+    # order-sensitive global (no PARTITION BY) shapes: on the mesh these
+    # ride the boundary-halo patches (parallel/mesh_pipeline.py)
+    "LAG(v) OVER (ORDER BY id) AS w1",
+    "LEAD(v, 2, -1) OVER (ORDER BY id) AS w1",
+    "LEAD(s) OVER (ORDER BY id) AS w1",
+    "SUM(v) OVER (ORDER BY id ROWS BETWEEN 4 PRECEDING AND 2 FOLLOWING) AS w1",
+    "MIN(v) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) AS w1",
+    "COUNT(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) AS w1",
+    "SUM(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w1",
+    "NTILE(6) OVER (ORDER BY id) AS w1",
+    "FIRST_VALUE(v) OVER (ORDER BY id) AS w1",
+    "LAST_VALUE(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND UNBOUNDED FOLLOWING) AS w1",
 ]
 
 
