@@ -234,6 +234,19 @@ class AggFunc(enum.Enum):
     AVG = "AVG"
     MIN = "MIN"
     MAX = "MAX"
+    # statistical family: lowered into (SUM, SUM(x^2), COUNT) + a formula
+    # projection (plan/lowering.py), so every execution path — eager,
+    # compiled, mesh partial/final, chunked — runs only base aggregates
+    VAR_POP = "VAR_POP"
+    VAR_SAMP = "VAR_SAMP"
+    STDDEV_POP = "STDDEV_POP"
+    STDDEV_SAMP = "STDDEV_SAMP"
+
+
+VARIANCE_FNS = {
+    AggFunc.VAR_POP, AggFunc.VAR_SAMP,
+    AggFunc.STDDEV_POP, AggFunc.STDDEV_SAMP,
+}
 
 
 @dataclass
@@ -247,7 +260,7 @@ class AggregateExpr(LogicalExpr):
         if f is AggFunc.COUNT:
             self.dtype = DataType.int64()
             self.nullable = False
-        elif f is AggFunc.AVG:
+        elif f is AggFunc.AVG or f in VARIANCE_FNS:
             self.dtype = DataType.float64()
         elif f is AggFunc.SUM:
             t = self.expr.dtype

@@ -567,13 +567,26 @@ class Planner:
         )
         return lp.CaseExpr(branches, else_e)
 
+    # PG aliases: VARIANCE = VAR_SAMP, STDDEV = STDDEV_SAMP
+    _AGG_ALIASES = {"VARIANCE": "VAR_SAMP", "STDDEV": "STDDEV_SAMP"}
+
     def _plan_aggregate(self, e: ast.Aggregate, scope, ctes) -> lp.AggregateExpr:
-        func = lp.AggFunc[e.func.name]
+        func = lp.AggFunc[self._AGG_ALIASES.get(e.func.name, e.func.name)]
         if isinstance(e.expr, ast.Wildcard):
             if func is not lp.AggFunc.COUNT:
                 raise PlanError(f"{func.value}(*) is not valid")
             return lp.AggregateExpr(func, None, e.distinct)
         inner = self.plan_expr(e.expr, scope, ctes)
+        if func in lp.VARIANCE_FNS:
+            if e.distinct:
+                # the (sum, sumsq) decomposition can't dedup on the raw
+                # value: x and -x share a square
+                raise PlanError(f"{func.value}(DISTINCT ...) is not supported")
+            if not inner.dtype.is_numeric:
+                raise PlanError(
+                    f"{func.value} requires a numeric argument, "
+                    f"got {inner.dtype}"
+                )
         return lp.AggregateExpr(func, inner, e.distinct)
 
     def _plan_window(self, e, scope, ctes, plan_post_agg):
@@ -590,9 +603,13 @@ class Planner:
             lp.SortKey(plan_post_agg(ob.expr), ob.asc, ob.nulls_first)
             for ob in e.over.order_by
         ]
-        return lp.WindowExpr(
-            lp.WindowFn[e.func.name], args, partition_by, order_by, e.over.frame
-        )
+        try:
+            wfn = lp.WindowFn[e.func.name]
+        except KeyError:
+            raise PlanError(
+                f"{e.func.name} is not supported as a window function"
+            )
+        return lp.WindowExpr(wfn, args, partition_by, order_by, e.over.frame)
 
     def _plan_grouping_sets(self, base, group_lexprs, agg_exprs, sets):
         """GROUP BY ROLLUP/CUBE/GROUPING SETS: one Aggregate per grouping

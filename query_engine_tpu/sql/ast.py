@@ -117,6 +117,13 @@ class AggregateFunction(enum.Enum):
     AVG = "AVG"
     MIN = "MIN"
     MAX = "MAX"
+    # statistical family (PG: VARIANCE = VAR_SAMP, STDDEV = STDDEV_SAMP)
+    VARIANCE = "VARIANCE"
+    VAR_POP = "VAR_POP"
+    VAR_SAMP = "VAR_SAMP"
+    STDDEV = "STDDEV"
+    STDDEV_POP = "STDDEV_POP"
+    STDDEV_SAMP = "STDDEV_SAMP"
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,7 @@ KEYWORDS = {
     "LIMIT", "OFFSET", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
     "OUTER", "ON", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",
     "IS", "NULL", "ASC", "DESC", "COUNT", "SUM", "AVG", "MIN", "MAX", "WITH",
+    "VARIANCE", "VAR_POP", "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
     "RECURSIVE", "EXISTS", "OVER", "PARTITION", "ROWS", "RANGE", "UNBOUNDED",
     "PRECEDING", "FOLLOWING", "CURRENT", "ROW",
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",

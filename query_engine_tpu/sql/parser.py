@@ -22,7 +22,8 @@ from query_engine_tpu.core.types import DataType, TypeKind
 from query_engine_tpu.sql import ast
 from query_engine_tpu.sql.lexer import Token, tokenize
 
-_AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "VARIANCE", "VAR_POP",
+            "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP"}
 _WINDOW_KWS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "FIRST_VALUE", "LAST_VALUE",
