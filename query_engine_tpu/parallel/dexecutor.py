@@ -211,6 +211,22 @@ class DistributedExecutor:
             ]
             return self._run_tasks(query_id, stage, tasks)
 
+        if stage.kind == "single_agg":
+            # non-decomposable aggregates (DISTINCT, VARIANCE/STDDEV):
+            # gather raw rows and aggregate whole in one task
+            from query_engine_tpu.plan.lowering import build_hash_aggregate
+
+            deps = outputs[stage.dependencies[0]]
+            agg: lp.Aggregate = frag
+            merged = ColumnBatch.concat(deps)
+            self.stats.rows_shuffled += merged.num_rows
+            sagg = build_hash_aggregate(
+                _Materialized(merged),
+                [lowering._lower_expr(e) for e in agg.group_exprs],
+                [lowering._lower_expr(e) for e in agg.agg_exprs],
+            )
+            return self._run_tasks(query_id, stage, [(0, sagg)])
+
         if stage.kind == "partial_agg":
             deps = outputs[stage.dependencies[0]]
             agg: lp.Aggregate = frag

@@ -104,6 +104,20 @@ class DistributedPlanner:
             return len(stages) - 1
         if isinstance(plan, lp.Aggregate):
             dep = self._create_stages(plan.input, stages)
+            from query_engine_tpu.engine.partial_agg import DECOMPOSABLE
+
+            if any(a.distinct or a.func not in DECOMPOSABLE
+                   for a in plan.agg_exprs):
+                # DISTINCT / statistical aggregates have no per-partition
+                # partial: gather raw rows to one task and aggregate whole
+                # (a partial COUNT(DISTINCT) summed across partitions
+                # over-counts values present in several partitions)
+                stages.append(QueryStage(
+                    len(stages), plan, PartitionStrategy.SINGLE, 1,
+                    dependencies=[dep], requires_shuffle=True,
+                    kind="single_agg",
+                ))
+                return len(stages) - 1
             # partial per-partition
             stages.append(QueryStage(
                 len(stages), plan, PartitionStrategy.SINGLE, n,

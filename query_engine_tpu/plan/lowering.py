@@ -211,79 +211,9 @@ class Lowering:
 
     # ---- joins ---------------------------------------------------------
     def _lower_aggregate(self, plan: lp.Aggregate) -> pp.PhysicalPlan:
-        """VARIANCE/STDDEV lower into base aggregates (SUM(x), SUM(x*x),
-        COUNT(x)) plus a formula projection, so every execution path —
-        eager, compiled pipelines, mesh partial/final, chunked — runs only
-        SUM/COUNT and the statistical family distributes/chunks for free.
-        var_pop = M2/c, var_samp = M2/(c-1) with M2 = max(ss - s^2/c, 0)
-        (clamped: float cancellation can drive M2 epsilon-negative)."""
         groups = [self._lower_expr(e) for e in plan.group_exprs]
         aggs = [self._lower_expr(e) for e in plan.agg_exprs]
-        if not any(a.func in lp.VARIANCE_FNS for a in aggs):
-            return pp.PHashAggregate(self.lower(plan.input), groups, aggs)
-        from query_engine_tpu.core.types import DataType
-
-        f64 = DataType.float64()
-        base_aggs: List[lp.AggregateExpr] = []
-        slots: List[Tuple[int, Optional[lp.AggFunc]]] = []
-        for a in aggs:
-            if a.func in lp.VARIANCE_FNS:
-                x = lp.CastExpr(a.expr, f64)
-                slots.append((len(base_aggs), a.func))
-                base_aggs.append(lp.AggregateExpr(lp.AggFunc.SUM, x))
-                base_aggs.append(lp.AggregateExpr(
-                    lp.AggFunc.SUM, lp.BinaryExpr(x, lp.BinOp.MUL, x)
-                ))
-                base_aggs.append(lp.AggregateExpr(lp.AggFunc.COUNT, a.expr))
-            else:
-                slots.append((len(base_aggs), None))
-                base_aggs.append(a)
-        base = pp.PHashAggregate(self.lower(plan.input), groups, base_aggs)
-        bschema = base.schema()
-        k = len(groups)
-
-        def ref(i):
-            f = bschema.field(i)
-            return lp.ColumnRef(i, f.name, f.data_type, f.nullable)
-
-        def lit_f(v):
-            return lp.Literal(lp.ScalarValue.float64(v))
-
-        def lit_i(v):
-            return lp.Literal(lp.ScalarValue.int64(v))
-
-        out_schema = plan.schema()
-        proj_exprs: List[lp.LogicalExpr] = []
-        for i in range(k):
-            proj_exprs.append(lp.AliasExpr(ref(i), out_schema.field(i).name))
-        for (j, vfn), f in zip(slots, out_schema.fields[k:]):
-            if vfn is None:
-                proj_exprs.append(lp.AliasExpr(ref(k + j), f.name))
-                continue
-            s, ss, c = ref(k + j), ref(k + j + 1), ref(k + j + 2)
-            m2 = lp.BinaryExpr(
-                ss, lp.BinOp.SUB,
-                lp.BinaryExpr(
-                    lp.BinaryExpr(s, lp.BinOp.MUL, s), lp.BinOp.DIV,
-                    lp.CastExpr(c, f64),
-                ),
-            )
-            m2 = lp.CaseExpr(
-                [(lp.BinaryExpr(m2, lp.BinOp.LT, lit_f(0.0)), lit_f(0.0))],
-                m2,
-            )
-            if vfn in (lp.AggFunc.VAR_POP, lp.AggFunc.STDDEV_POP):
-                denom = c  # NULL when c = 0 (s/ss are NULL anyway)
-            else:
-                denom = lp.ScalarFnExpr(
-                    lp.ScalarFn.NULLIF,
-                    [lp.BinaryExpr(c, lp.BinOp.SUB, lit_i(1)), lit_i(0)],
-                )  # sample variance needs c >= 2
-            var = lp.BinaryExpr(m2, lp.BinOp.DIV, lp.CastExpr(denom, f64))
-            if vfn in (lp.AggFunc.STDDEV_POP, lp.AggFunc.STDDEV_SAMP):
-                var = lp.ScalarFnExpr(lp.ScalarFn.SQRT, [var])
-            proj_exprs.append(lp.AliasExpr(var, f.name))
-        return pp.PProjection(input=base, exprs=proj_exprs)
+        return build_hash_aggregate(self.lower(plan.input), groups, aggs)
 
     def _lower_join(self, plan: lp.Join) -> pp.PhysicalPlan:
         left = self.lower(plan.left)
@@ -458,3 +388,80 @@ class Lowering:
         if isinstance(e, lp.IsNullExpr):
             return lp.IsNullExpr(self._lower_expr(e.expr), e.negated)
         return e
+
+
+def build_hash_aggregate(input_phys: pp.PhysicalPlan,
+                         groups: List[lp.LogicalExpr],
+                         aggs: List[lp.AggregateExpr]) -> pp.PhysicalPlan:
+    """Physical hash aggregate over already-lowered expressions.
+
+    VARIANCE/STDDEV lower into base aggregates (SUM(x), SUM(x*x), COUNT(x))
+    plus a formula projection, so every execution path — eager, compiled
+    pipelines, mesh partial/final, chunked, the host distributed executor —
+    runs only SUM/COUNT and the statistical family distributes/chunks for
+    free. var_pop = M2/c, var_samp = M2/(c-1) with M2 = max(ss - s^2/c, 0)
+    (clamped: float cancellation can drive M2 epsilon-negative)."""
+    if not any(a.func in lp.VARIANCE_FNS for a in aggs):
+        return pp.PHashAggregate(input_phys, list(groups), list(aggs))
+    from query_engine_tpu.core.types import DataType
+
+    f64 = DataType.float64()
+    base_aggs: List[lp.AggregateExpr] = []
+    slots: List[Tuple[int, Optional[lp.AggFunc]]] = []
+    for a in aggs:
+        if a.func in lp.VARIANCE_FNS:
+            x = lp.CastExpr(a.expr, f64)
+            slots.append((len(base_aggs), a.func))
+            base_aggs.append(lp.AggregateExpr(lp.AggFunc.SUM, x))
+            base_aggs.append(lp.AggregateExpr(
+                lp.AggFunc.SUM, lp.BinaryExpr(x, lp.BinOp.MUL, x)
+            ))
+            base_aggs.append(lp.AggregateExpr(lp.AggFunc.COUNT, a.expr))
+        else:
+            slots.append((len(base_aggs), None))
+            base_aggs.append(a)
+    base = pp.PHashAggregate(input_phys, list(groups), base_aggs)
+    bschema = base.schema()
+    k = len(groups)
+
+    def ref(i):
+        f = bschema.field(i)
+        return lp.ColumnRef(i, f.name, f.data_type, f.nullable)
+
+    def lit_f(v):
+        return lp.Literal(lp.ScalarValue.float64(v))
+
+    def lit_i(v):
+        return lp.Literal(lp.ScalarValue.int64(v))
+
+    proj_exprs: List[lp.LogicalExpr] = []
+    for i in range(k):
+        proj_exprs.append(lp.AliasExpr(ref(i), bschema.field(i).name))
+    for (j, vfn), a in zip(slots, aggs):
+        if vfn is None:
+            proj_exprs.append(lp.AliasExpr(ref(k + j), a.name()))
+            continue
+        s, ss, c = ref(k + j), ref(k + j + 1), ref(k + j + 2)
+        m2 = lp.BinaryExpr(
+            ss, lp.BinOp.SUB,
+            lp.BinaryExpr(
+                lp.BinaryExpr(s, lp.BinOp.MUL, s), lp.BinOp.DIV,
+                lp.CastExpr(c, f64),
+            ),
+        )
+        m2 = lp.CaseExpr(
+            [(lp.BinaryExpr(m2, lp.BinOp.LT, lit_f(0.0)), lit_f(0.0))],
+            m2,
+        )
+        if vfn in (lp.AggFunc.VAR_POP, lp.AggFunc.STDDEV_POP):
+            denom = c  # NULL when c = 0 (s/ss are NULL anyway)
+        else:
+            denom = lp.ScalarFnExpr(
+                lp.ScalarFn.NULLIF,
+                [lp.BinaryExpr(c, lp.BinOp.SUB, lit_i(1)), lit_i(0)],
+            )  # sample variance needs c >= 2
+        var = lp.BinaryExpr(m2, lp.BinOp.DIV, lp.CastExpr(denom, f64))
+        if vfn in (lp.AggFunc.STDDEV_POP, lp.AggFunc.STDDEV_SAMP):
+            var = lp.ScalarFnExpr(lp.ScalarFn.SQRT, [var])
+        proj_exprs.append(lp.AliasExpr(var, a.name()))
+    return pp.PProjection(input=base, exprs=proj_exprs)

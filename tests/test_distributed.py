@@ -326,3 +326,30 @@ def test_distributed_executor_mesh_route():
     assert out.to_pylist() == expected.to_pylist()
     assert dx._mesh_pipeline is not None
     assert dx._mesh_pipeline.stats["compiles"] >= 1
+
+
+def test_distributed_non_decomposable_aggregates(cluster):
+    """DISTINCT and VARIANCE/STDDEV aggregates have no per-partition
+    partial — the planner emits a gather-then-aggregate-whole stage.
+    Regression: partial COUNT(DISTINCT) summed across partitions
+    over-counted values present in several partitions."""
+    b = make_batch(500, keys=13)
+    sources = {"t": MemoryDataSource(batch=b, name="t")}
+    sql = ("SELECT k, COUNT(DISTINCT v), VAR_SAMP(v), STDDEV_POP(v) "
+           "FROM t GROUP BY k")
+    plan = _logical(sql, {"t": b.schema})
+    out = sorted(DistributedExecutor(cluster).execute(plan, sources)
+                 .to_pylist())
+
+    from query_engine_tpu.engine.session import Session
+
+    s = Session()
+    s.register_table("t", b)
+    exp = sorted(s.sql(sql).to_pylist())
+    assert len(out) == len(exp)
+    for got, want in zip(out, exp):
+        assert got[0] == want[0] and got[1] == want[1]
+        for g, w in zip(got[2:], want[2:]):
+            assert (g is None) == (w is None)
+            if g is not None:
+                assert abs(g - w) < 1e-9

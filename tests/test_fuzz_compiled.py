@@ -59,6 +59,7 @@ PROJ = [
 AGGS = [
     "COUNT(*)", "COUNT(v)", "SUM(v)", "AVG(v)", "MIN(v)", "MAX(v)",
     "MIN(f)", "MAX(f)", "AVG(f)", "COUNT(DISTINCT v)", "MIN(s)", "MAX(s)",
+    "VAR_SAMP(v)", "STDDEV_POP(f)", "STDDEV(v)",
 ]
 GROUPS = ["k", "s", "k % 4", "v % 5"]
 WINDOWS = [
