@@ -756,6 +756,15 @@ class QueryExecutor:
                 distinct_first = K.distinct_first_flags(
                     [data], [validity], gid, batch.num_rows
                 )
+            if func in lp.PERCENTILE_FNS:
+                f = schema.field(fi)
+                fi += 1
+                out_d, out_v = self._grouped_percentile(
+                    agg, data, validity, gid, batch.num_rows, cap, out_cap
+                )
+                cols.append(Column(out_d[:out_cap], out_v[:out_cap],
+                                   f.data_type, None))
+                continue
             if (
                 use_mxu and not agg.distinct and plan.mode != "partial"
                 and func in (lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG)
@@ -836,6 +845,47 @@ class QueryExecutor:
             cols.append(Column(out_d, out_v, f.data_type, out_dict))
 
         return ColumnBatch(schema, cols, num_groups)
+
+    def _grouped_percentile(self, agg, data, validity, gid, num_rows, cap,
+                            out_cap):
+        """Sort-based per-group quantile (PERCENTILE_CONT/DISC, MEDIAN):
+        ONE two-key lax.sort orders live valid rows by (group, value);
+        exclusive-scan group offsets + counts give each group's target
+        position, then clipped gathers (plus a lerp for CONT) read the
+        answer. O(n log n) in rows + O(G) — no per-group loops, so it maps
+        onto the TPU's comparator-network sort like every other sort here.
+
+        PG semantics: CONT interpolates at frac*(c-1); DISC returns the
+        first value whose cume_dist >= frac (1-based index ceil(frac*c)).
+        DESC order mirrors the index from the other end."""
+        frac, desc = agg.param
+        fn = agg.func
+        lm = K.live_mask(cap, num_rows)
+        ok = lm & validity
+        gkey = jnp.where(ok, gid.astype(jnp.int64), jnp.int64(out_cap))
+        vals = (data.astype(jnp.float64)
+                if fn is lp.AggFunc.PERCENTILE_CONT else data)
+        _, sval = jax.lax.sort([gkey, vals], num_keys=2)
+        cnt = jax.ops.segment_sum(
+            ok.astype(jnp.int64), gkey, num_segments=out_cap + 1
+        )[:out_cap]
+        start = jnp.cumsum(cnt) - cnt
+        c = cnt
+        if fn is lp.AggFunc.PERCENTILE_CONT:
+            fr = 1.0 - frac if desc else frac
+            pos = fr * jnp.maximum(c - 1, 0).astype(jnp.float64)
+            lo = jnp.floor(pos).astype(jnp.int64)
+            hi = jnp.ceil(pos).astype(jnp.int64)
+            w = pos - lo.astype(jnp.float64)
+            vlo = sval[jnp.clip(start + lo, 0, cap - 1)]
+            vhi = sval[jnp.clip(start + hi, 0, cap - 1)]
+            out = vlo * (1.0 - w) + vhi * w
+        else:
+            k_ = jnp.ceil(frac * c.astype(jnp.float64)).astype(jnp.int64)
+            k_ = jnp.clip(k_, 1, jnp.maximum(c, 1))
+            idx = (c - k_) if desc else (k_ - 1)
+            out = sval[jnp.clip(start + idx, 0, cap - 1)]
+        return out, c > 0
 
     # Direct (sort-free) grouping applies when there is a single integer or
     # dictionary group key whose value range is bounded — dictionary codes

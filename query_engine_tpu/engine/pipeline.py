@@ -1016,6 +1016,10 @@ class CompiledPipeline:
         if isinstance(plan, pp.PHashAggregate):
             if plan.mode != "single":
                 raise _Unsupported("distributed aggregate mode")
+            if any(a.func in lp.PERCENTILE_FNS for a in plan.agg_exprs):
+                # sort-based quantiles run in the eager engine (an eager
+                # leaf here); a traced segment-percentile is future work
+                raise _Unsupported("percentile aggregate")
             exprs = list(plan.group_exprs) + [
                 a.expr for a in plan.agg_exprs if a.expr is not None
             ]

@@ -672,6 +672,8 @@ class MeshPipeline:
     def _mplan_key_agg(self, plan: pp.PHashAggregate, ctx):
         if plan.mode != "single":
             raise _Unsupported("non-single aggregate mode")
+        if any(a.func in lp.PERCENTILE_FNS for a in plan.agg_exprs):
+            raise _Unsupported("percentile aggregate")  # eager leaf
         exprs = list(plan.group_exprs) + [
             a.expr for a in plan.agg_exprs if a.expr is not None
         ]

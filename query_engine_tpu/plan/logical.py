@@ -241,6 +241,11 @@ class AggFunc(enum.Enum):
     VAR_SAMP = "VAR_SAMP"
     STDDEV_POP = "STDDEV_POP"
     STDDEV_SAMP = "STDDEV_SAMP"
+    # ordered-set family: sort-based per-group quantiles; param carries
+    # (fraction, order_desc). Not decomposable — the eager engine computes
+    # them (compiled/mesh demote gracefully), distributed plans gather.
+    PERCENTILE_CONT = "PERCENTILE_CONT"
+    PERCENTILE_DISC = "PERCENTILE_DISC"
 
 
 VARIANCE_FNS = {
@@ -248,20 +253,27 @@ VARIANCE_FNS = {
     AggFunc.STDDEV_POP, AggFunc.STDDEV_SAMP,
 }
 
+PERCENTILE_FNS = {AggFunc.PERCENTILE_CONT, AggFunc.PERCENTILE_DISC}
+
 
 @dataclass
 class AggregateExpr(LogicalExpr):
     func: AggFunc
     expr: Optional[LogicalExpr]  # None for COUNT(*)
     distinct: bool = False
+    # PERCENTILE_CONT/DISC: (fraction, order_desc)
+    param: Optional[tuple] = None
 
     def __post_init__(self):
         f = self.func
         if f is AggFunc.COUNT:
             self.dtype = DataType.int64()
             self.nullable = False
-        elif f is AggFunc.AVG or f in VARIANCE_FNS:
+        elif (f is AggFunc.AVG or f in VARIANCE_FNS
+              or f is AggFunc.PERCENTILE_CONT):
             self.dtype = DataType.float64()
+        elif f is AggFunc.PERCENTILE_DISC:
+            self.dtype = self.expr.dtype
         elif f is AggFunc.SUM:
             t = self.expr.dtype
             if t.kind is TypeKind.DECIMAL128:
@@ -276,6 +288,11 @@ class AggregateExpr(LogicalExpr):
     def name(self) -> str:
         inner = "*" if self.expr is None else self.expr.name()
         d = "DISTINCT " if self.distinct else ""
+        if self.func in PERCENTILE_FNS:
+            frac, desc = self.param
+            o = " DESC" if desc else ""
+            return (f"{self.func.value}({frac}) WITHIN GROUP "
+                    f"(ORDER BY {inner}{o})")
         return f"{self.func.value}({d}{inner})"
 
 

@@ -352,7 +352,7 @@ class Lowering:
             return lp.AliasExpr(self._lower_expr(e.expr), e.alias)
         if isinstance(e, lp.AggregateExpr):
             inner = self._lower_expr(e.expr) if e.expr is not None else None
-            return lp.AggregateExpr(e.func, inner, e.distinct)
+            return lp.AggregateExpr(e.func, inner, e.distinct, e.param)
         if isinstance(e, lp.ScalarFnExpr):
             return lp.ScalarFnExpr(e.func, [self._lower_expr(a) for a in e.args])
         if isinstance(e, lp.UdfExpr):

@@ -567,8 +567,10 @@ class Planner:
         )
         return lp.CaseExpr(branches, else_e)
 
-    # PG aliases: VARIANCE = VAR_SAMP, STDDEV = STDDEV_SAMP
-    _AGG_ALIASES = {"VARIANCE": "VAR_SAMP", "STDDEV": "STDDEV_SAMP"}
+    # PG aliases: VARIANCE = VAR_SAMP, STDDEV = STDDEV_SAMP,
+    # MEDIAN = PERCENTILE_CONT(0.5)
+    _AGG_ALIASES = {"VARIANCE": "VAR_SAMP", "STDDEV": "STDDEV_SAMP",
+                    "MEDIAN": "PERCENTILE_CONT"}
 
     def _plan_aggregate(self, e: ast.Aggregate, scope, ctes) -> lp.AggregateExpr:
         func = lp.AggFunc[self._AGG_ALIASES.get(e.func.name, e.func.name)]
@@ -577,6 +579,25 @@ class Planner:
                 raise PlanError(f"{func.value}(*) is not valid")
             return lp.AggregateExpr(func, None, e.distinct)
         inner = self.plan_expr(e.expr, scope, ctes)
+        if func in lp.PERCENTILE_FNS or e.func.name == "MEDIAN":
+            if e.func.name == "MEDIAN":
+                func, param = lp.AggFunc.PERCENTILE_CONT, (0.5, False)
+            else:
+                param = e.param
+            frac, desc = param
+            if not (0.0 <= frac <= 1.0):
+                raise PlanError(
+                    f"{func.value} fraction must be in [0, 1], got {frac}"
+                )
+            if e.distinct:
+                raise PlanError(f"{func.value}(DISTINCT ...) is not supported")
+            if (not inner.dtype.is_numeric
+                    or inner.dtype.kind.name == "DECIMAL128"):
+                raise PlanError(
+                    f"{func.value} requires a non-decimal numeric argument, "
+                    f"got {inner.dtype}"
+                )
+            return lp.AggregateExpr(func, inner, False, (float(frac), desc))
         if func in lp.VARIANCE_FNS:
             if e.distinct:
                 # the (sum, sumsq) decomposition can't dedup on the raw

@@ -124,6 +124,10 @@ class AggregateFunction(enum.Enum):
     STDDEV = "STDDEV"
     STDDEV_POP = "STDDEV_POP"
     STDDEV_SAMP = "STDDEV_SAMP"
+    # ordered-set family (PG WITHIN GROUP syntax; MEDIAN = PERCENTILE_CONT 0.5)
+    MEDIAN = "MEDIAN"
+    PERCENTILE_CONT = "PERCENTILE_CONT"
+    PERCENTILE_DISC = "PERCENTILE_DISC"
 
 
 @dataclass(frozen=True)
@@ -131,6 +135,9 @@ class Aggregate(Expr):
     func: AggregateFunction
     expr: Expr  # Wildcard() for COUNT(*)
     distinct: bool = False
+    # ordered-set aggregates: (fraction, order_desc) from
+    # PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY expr [ASC|DESC])
+    param: object = None
 
 
 @dataclass(frozen=True)

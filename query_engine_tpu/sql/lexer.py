@@ -25,6 +25,7 @@ KEYWORDS = {
     "OUTER", "ON", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",
     "IS", "NULL", "ASC", "DESC", "COUNT", "SUM", "AVG", "MIN", "MAX", "WITH",
     "VARIANCE", "VAR_POP", "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
+    "MEDIAN", "PERCENTILE_CONT", "PERCENTILE_DISC", "WITHIN",
     "RECURSIVE", "EXISTS", "OVER", "PARTITION", "ROWS", "RANGE", "UNBOUNDED",
     "PRECEDING", "FOLLOWING", "CURRENT", "ROW",
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",

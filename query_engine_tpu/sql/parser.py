@@ -23,7 +23,8 @@ from query_engine_tpu.sql import ast
 from query_engine_tpu.sql.lexer import Token, tokenize
 
 _AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "VARIANCE", "VAR_POP",
-            "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP"}
+            "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP", "MEDIAN"}
+_ORDERED_SET_KWS = {"PERCENTILE_CONT", "PERCENTILE_DISC"}
 _WINDOW_KWS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "FIRST_VALUE", "LAST_VALUE",
@@ -776,6 +777,8 @@ class Parser:
             query = self.parse_select()
             self.expect_op(")")
             return ast.Exists(query, negated=True)
+        if t.kind == "KEYWORD" and t.value in _ORDERED_SET_KWS:
+            return self.parse_ordered_set_aggregate()
         if t.kind == "KEYWORD" and t.value in _AGG_KWS:
             agg = self.parse_aggregate()
             if self.cur.is_kw("OVER"):
@@ -850,6 +853,38 @@ class Parser:
             arg = self.parse_expr()
         self.expect_op(")")
         return ast.Aggregate(func, arg, distinct)
+
+    def parse_ordered_set_aggregate(self) -> ast.Expr:
+        """PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY expr [ASC|DESC])
+        (PG ordered-set aggregate syntax)."""
+        func = ast.AggregateFunction[self.advance().value]
+        self.expect_op("(")
+        neg = False
+        if self.cur.is_op("-"):
+            self.advance()
+            neg = True
+        ft = self.cur
+        if ft.kind != "NUMBER":
+            raise ParseError(
+                f"{func.value} fraction must be a numeric literal, "
+                f"got {ft.value!r}"
+            )
+        self.advance()
+        frac = float(ft.value) * (-1.0 if neg else 1.0)
+        self.expect_op(")")
+        self.expect_kw("WITHIN")
+        self.expect_kw("GROUP")
+        self.expect_op("(")
+        self.expect_kw("ORDER")
+        self.expect_kw("BY")
+        expr = self.parse_expr()
+        desc = False
+        if self.match_kw("ASC"):
+            pass
+        elif self.match_kw("DESC"):
+            desc = True
+        self.expect_op(")")
+        return ast.Aggregate(func, expr, False, (frac, desc))
 
     def parse_scalar_function(self) -> ast.Expr:
         func = ast.ScalarFunction[self.advance().value]

@@ -191,3 +191,110 @@ def test_explain_keeps_logical_form():
     out = s.sql("EXPLAIN SELECT VAR_SAMP(v) FROM t").to_pylist()
     text = "\n".join(r[0] for r in out)
     assert "VAR_SAMP" in text and "Aggregate" in text
+
+
+# ---- ordered-set aggregates (MEDIAN / PERCENTILE_CONT / PERCENTILE_DISC) ---
+
+def test_percentiles_vs_numpy():
+    s = make_session()
+    rows = s.sql(
+        "SELECT k, MEDIAN(v), "
+        "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY v), "
+        "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY v DESC), "
+        "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) "
+        "FROM t GROUP BY k ORDER BY k"
+    ).to_pylist()
+    for g, med, q25, q25d, d50 in rows:
+        a = np.sort(np.array([x for x, kk, b in zip(V, K, VNULL)
+                              if kk == g and not b]))
+        assert approx(med, np.percentile(a, 50))
+        assert approx(q25, np.percentile(a, 25))
+        # DESC quantile mirrors: CONT(f) DESC == CONT(1-f) ASC
+        assert approx(q25d, np.percentile(a, 75))
+        # PG DISC: first value with cume_dist >= f -> 1-based ceil(f*c)
+        assert approx(d50, a[int(np.ceil(0.5 * len(a))) - 1])
+
+
+def test_percentile_disc_keeps_input_type_and_desc():
+    s = Session()
+    s.register_table("e", {"g": [1, 1, 1, 1], "x": [10, 20, 30, 40]})
+    (r,) = s.sql(
+        "SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x), "
+        "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x DESC), "
+        "PERCENTILE_DISC(0.0) WITHIN GROUP (ORDER BY x), "
+        "PERCENTILE_DISC(1.0) WITHIN GROUP (ORDER BY x) FROM e"
+    ).to_pylist()
+    # ints stay ints; asc 0.5 -> 20 (ceil(2)=2nd), desc 0.5 -> 30,
+    # 0.0 -> first, 1.0 -> last
+    assert r == (20, 30, 10, 40)
+
+
+def test_median_edges_and_expressions():
+    s = Session()
+    s.register_table("e", {"k": [1, 2, 2, 3], "v": [5.0, 1.0, 4.0, None]})
+    rows = s.sql(
+        "SELECT k, MEDIAN(v), MEDIAN(v) * 10 FROM e GROUP BY k ORDER BY k"
+    ).to_pylist()
+    assert rows[0] == (1, 5.0, 50.0)       # single row
+    assert approx(rows[1][1], 2.5)         # even count interpolates
+    assert rows[2] == (3, None, None)      # all-NULL group
+    assert s.sql("SELECT MEDIAN(v) FROM e WHERE v > 99").to_pylist() == [
+        (None,)
+    ]
+    # HAVING over a percentile
+    rows = s.sql(
+        "SELECT k FROM e GROUP BY k HAVING MEDIAN(v) > 3 ORDER BY k"
+    ).to_pylist()
+    assert rows == [(1,)]
+
+
+def test_percentile_errors():
+    s = make_session()
+    with pytest.raises(Exception, match=r"\[0, 1\]"):
+        s.sql("SELECT PERCENTILE_CONT(1.5) WITHIN GROUP (ORDER BY v) FROM t")
+    with pytest.raises(Exception, match="numeric"):
+        s.sql("SELECT MEDIAN(CAST(k AS VARCHAR)) FROM t")
+    with pytest.raises(Exception, match="fraction"):
+        s.sql("SELECT PERCENTILE_CONT(v) WITHIN GROUP (ORDER BY v) FROM t")
+
+
+def test_percentile_on_mesh_falls_back_correctly():
+    devs = jax.devices()
+    sql = ("SELECT k, MEDIAN(v) AS m, COUNT(v) AS c FROM t "
+           "GROUP BY k ORDER BY k")
+    a = make_session().sql(sql).to_pylist()
+    dist = make_session(mesh=make_mesh(devs[:8]))
+    b = dist.sql(sql).to_pylist()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and approx(ra[1], rb[1]) and ra[2] == rb[2]
+
+
+def test_percentile_distributed_single_stage():
+    from query_engine_tpu.parallel.coordinator import Coordinator
+    from query_engine_tpu.parallel.dexecutor import DistributedExecutor
+    from query_engine_tpu.plan.planner import Planner
+    from query_engine_tpu.sql.parser import parse_sql
+    from query_engine_tpu.storage.memory import MemoryDataSource
+    from query_engine_tpu.columnar.batch import ColumnBatch
+
+    b = ColumnBatch.from_pydict({
+        "k": K.tolist(),
+        "v": [None if x else float(y) for y, x in zip(V, VNULL)],
+    })
+    sql = "SELECT k, MEDIAN(v) FROM t GROUP BY k"
+    local = sorted(make_session().sql(
+        sql.replace("FROM t", "FROM t") + " ORDER BY k"
+    ).to_pylist())
+    p = Planner()
+    p.register_table("t", b.schema)
+    plan = p.create_logical_plan(parse_sql(sql))
+    coord = Coordinator()
+    for i in range(3):
+        coord.register_worker(f"host{i}:500{i}")
+    rows = sorted(DistributedExecutor(coord).execute(
+        plan, {"t": MemoryDataSource(batch=b, name="t")}
+    ).to_pylist())
+    assert len(rows) == len(local)
+    for got, want in zip(rows, local):
+        assert got[0] == want[0] and approx(got[1], want[1])
