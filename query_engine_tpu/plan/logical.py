@@ -246,6 +246,21 @@ class AggFunc(enum.Enum):
     # them (compiled/mesh demote gracefully), distributed plans gather.
     PERCENTILE_CONT = "PERCENTILE_CONT"
     PERCENTILE_DISC = "PERCENTILE_DISC"
+    # two-argument statistics f(Y, X): like VARIANCE, lowered into
+    # pair-masked SUM/COUNT components + a formula projection, so they
+    # distribute and chunk through the ordinary partial/final machinery
+    COVAR_POP = "COVAR_POP"
+    COVAR_SAMP = "COVAR_SAMP"
+    CORR = "CORR"
+    REGR_SLOPE = "REGR_SLOPE"
+    REGR_INTERCEPT = "REGR_INTERCEPT"
+    REGR_R2 = "REGR_R2"
+    REGR_AVGX = "REGR_AVGX"
+    REGR_AVGY = "REGR_AVGY"
+    REGR_COUNT = "REGR_COUNT"
+    REGR_SXX = "REGR_SXX"
+    REGR_SYY = "REGR_SYY"
+    REGR_SXY = "REGR_SXY"
 
 
 VARIANCE_FNS = {
@@ -255,6 +270,13 @@ VARIANCE_FNS = {
 
 PERCENTILE_FNS = {AggFunc.PERCENTILE_CONT, AggFunc.PERCENTILE_DISC}
 
+COVAR_FNS = {
+    AggFunc.COVAR_POP, AggFunc.COVAR_SAMP, AggFunc.CORR,
+    AggFunc.REGR_SLOPE, AggFunc.REGR_INTERCEPT, AggFunc.REGR_R2,
+    AggFunc.REGR_AVGX, AggFunc.REGR_AVGY, AggFunc.REGR_COUNT,
+    AggFunc.REGR_SXX, AggFunc.REGR_SYY, AggFunc.REGR_SXY,
+}
+
 
 @dataclass
 class AggregateExpr(LogicalExpr):
@@ -263,13 +285,15 @@ class AggregateExpr(LogicalExpr):
     distinct: bool = False
     # PERCENTILE_CONT/DISC: (fraction, order_desc)
     param: Optional[tuple] = None
+    # second argument of binary aggregates: COVAR_POP(y, x) etc.
+    expr2: Optional[LogicalExpr] = None
 
     def __post_init__(self):
         f = self.func
-        if f is AggFunc.COUNT:
+        if f is AggFunc.COUNT or f is AggFunc.REGR_COUNT:
             self.dtype = DataType.int64()
             self.nullable = False
-        elif (f is AggFunc.AVG or f in VARIANCE_FNS
+        elif (f is AggFunc.AVG or f in VARIANCE_FNS or f in COVAR_FNS
               or f is AggFunc.PERCENTILE_CONT):
             self.dtype = DataType.float64()
         elif f is AggFunc.PERCENTILE_DISC:
@@ -282,7 +306,7 @@ class AggregateExpr(LogicalExpr):
                 self.dtype = DataType.float64() if t.is_float else DataType.int64()
         else:  # MIN/MAX keep input type
             self.dtype = self.expr.dtype
-        if f is not AggFunc.COUNT:
+        if f is not AggFunc.COUNT and f is not AggFunc.REGR_COUNT:
             self.nullable = True
 
     def name(self) -> str:
@@ -293,6 +317,8 @@ class AggregateExpr(LogicalExpr):
             o = " DESC" if desc else ""
             return (f"{self.func.value}({frac}) WITHIN GROUP "
                     f"(ORDER BY {inner}{o})")
+        if self.func in COVAR_FNS:
+            return f"{self.func.value}({inner}, {self.expr2.name()})"
         return f"{self.func.value}({d}{inner})"
 
 
@@ -869,7 +895,9 @@ def walk_exprs(expr: LogicalExpr, visit) -> None:
     elif isinstance(expr, (UnaryExpr, CastExpr, AliasExpr, IsNullExpr)):
         children = (expr.expr,)
     elif isinstance(expr, AggregateExpr):
-        children = (expr.expr,) if expr.expr is not None else ()
+        children = tuple(
+            c for c in (expr.expr, expr.expr2) if c is not None
+        )
     elif isinstance(expr, (ScalarFnExpr, UdfExpr)):
         children = tuple(expr.args)
     elif isinstance(expr, WindowExpr):

@@ -352,7 +352,8 @@ class Lowering:
             return lp.AliasExpr(self._lower_expr(e.expr), e.alias)
         if isinstance(e, lp.AggregateExpr):
             inner = self._lower_expr(e.expr) if e.expr is not None else None
-            return lp.AggregateExpr(e.func, inner, e.distinct, e.param)
+            inner2 = self._lower_expr(e.expr2) if e.expr2 is not None else None
+            return lp.AggregateExpr(e.func, inner, e.distinct, e.param, inner2)
         if isinstance(e, lp.ScalarFnExpr):
             return lp.ScalarFnExpr(e.func, [self._lower_expr(a) for a in e.args])
         if isinstance(e, lp.UdfExpr):
@@ -400,25 +401,56 @@ def build_hash_aggregate(input_phys: pp.PhysicalPlan,
     pipelines, mesh partial/final, chunked, the host distributed executor —
     runs only SUM/COUNT and the statistical family distributes/chunks for
     free. var_pop = M2/c, var_samp = M2/(c-1) with M2 = max(ss - s^2/c, 0)
-    (clamped: float cancellation can drive M2 epsilon-negative)."""
-    if not any(a.func in lp.VARIANCE_FNS for a in aggs):
+    (clamped: float cancellation can drive M2 epsilon-negative).
+
+    The two-argument family (COVAR_*/CORR/REGR_*) decomposes the same way
+    over PAIR-masked inputs — rows where either argument is NULL are
+    excluded entirely (PG semantics) — into the components each function
+    needs among sx, sy, sxx, syy, sxy, c (see _COVAR_COMPONENTS)."""
+    if not any(a.func in lp.VARIANCE_FNS or a.func in lp.COVAR_FNS
+               for a in aggs):
         return pp.PHashAggregate(input_phys, list(groups), list(aggs))
     from query_engine_tpu.core.types import DataType
 
     f64 = DataType.float64()
     base_aggs: List[lp.AggregateExpr] = []
-    slots: List[Tuple[int, Optional[lp.AggFunc]]] = []
+    # per input agg: (base index, func or None, component->offset map)
+    slots: List[Tuple[int, Optional[lp.AggFunc], Optional[dict]]] = []
     for a in aggs:
         if a.func in lp.VARIANCE_FNS:
             x = lp.CastExpr(a.expr, f64)
-            slots.append((len(base_aggs), a.func))
+            slots.append((len(base_aggs), a.func, None))
             base_aggs.append(lp.AggregateExpr(lp.AggFunc.SUM, x))
             base_aggs.append(lp.AggregateExpr(
                 lp.AggFunc.SUM, lp.BinaryExpr(x, lp.BinOp.MUL, x)
             ))
             base_aggs.append(lp.AggregateExpr(lp.AggFunc.COUNT, a.expr))
+        elif a.func in lp.COVAR_FNS:
+            pair = lp.BinaryExpr(
+                lp.IsNullExpr(a.expr, True), lp.BinOp.AND,
+                lp.IsNullExpr(a.expr2, True),
+            )
+            ym = lp.CaseExpr([(pair, lp.CastExpr(a.expr, f64))], None)
+            xm = lp.CaseExpr([(pair, lp.CastExpr(a.expr2, f64))], None)
+            comp_exprs = {
+                "sx": lambda: lp.AggregateExpr(lp.AggFunc.SUM, xm),
+                "sy": lambda: lp.AggregateExpr(lp.AggFunc.SUM, ym),
+                "sxx": lambda: lp.AggregateExpr(
+                    lp.AggFunc.SUM, lp.BinaryExpr(xm, lp.BinOp.MUL, xm)),
+                "syy": lambda: lp.AggregateExpr(
+                    lp.AggFunc.SUM, lp.BinaryExpr(ym, lp.BinOp.MUL, ym)),
+                "sxy": lambda: lp.AggregateExpr(
+                    lp.AggFunc.SUM, lp.BinaryExpr(xm, lp.BinOp.MUL, ym)),
+                "c": lambda: lp.AggregateExpr(lp.AggFunc.COUNT, xm),
+            }
+            comps = {}
+            start = len(base_aggs)
+            for name in _COVAR_COMPONENTS[a.func]:
+                comps[name] = len(base_aggs) - start
+                base_aggs.append(comp_exprs[name]())
+            slots.append((start, a.func, comps))
         else:
-            slots.append((len(base_aggs), None))
+            slots.append((len(base_aggs), None, None))
             base_aggs.append(a)
     base = pp.PHashAggregate(input_phys, list(groups), base_aggs)
     bschema = base.schema()
@@ -437,9 +469,16 @@ def build_hash_aggregate(input_phys: pp.PhysicalPlan,
     proj_exprs: List[lp.LogicalExpr] = []
     for i in range(k):
         proj_exprs.append(lp.AliasExpr(ref(i), bschema.field(i).name))
-    for (j, vfn), a in zip(slots, aggs):
+    for (j, vfn, comps), a in zip(slots, aggs):
         if vfn is None:
             proj_exprs.append(lp.AliasExpr(ref(k + j), a.name()))
+            continue
+        if comps is not None:
+            proj_exprs.append(lp.AliasExpr(
+                _covar_formula(vfn, {n: ref(k + j + o)
+                                     for n, o in comps.items()}, f64),
+                a.name(),
+            ))
             continue
         s, ss, c = ref(k + j), ref(k + j + 1), ref(k + j + 2)
         m2 = lp.BinaryExpr(
@@ -465,3 +504,95 @@ def build_hash_aggregate(input_phys: pp.PhysicalPlan,
             var = lp.ScalarFnExpr(lp.ScalarFn.SQRT, [var])
         proj_exprs.append(lp.AliasExpr(var, a.name()))
     return pp.PProjection(input=base, exprs=proj_exprs)
+
+
+# Components each two-argument statistic needs (f(Y, X); Sxx etc. are the
+# centered second moments computed from these in _covar_formula)
+_COVAR_COMPONENTS = {
+    lp.AggFunc.COVAR_POP: ("sx", "sy", "sxy", "c"),
+    lp.AggFunc.COVAR_SAMP: ("sx", "sy", "sxy", "c"),
+    lp.AggFunc.CORR: ("sx", "sy", "sxx", "syy", "sxy", "c"),
+    lp.AggFunc.REGR_SLOPE: ("sx", "sy", "sxx", "sxy", "c"),
+    lp.AggFunc.REGR_INTERCEPT: ("sx", "sy", "sxx", "sxy", "c"),
+    lp.AggFunc.REGR_R2: ("sx", "sy", "sxx", "syy", "sxy", "c"),
+    lp.AggFunc.REGR_AVGX: ("sx", "c"),
+    lp.AggFunc.REGR_AVGY: ("sy", "c"),
+    lp.AggFunc.REGR_COUNT: ("c",),
+    lp.AggFunc.REGR_SXX: ("sx", "sxx", "c"),
+    lp.AggFunc.REGR_SYY: ("sy", "syy", "c"),
+    lp.AggFunc.REGR_SXY: ("sx", "sy", "sxy", "c"),
+}
+
+
+def _covar_formula(fn: lp.AggFunc, r: Dict[str, lp.LogicalExpr], f64):
+    """PG formulas over the pair-masked sums. With c = 0 every sum ref is
+    NULL, so NULL propagates through the arithmetic without special cases
+    (REGR_COUNT returns the count itself: 0, non-null). Sxx/Syy clamp at 0
+    against float cancellation; divisors use NULLIF so degenerate inputs
+    (c < 2 for COVAR_SAMP, zero X variance for slopes) yield NULL, matching
+    PostgreSQL."""
+    F = lp.AggFunc
+
+    def lit_f(v):
+        return lp.Literal(lp.ScalarValue.float64(v))
+
+    def sub(x, y):
+        return lp.BinaryExpr(x, lp.BinOp.SUB, y)
+
+    def mul(x, y):
+        return lp.BinaryExpr(x, lp.BinOp.MUL, y)
+
+    def div(x, y):
+        return lp.BinaryExpr(x, lp.BinOp.DIV, y)
+
+    def nullif0(x):
+        return lp.ScalarFnExpr(lp.ScalarFn.NULLIF, [x, lit_f(0.0)])
+
+    def clamp0(x):
+        return lp.CaseExpr(
+            [(lp.BinaryExpr(x, lp.BinOp.LT, lit_f(0.0)), lit_f(0.0))], x
+        )
+
+    if fn is F.REGR_COUNT:
+        return r["c"]
+    cf = lp.CastExpr(r["c"], f64)
+    if fn is F.REGR_AVGX:
+        return div(r["sx"], cf)
+    if fn is F.REGR_AVGY:
+        return div(r["sy"], cf)
+    if fn is F.REGR_SXX:
+        return clamp0(sub(r["sxx"], div(mul(r["sx"], r["sx"]), cf)))
+    if fn is F.REGR_SYY:
+        return clamp0(sub(r["syy"], div(mul(r["sy"], r["sy"]), cf)))
+    sxy_c = sub(r["sxy"], div(mul(r["sx"], r["sy"]), cf))
+    if fn is F.REGR_SXY:
+        return sxy_c
+    if fn is F.COVAR_POP:
+        return div(sxy_c, cf)
+    if fn is F.COVAR_SAMP:
+        c1 = lp.ScalarFnExpr(lp.ScalarFn.NULLIF, [
+            lp.BinaryExpr(r["c"], lp.BinOp.SUB,
+                          lp.Literal(lp.ScalarValue.int64(1))),
+            lp.Literal(lp.ScalarValue.int64(0)),
+        ])
+        return div(sxy_c, lp.CastExpr(c1, f64))
+    sxx_c = clamp0(sub(r["sxx"], div(mul(r["sx"], r["sx"]), cf)))
+    if fn is F.REGR_SLOPE:
+        return div(sxy_c, nullif0(sxx_c))
+    if fn is F.REGR_INTERCEPT:
+        slope = div(sxy_c, nullif0(sxx_c))
+        return div(sub(r["sy"], mul(slope, r["sx"])), cf)
+    syy_c = clamp0(sub(r["syy"], div(mul(r["sy"], r["sy"]), cf)))
+    if fn is F.CORR:
+        return div(sxy_c, lp.ScalarFnExpr(
+            lp.ScalarFn.SQRT, [nullif0(mul(sxx_c, syy_c))]
+        ))
+    assert fn is F.REGR_R2, fn
+    return lp.CaseExpr(
+        [
+            (lp.BinaryExpr(sxx_c, lp.BinOp.EQ, lit_f(0.0)),
+             lp.CastExpr(lp.Literal(lp.ScalarValue.null()), f64)),
+            (lp.BinaryExpr(syy_c, lp.BinOp.EQ, lit_f(0.0)), lit_f(1.0)),
+        ],
+        div(mul(sxy_c, sxy_c), mul(sxx_c, syy_c)),
+    )

@@ -608,6 +608,15 @@ class Planner:
                     f"{func.value} requires a numeric argument, "
                     f"got {inner.dtype}"
                 )
+        if func in lp.COVAR_FNS:
+            inner2 = self.plan_expr(e.expr2, scope, ctes)
+            for arg in (inner, inner2):
+                if not arg.dtype.is_numeric:
+                    raise PlanError(
+                        f"{func.value} requires numeric arguments, "
+                        f"got {arg.dtype}"
+                    )
+            return lp.AggregateExpr(func, inner, False, expr2=inner2)
         return lp.AggregateExpr(func, inner, e.distinct)
 
     def _plan_window(self, e, scope, ctes, plan_post_agg):
@@ -925,7 +934,7 @@ class Planner:
         if isinstance(e, ast.Cast):
             return (e.expr,)
         if isinstance(e, ast.Aggregate):
-            return (e.expr,)
+            return (e.expr,) if e.expr2 is None else (e.expr, e.expr2)
         if isinstance(e, ast.GroupingCall):
             return ()  # args are key references, not value expressions
         if isinstance(e, ast.WindowAggregate):

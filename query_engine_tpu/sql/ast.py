@@ -128,6 +128,20 @@ class AggregateFunction(enum.Enum):
     MEDIAN = "MEDIAN"
     PERCENTILE_CONT = "PERCENTILE_CONT"
     PERCENTILE_DISC = "PERCENTILE_DISC"
+    # two-argument statistics family: f(Y, X) over rows where BOTH are
+    # non-null (PG binary aggregates)
+    COVAR_POP = "COVAR_POP"
+    COVAR_SAMP = "COVAR_SAMP"
+    CORR = "CORR"
+    REGR_SLOPE = "REGR_SLOPE"
+    REGR_INTERCEPT = "REGR_INTERCEPT"
+    REGR_R2 = "REGR_R2"
+    REGR_AVGX = "REGR_AVGX"
+    REGR_AVGY = "REGR_AVGY"
+    REGR_COUNT = "REGR_COUNT"
+    REGR_SXX = "REGR_SXX"
+    REGR_SYY = "REGR_SYY"
+    REGR_SXY = "REGR_SXY"
 
 
 @dataclass(frozen=True)
@@ -138,6 +152,8 @@ class Aggregate(Expr):
     # ordered-set aggregates: (fraction, order_desc) from
     # PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY expr [ASC|DESC])
     param: object = None
+    # second argument of binary aggregates: COVAR_POP(y, x) etc.
+    expr2: object = None
 
 
 @dataclass(frozen=True)

@@ -22,8 +22,14 @@ from query_engine_tpu.core.types import DataType, TypeKind
 from query_engine_tpu.sql import ast
 from query_engine_tpu.sql.lexer import Token, tokenize
 
+_TWO_ARG_AGG_KWS = {
+    "COVAR_POP", "COVAR_SAMP", "CORR", "REGR_SLOPE", "REGR_INTERCEPT",
+    "REGR_R2", "REGR_AVGX", "REGR_AVGY", "REGR_COUNT", "REGR_SXX",
+    "REGR_SYY", "REGR_SXY",
+}
 _AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "VARIANCE", "VAR_POP",
-            "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP", "MEDIAN"}
+            "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
+            "MEDIAN"} | _TWO_ARG_AGG_KWS
 _ORDERED_SET_KWS = {"PERCENTILE_CONT", "PERCENTILE_DISC"}
 _WINDOW_KWS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
@@ -843,7 +849,8 @@ class Parser:
         return ast.Case(operand, tuple(branches), else_expr)
 
     def parse_aggregate(self) -> ast.Expr:
-        func = ast.AggregateFunction[self.advance().value]
+        fname = self.advance().value
+        func = ast.AggregateFunction[fname]
         self.expect_op("(")
         distinct = self.match_kw("DISTINCT")
         if self.cur.is_op("*"):
@@ -851,6 +858,13 @@ class Parser:
             arg: ast.Expr = ast.Wildcard()
         else:
             arg = self.parse_expr()
+        if fname in _TWO_ARG_AGG_KWS:
+            if distinct:
+                raise ParseError(f"{fname}(DISTINCT ...) is not valid")
+            self.expect_op(",")
+            arg2 = self.parse_expr()
+            self.expect_op(")")
+            return ast.Aggregate(func, arg, False, expr2=arg2)
         self.expect_op(")")
         return ast.Aggregate(func, arg, distinct)
 

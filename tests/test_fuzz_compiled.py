@@ -60,6 +60,10 @@ AGGS = [
     "COUNT(*)", "COUNT(v)", "SUM(v)", "AVG(v)", "MIN(v)", "MAX(v)",
     "MIN(f)", "MAX(f)", "AVG(f)", "COUNT(DISTINCT v)", "MIN(s)", "MAX(s)",
     "VAR_SAMP(v)", "STDDEV_POP(f)", "STDDEV(v)",
+    "MEDIAN(v)", "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY f)",
+    "PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY v)",
+    "CORR(v, f)", "COVAR_SAMP(v, f)", "REGR_SLOPE(f, v)",
+    "REGR_COUNT(v, f)", "REGR_R2(f, v)",
 ]
 GROUPS = ["k", "s", "k % 4", "v % 5"]
 WINDOWS = [

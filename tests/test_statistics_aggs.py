@@ -298,3 +298,156 @@ def test_percentile_distributed_single_stage():
     assert len(rows) == len(local)
     for got, want in zip(rows, local):
         assert got[0] == want[0] and approx(got[1], want[1])
+
+
+# ---- two-argument statistics (COVAR_* / CORR / REGR_*) ---------------------
+
+X2 = RNG.normal(10, 4, N).round(5)
+X2NULL = RNG.random(N) < 0.06
+
+
+def make_session2(mesh=None):
+    s = Session(mesh=mesh)
+    s.register_table("t2", {
+        "k": K.tolist(),
+        "y": [None if b else float(v) for v, b in zip(V, VNULL)],
+        "x": [None if b else float(v) for v, b in zip(X2, X2NULL)],
+    })
+    return s
+
+
+def np_pair_stats(g):
+    """Pairs of group g where BOTH are non-null (PG pairwise semantics)."""
+    ys, xs = [], []
+    for kk, yv, yb, xv, xb in zip(K, V, VNULL, X2, X2NULL):
+        if kk == g and not yb and not xb:
+            ys.append(yv)
+            xs.append(xv)
+    return np.array(ys), np.array(xs)
+
+
+def test_covar_family_vs_numpy():
+    s = make_session2()
+    rows = s.sql(
+        "SELECT k, COVAR_POP(y, x), COVAR_SAMP(y, x), CORR(y, x), "
+        "REGR_SLOPE(y, x), REGR_INTERCEPT(y, x), REGR_R2(y, x), "
+        "REGR_AVGX(y, x), REGR_AVGY(y, x), REGR_COUNT(y, x), "
+        "REGR_SXX(y, x), REGR_SYY(y, x), REGR_SXY(y, x) "
+        "FROM t2 GROUP BY k ORDER BY k"
+    ).to_pylist()
+    for g, cp, cs, corr, sl, ic, r2, ax, ay, rc, sxx, syy, sxy in rows:
+        Y, X = np_pair_stats(g)
+        c = len(Y)
+        Sxx = ((X - X.mean()) ** 2).sum()
+        Syy = ((Y - Y.mean()) ** 2).sum()
+        Sxy = ((X - X.mean()) * (Y - Y.mean())).sum()
+        assert approx(cp, Sxy / c, 1e-8)
+        assert approx(cs, Sxy / (c - 1) if c > 1 else None, 1e-8)
+        assert approx(corr, Sxy / np.sqrt(Sxx * Syy), 1e-8)
+        assert approx(sl, Sxy / Sxx, 1e-8)
+        assert approx(ic, Y.mean() - (Sxy / Sxx) * X.mean(), 1e-8)
+        assert approx(r2, Sxy ** 2 / (Sxx * Syy), 1e-8)
+        assert approx(ax, X.mean(), 1e-8)
+        assert approx(ay, Y.mean(), 1e-8)
+        assert rc == c
+        assert approx(sxx, Sxx, 1e-8)
+        assert approx(syy, Syy, 1e-8)
+        assert approx(sxy, Sxy, 1e-8)
+
+
+def test_covar_pair_null_and_degenerate_edges():
+    s = Session()
+    s.register_table("e", {
+        "g": [1, 1, 2, 3, 3],
+        "y": [None, 1.0, 5.0, 2.0, 4.0],
+        "x": [1.0, None, 7.0, 3.0, 3.0],  # g=3: zero X variance
+    })
+    rows = s.sql(
+        "SELECT g, COVAR_POP(y, x), COVAR_SAMP(y, x), CORR(y, x), "
+        "REGR_SLOPE(y, x), REGR_R2(y, x), REGR_COUNT(y, x) "
+        "FROM e GROUP BY g ORDER BY g"
+    ).to_pylist()
+    # g=1: no complete pair -> NULLs, count 0 (not NULL)
+    assert rows[0] == (1, None, None, None, None, None, 0)
+    # g=2: one pair -> pop covar 0, everything sample/ratio NULL
+    assert rows[1] == (2, 0.0, None, None, None, None, 1)
+    # g=3: constant x -> slope/corr/r2 NULL per PG; covar 0
+    assert rows[2] == (3, 0.0, 0.0, None, None, None, 2)
+    # constant y with varying x: r2 = 1 per PG (Syy = 0, Sxx != 0)
+    s.register_table("cy", {"y": [3.0, 3.0, 3.0], "x": [1.0, 2.0, 5.0]})
+    (r,) = s.sql(
+        "SELECT REGR_R2(y, x), REGR_SLOPE(y, x), CORR(y, x) FROM cy"
+    ).to_pylist()
+    assert r == (1.0, 0.0, None)
+    # empty input: count 0, rest NULL
+    assert s.sql(
+        "SELECT REGR_COUNT(y, x), CORR(y, x) FROM cy WHERE x > 99"
+    ).to_pylist() == [(0, None)]
+
+
+def test_covar_expressions_and_having():
+    s = make_session2()
+    rows = s.sql(
+        "SELECT k, CORR(y + 1, x * 2) AS c2 FROM t2 GROUP BY k "
+        "HAVING REGR_COUNT(y, x) > 50 ORDER BY k"
+    ).to_pylist()
+    for g, c2 in rows:
+        Y, X = np_pair_stats(g)
+        assert len(Y) > 50
+        # CORR is affine-invariant
+        Sxx = ((X - X.mean()) ** 2).sum()
+        Syy = ((Y - Y.mean()) ** 2).sum()
+        Sxy = ((X - X.mean()) * (Y - Y.mean())).sum()
+        assert approx(c2, Sxy / np.sqrt(Sxx * Syy), 1e-8)
+
+
+def test_covar_errors():
+    s = make_session2()
+    with pytest.raises(Exception, match="numeric"):
+        s.sql("SELECT CORR(CAST(k AS VARCHAR), x) FROM t2")
+    with pytest.raises(Exception):
+        s.sql("SELECT CORR(y) FROM t2")  # missing second argument
+    with pytest.raises(Exception):
+        s.sql("SELECT COVAR_POP(DISTINCT y, x) FROM t2")
+
+
+def test_covar_mesh_partial_final():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    sql = ("SELECT k, CORR(y, x) AS c, REGR_SLOPE(y, x) AS s, "
+           "REGR_COUNT(y, x) AS n FROM t2 GROUP BY k ORDER BY k")
+    a = make_session2().sql(sql).to_pylist()
+    dist = make_session2(mesh=make_mesh(devs[:8]))
+    b = dist.sql(sql).to_pylist()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and ra[3] == rb[3]
+        assert approx(ra[1], rb[1], 1e-8) and approx(ra[2], rb[2], 1e-8)
+    st = dist.mesh_pipeline.stats
+    assert st.get("agg_partial_final", 0) >= 1, st
+    assert st["fallbacks"] == 0, st
+
+
+def test_covar_chunked():
+    sql = "SELECT k, COVAR_SAMP(y, x) AS cs FROM t2 GROUP BY k ORDER BY k"
+    a = make_session2().sql(sql).to_pylist()
+    os.environ["QE_CHUNK_ENGAGE"] = "1024"
+    os.environ["QE_CHUNK_ROWS"] = "512"
+    try:
+        s = make_session2()
+        b = s.sql(sql).to_pylist()
+        st = s.executor.chunked.stats
+        assert st["queries"] >= 1 and st["chunks"] >= 2, st
+    finally:
+        del os.environ["QE_CHUNK_ENGAGE"]
+        del os.environ["QE_CHUNK_ROWS"]
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and approx(ra[1], rb[1], 1e-8)
+
+
+def test_covar_explain_keeps_logical_form():
+    s = make_session2()
+    out = s.sql("EXPLAIN SELECT CORR(y, x) FROM t2 GROUP BY k").to_pylist()
+    text = "\n".join(r[0] for r in out)
+    assert "CORR(t2.y, t2.x)" in text and "Aggregate" in text
