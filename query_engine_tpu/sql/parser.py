@@ -784,9 +784,9 @@ class Parser:
             self.expect_op(")")
             return ast.Exists(query, negated=True)
         if t.kind == "KEYWORD" and t.value in _ORDERED_SET_KWS:
-            return self.parse_ordered_set_aggregate()
+            return self._maybe_filter(self.parse_ordered_set_aggregate())
         if t.kind == "KEYWORD" and t.value in _AGG_KWS:
-            agg = self.parse_aggregate()
+            agg = self._maybe_filter(self.parse_aggregate())
             if self.cur.is_kw("OVER"):
                 self.advance()
                 over = self.parse_window_spec()
@@ -867,6 +867,34 @@ class Parser:
             return ast.Aggregate(func, arg, False, expr2=arg2)
         self.expect_op(")")
         return ast.Aggregate(func, arg, distinct)
+
+    def _maybe_filter(self, agg: ast.Aggregate) -> ast.Aggregate:
+        """PG `agg(...) FILTER (WHERE pred)` — desugared at parse time into
+        CASE masking of the argument(s): agg(CASE WHEN pred THEN x END).
+        Rows failing (or NULL under) the predicate contribute NULL, which
+        every aggregate already skips, so all execution paths (eager,
+        compiled, mesh, chunked, distributed) inherit FILTER for free.
+        COUNT(*) FILTER counts predicate-passing rows via CASE-masked 1;
+        two-argument statistics mask both arguments (pair exclusion)."""
+        if not self.cur.is_kw("FILTER"):
+            return agg
+        self.advance()
+        self.expect_op("(")
+        self.expect_kw("WHERE")
+        pred = self.parse_expr()
+        self.expect_op(")")
+
+        def mask(e: ast.Expr) -> ast.Expr:
+            return ast.Case(None, ((pred, e),), None)
+
+        if isinstance(agg.expr, ast.Wildcard):
+            return ast.Aggregate(
+                agg.func, mask(ast.NumberLit("1")), agg.distinct, agg.param
+            )
+        return ast.Aggregate(
+            agg.func, mask(agg.expr), agg.distinct, agg.param,
+            mask(agg.expr2) if agg.expr2 is not None else None,
+        )
 
     def parse_ordered_set_aggregate(self) -> ast.Expr:
         """PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY expr [ASC|DESC])

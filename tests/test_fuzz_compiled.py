@@ -64,6 +64,8 @@ AGGS = [
     "PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY v)",
     "CORR(v, f)", "COVAR_SAMP(v, f)", "REGR_SLOPE(f, v)",
     "REGR_COUNT(v, f)", "REGR_R2(f, v)",
+    "COUNT(*) FILTER (WHERE v > 0)", "SUM(v) FILTER (WHERE f IS NOT NULL)",
+    "AVG(f) FILTER (WHERE k < 10)",
 ]
 GROUPS = ["k", "s", "k % 4", "v % 5"]
 WINDOWS = [
