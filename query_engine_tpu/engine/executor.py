@@ -1043,6 +1043,33 @@ class QueryExecutor:
                 n_tiles = self._const_int(wexpr.args[0], 1)
                 svals = K.ntile_sorted(seg_change, n_tiles, pad_sorted)
                 svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.PERCENT_RANK:
+                svals = K.percent_rank_sorted(seg_change, peer_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.CUME_DIST:
+                svals = K.cume_dist_sorted(seg_change, peer_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.NTH_VALUE:
+                av = self.evaluator.eval(wexpr.args[0], batch)
+                nth = self._const_int(wexpr.args[1], 1)
+                if nth < 1:
+                    raise ExecutionError("NTH_VALUE position must be >= 1")
+                sd, sv = av.data[perm], av.validity[perm]
+                start = K._seg_start_pos(seg_change)
+                pos = start + (nth - 1)
+                # default frame ends at the current row's last tie peer;
+                # UNBOUNDED FOLLOWING extends to the partition end
+                unbounded_end = (
+                    wexpr.frame is not None
+                    and wexpr.frame.end is not None
+                    and wexpr.frame.end.kind == "FOLLOWING"
+                    and wexpr.frame.end.offset is None
+                )
+                fend = (K._seg_end_pos(seg_change) if unbounded_end
+                        else K._seg_end_pos(peer_change))
+                svals, svalid = K.value_at(sd, sv, pos)
+                svalid = svalid & (pos <= fend)
+                out_dict = av.dictionary
             elif fn in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
                 av = self.evaluator.eval(wexpr.args[0], batch)
                 offset = self._const_int(wexpr.args[1], 1) if len(wexpr.args) > 1 else 1

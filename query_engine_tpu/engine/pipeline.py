@@ -442,6 +442,8 @@ def _mark_static_literals(e: lp.LogicalExpr, out: set) -> None:
                 args = x.args[:1]
             elif x.func in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
                 args = x.args[1:2]
+            elif x.func is lp.WindowFn.NTH_VALUE:
+                args = x.args[1:2]
         if args:
             for a in args:
                 lp.walk_exprs(a, lambda y: out.add(id(y)))
@@ -2269,7 +2271,10 @@ class CompiledPipeline:
 
         def _order_independent(wexpr):
             fn = wexpr.func
-            if fn in (lp.WindowFn.RANK, lp.WindowFn.DENSE_RANK):
+            if fn in (lp.WindowFn.RANK, lp.WindowFn.DENSE_RANK,
+                      lp.WindowFn.PERCENT_RANK, lp.WindowFn.CUME_DIST):
+                # computed from segment/peer boundaries only — the
+                # within-peer order extra prefix keys impose is invisible
                 return True
             if fn in (lp.WindowFn.SUM, lp.WindowFn.COUNT, lp.WindowFn.AVG,
                       lp.WindowFn.MIN, lp.WindowFn.MAX):
@@ -2400,6 +2405,31 @@ class CompiledPipeline:
                 n_tiles = ex._const_int(wexpr.args[0], 1)
                 svals = K.ntile_sorted(seg_change, n_tiles, pad_sorted)
                 svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.PERCENT_RANK:
+                svals = K.percent_rank_sorted(seg_change, peer_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.CUME_DIST:
+                svals = K.cume_dist_sorted(seg_change, peer_change)
+                svalid = jnp.ones(cap, dtype=bool)
+            elif fn is lp.WindowFn.NTH_VALUE:
+                av = ex.evaluator.eval(wexpr.args[0], shim)
+                nth = ex._const_int(wexpr.args[1], 1)
+                if nth < 1:
+                    raise _Unsupported("NTH_VALUE position must be >= 1")
+                sd, sv = sorted_arg(av, wexpr.args[0])
+                start = K._seg_start_pos(seg_change)
+                pos = start + (nth - 1)
+                unbounded_end = (
+                    wexpr.frame is not None
+                    and wexpr.frame.end is not None
+                    and wexpr.frame.end.kind == "FOLLOWING"
+                    and wexpr.frame.end.offset is None
+                )
+                fend = (K._seg_end_pos(seg_change) if unbounded_end
+                        else K._seg_end_pos(peer_change))
+                svals, svalid = K.value_at(sd, sv, pos)
+                svalid = svalid & (pos <= fend)
+                out_dict = av.dictionary
             elif fn in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
                 av = ex.evaluator.eval(wexpr.args[0], shim)
                 offset = (

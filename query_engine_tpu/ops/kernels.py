@@ -1466,6 +1466,28 @@ def ntile_sorted(seg_change: jnp.ndarray, n_tiles, pad_sorted) -> jnp.ndarray:
     return bucket + 1
 
 
+def percent_rank_sorted(seg_change, peer_change) -> jnp.ndarray:
+    """PG PERCENT_RANK = (rank - 1) / (count - 1); 0 for 1-row partitions."""
+    rank = rank_sorted(seg_change, peer_change)
+    count = (_seg_end_pos(seg_change) - _seg_start_pos(seg_change) + 1)
+    count = count.astype(jnp.float64)
+    return jnp.where(
+        count > 1,
+        (rank - 1).astype(jnp.float64) / jnp.maximum(count - 1.0, 1.0),
+        0.0,
+    )
+
+
+def cume_dist_sorted(seg_change, peer_change) -> jnp.ndarray:
+    """PG CUME_DIST = (# rows <= current incl. tie peers) / count. The last
+    tie peer's position gives the numerator; peer runs never cross segment
+    boundaries (seg_change implies peer_change in window_segments)."""
+    start = _seg_start_pos(seg_change)
+    count = (_seg_end_pos(seg_change) - start + 1).astype(jnp.float64)
+    peers_thru = (_seg_end_pos(peer_change) - start + 1).astype(jnp.float64)
+    return peers_thru / jnp.maximum(count, 1.0)
+
+
 def _run_broadcast_first(vals: jnp.ndarray, start_flag: jnp.ndarray):
     """Broadcast each run's FIRST value across the run (runs delimited by
     start_flag) — one associative scan, no gathers."""

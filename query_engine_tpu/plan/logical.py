@@ -436,10 +436,13 @@ class WindowFn(enum.Enum):
     RANK = "RANK"
     DENSE_RANK = "DENSE_RANK"
     NTILE = "NTILE"
+    PERCENT_RANK = "PERCENT_RANK"
+    CUME_DIST = "CUME_DIST"
     LAG = "LAG"
     LEAD = "LEAD"
     FIRST_VALUE = "FIRST_VALUE"
     LAST_VALUE = "LAST_VALUE"
+    NTH_VALUE = "NTH_VALUE"
     # aggregates over window frames (running totals / rolling windows)
     SUM = "SUM"
     COUNT = "COUNT"
@@ -477,6 +480,9 @@ class WindowExpr(LogicalExpr):
         if self.func in (WindowFn.ROW_NUMBER, WindowFn.RANK,
                          WindowFn.DENSE_RANK, WindowFn.NTILE):
             self.dtype = DataType.int64()
+            self.nullable = False
+        elif self.func in (WindowFn.PERCENT_RANK, WindowFn.CUME_DIST):
+            self.dtype = DataType.float64()
             self.nullable = False
         elif self.func is WindowFn.COUNT:
             self.dtype = DataType.int64()

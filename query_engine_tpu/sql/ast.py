@@ -213,10 +213,13 @@ class WindowFunctionType(enum.Enum):
     RANK = "RANK"
     DENSE_RANK = "DENSE_RANK"
     NTILE = "NTILE"
+    PERCENT_RANK = "PERCENT_RANK"
+    CUME_DIST = "CUME_DIST"
     LAG = "LAG"
     LEAD = "LEAD"
     FIRST_VALUE = "FIRST_VALUE"
     LAST_VALUE = "LAST_VALUE"
+    NTH_VALUE = "NTH_VALUE"
 
 
 class WindowFrameMode(enum.Enum):

@@ -32,7 +32,7 @@ KEYWORDS = {
     "RECURSIVE", "EXISTS", "OVER", "PARTITION", "ROWS", "RANGE", "UNBOUNDED",
     "PRECEDING", "FOLLOWING", "CURRENT", "ROW",
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
-    "FIRST_VALUE", "LAST_VALUE",
+    "FIRST_VALUE", "LAST_VALUE", "PERCENT_RANK", "CUME_DIST", "NTH_VALUE",
     "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
     "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
     "CREATE", "DROP", "INDEX", "UNIQUE", "USING", "IF", "TABLE",

@@ -88,6 +88,11 @@ WINDOWS = [
     "COUNT(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) AS w1",
     "SUM(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w1",
     "NTILE(6) OVER (ORDER BY id) AS w1",
+    "PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS w1",
+    "CUME_DIST() OVER (PARTITION BY s ORDER BY v) AS w1",
+    "NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY id) AS w1",
+    "PERCENT_RANK() OVER (ORDER BY v) AS w1",
+    "CUME_DIST() OVER (ORDER BY v) AS w1",
     "FIRST_VALUE(v) OVER (ORDER BY id) AS w1",
     "LAST_VALUE(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING "
     "AND UNBOUNDED FOLLOWING) AS w1",

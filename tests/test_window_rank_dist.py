@@ -1,0 +1,139 @@
+"""PERCENT_RANK / CUME_DIST / NTH_VALUE window functions.
+
+The reference's window support is a pass-through stub (executor.rs:76-80);
+ours computes them from sorted segment/peer boundaries (ops/kernels.py
+percent_rank_sorted / cume_dist_sorted; NTH_VALUE via value_at on the
+segment start + frame-end validity). PERCENT_RANK and CUME_DIST join
+RANK/DENSE_RANK in the shared-sort family: specs with a matching
+PARTITION BY + ORDER BY prefix reuse one sort permutation.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from query_engine_tpu.engine.session import Session
+from query_engine_tpu.parallel.mesh import make_mesh
+
+RNG = np.random.default_rng(31)
+N = 1200
+K = RNG.integers(0, 9, N)
+V = RNG.integers(0, 25, N)  # heavy ties
+
+
+def make_session(mesh=None):
+    s = Session(mesh=mesh)
+    s.register_table("t", {
+        "id": list(range(N)),
+        "k": [int(x) for x in K],
+        "v": [int(x) for x in V],
+    })
+    return s
+
+
+def pandas_expect():
+    df = pd.DataFrame({"id": range(N), "k": K, "v": V})
+    g = df.groupby("k")["v"]
+    cnt = g.transform("size").astype(float)
+    rmin = g.rank(method="min")
+    pr = ((rmin - 1) / (cnt - 1).clip(lower=1)).where(cnt > 1, 0.0)
+    cd = g.rank(method="max") / cnt
+    return pr, cd
+
+
+def test_percent_rank_cume_dist_vs_pandas():
+    s = make_session()
+    rows = s.sql(
+        "SELECT id, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pr, "
+        "CUME_DIST() OVER (PARTITION BY k ORDER BY v) AS cd "
+        "FROM t ORDER BY id"
+    ).to_pylist()
+    pr, cd = pandas_expect()
+    for i, p, c in rows:
+        assert p == pytest.approx(pr[i], abs=1e-12)
+        assert c == pytest.approx(cd[i], abs=1e-12)
+
+
+def test_single_row_partitions_and_global():
+    s = Session()
+    s.register_table("e", {"k": [1, 2, 3], "v": [9, 5, 7]})
+    rows = s.sql(
+        "SELECT k, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pr, "
+        "CUME_DIST() OVER (PARTITION BY k ORDER BY v) AS cd FROM e ORDER BY k"
+    ).to_pylist()
+    assert rows == [(1, 0.0, 1.0), (2, 0.0, 1.0), (3, 0.0, 1.0)]
+    rows = s.sql(
+        "SELECT v, PERCENT_RANK() OVER (ORDER BY v) AS pr, "
+        "CUME_DIST() OVER (ORDER BY v) AS cd FROM e ORDER BY v"
+    ).to_pylist()
+    assert rows == [(5, 0.0, pytest.approx(1 / 3)),
+                    (7, 0.5, pytest.approx(2 / 3)),
+                    (9, 1.0, 1.0)]
+
+
+def test_nth_value_frames_and_nulls():
+    s = Session()
+    s.register_table("e", {
+        "k": [1] * 5 + [2] * 2,
+        "v": [10, 20, 20, 30, None, 7, 8],
+    })
+    rows = s.sql(
+        "SELECT k, v, NTH_VALUE(v, 3) OVER (PARTITION BY k ORDER BY v) AS d, "
+        "NTH_VALUE(v, 3) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u "
+        "FROM e ORDER BY k, v"
+    ).to_pylist()
+    # k=1 sorted: 10,20,20,30,NULL (nulls last); 3rd = 20
+    # default frame: row 1 (10) sees only rows <= its last peer -> pos 3
+    # not reached -> NULL; rows at 20 reach it.
+    by_v = {(r[0], r[1]): (r[2], r[3]) for r in rows}
+    assert by_v[(1, 10)] == (None, 20)
+    assert by_v[(1, 20)] == (20, 20)
+    assert by_v[(1, 30)] == (20, 20)
+    assert by_v[(1, None)] == (20, 20)
+    # 2-row partition: 3rd value never exists
+    assert by_v[(2, 7)] == (None, None)
+    assert by_v[(2, 8)] == (None, None)
+
+
+def test_nth_value_position_validation():
+    s = Session()
+    s.register_table("e", {"v": [1, 2]})
+    with pytest.raises(Exception, match=">= 1"):
+        s.sql("SELECT NTH_VALUE(v, 0) OVER (ORDER BY v) FROM e")
+
+
+def test_shared_sort_with_rank_family():
+    s = make_session()
+    s.sql(
+        "SELECT RANK() OVER (PARTITION BY k ORDER BY v), "
+        "PERCENT_RANK() OVER (PARTITION BY k ORDER BY v), "
+        "CUME_DIST() OVER (PARTITION BY k ORDER BY v) FROM t"
+    )
+    st = s.executor.pipeline.stats
+    assert st.get("window_sorts") == 1, st  # 3 specs, ONE sort
+
+
+def test_mesh_matches_single_device():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    sql = (
+        "SELECT id, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pr, "
+        "CUME_DIST() OVER (PARTITION BY k ORDER BY v) AS cd, "
+        "NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY v) AS nv "
+        "FROM t ORDER BY id"
+    )
+    a = make_session().sql(sql).to_pylist()
+    b = make_session(mesh=make_mesh(devs[:8])).sql(sql).to_pylist()
+    assert a == b
+
+
+def test_global_window_on_mesh_falls_back_correctly():
+    devs = jax.devices()
+    sql = ("SELECT id, CUME_DIST() OVER (ORDER BY v) AS cd FROM t "
+           "ORDER BY id")
+    a = make_session().sql(sql).to_pylist()
+    b = make_session(mesh=make_mesh(devs[:8])).sql(sql).to_pylist()
+    assert a == b
