@@ -756,7 +756,7 @@ class QueryExecutor:
                 distinct_first = K.distinct_first_flags(
                     [data], [validity], gid, batch.num_rows
                 )
-            if func in lp.PERCENTILE_FNS:
+            if func in lp.ORDERED_SET_FNS:
                 f = schema.field(fi)
                 fi += 1
                 out_d, out_v = self._grouped_percentile(
@@ -764,6 +764,12 @@ class QueryExecutor:
                 )
                 cols.append(Column(out_d[:out_cap], out_v[:out_cap],
                                    f.data_type, None))
+                continue
+            if func is lp.AggFunc.STRING_AGG:
+                fi += 1
+                cols.append(self._grouped_string_agg(
+                    agg, av, gid, batch.num_rows, cap, out_cap
+                ))
                 continue
             if (
                 use_mxu and not agg.distinct and plan.mode != "partial"
@@ -857,7 +863,12 @@ class QueryExecutor:
 
         PG semantics: CONT interpolates at frac*(c-1); DISC returns the
         first value whose cume_dist >= frac (1-based index ceil(frac*c)).
-        DESC order mirrors the index from the other end."""
+        DESC order mirrors the index from the other end.
+
+        MODE(): most frequent value per group. Runs of equal (group, value)
+        in the same sorted space give run lengths; one segment_max over a
+        packed (length, tiebreak-position) key picks each group's winner —
+        ties break to the FIRST value in the WITHIN GROUP order (PG)."""
         frac, desc = agg.param
         fn = agg.func
         lm = K.live_mask(cap, num_rows)
@@ -865,12 +876,32 @@ class QueryExecutor:
         gkey = jnp.where(ok, gid.astype(jnp.int64), jnp.int64(out_cap))
         vals = (data.astype(jnp.float64)
                 if fn is lp.AggFunc.PERCENTILE_CONT else data)
-        _, sval = jax.lax.sort([gkey, vals], num_keys=2)
+        skey, sval = jax.lax.sort([gkey, vals], num_keys=2)
         cnt = jax.ops.segment_sum(
             ok.astype(jnp.int64), gkey, num_segments=out_cap + 1
         )[:out_cap]
         start = jnp.cumsum(cnt) - cnt
         c = cnt
+        if fn is lp.AggFunc.MODE:
+            idx = jnp.arange(cap)
+            rc = (idx == 0) | (skey != jnp.roll(skey, 1)) | (
+                sval != jnp.roll(sval, 1)
+            )
+            run_start = jax.lax.cummax(
+                jnp.where(rc, idx, 0).astype(jnp.int32)
+            ).astype(jnp.int64)
+            run_len = (K._seg_end_pos(rc).astype(jnp.int64) - run_start + 1)
+            # pack (len, position tiebreak): ASC ties -> smallest value ->
+            # earliest run; DESC -> largest value -> latest run
+            big = jnp.int64(cap + 1)
+            tie = run_start if desc else (cap - run_start)
+            pack = run_len * big + tie
+            best = jax.ops.segment_max(
+                pack, skey, num_segments=out_cap + 1
+            )[:out_cap]
+            bs = (best % big) if desc else (cap - best % big)
+            out = sval[jnp.clip(bs, 0, cap - 1)]
+            return out, c > 0
         if fn is lp.AggFunc.PERCENTILE_CONT:
             fr = 1.0 - frac if desc else frac
             pos = fr * jnp.maximum(c - 1, 0).astype(jnp.float64)
@@ -886,6 +917,37 @@ class QueryExecutor:
             idx = (c - k_) if desc else (k_ - 1)
             out = sval[jnp.clip(start + idx, 0, cap - 1)]
         return out, c > 0
+
+    def _grouped_string_agg(self, agg, av, gid, num_rows, cap, out_cap):
+        """STRING_AGG(expr, delim): host finalization — one pass over the
+        live rows' dictionary codes in input order (PG leaves the order
+        unspecified without an ORDER BY; input order is deterministic
+        here). O(n) host work is acceptable: the output is a per-group
+        STRING, inherently a host materialization."""
+        from query_engine_tpu.core.types import DataType
+
+        delim = agg.param[0]
+        lm = K.live_mask(cap, num_rows)
+        ok = np.asarray(lm & av.validity)
+        g = np.asarray(gid)
+        codes = np.asarray(av.data)
+        values = av.dictionary.values if av.dictionary is not None else []
+        parts: dict = {}
+        for i in np.nonzero(ok)[0]:
+            gi = int(g[i])
+            if 0 <= gi < out_cap:
+                parts.setdefault(gi, []).append(values[int(codes[i])])
+        out_strs = [None] * out_cap
+        for gi, vs in parts.items():
+            out_strs[gi] = delim.join(vs)
+        new_dict, new_codes = Dictionary.from_values(
+            ["" if v is None else v for v in out_strs]
+        )
+        valid = np.array([v is not None for v in out_strs], dtype=bool)
+        return Column(
+            jnp.asarray(new_codes.astype(np.int32)), jnp.asarray(valid),
+            DataType.utf8(), new_dict,
+        )
 
     # Direct (sort-free) grouping applies when there is a single integer or
     # dictionary group key whose value range is bounded — dictionary codes

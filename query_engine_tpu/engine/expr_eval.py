@@ -659,9 +659,9 @@ class Evaluator:
             to = self._literal_str(args[2], "REPLACE")
             return _dict_map_host(args[0], lambda s: s.replace(frm, to))
         if f is F.SUBSTRING:
-            start = int(self._literal_num(args[1], "SUBSTRING"))
+            start = int(self._static_num(e.args[1], args[1], "SUBSTRING"))
             length = (
-                int(self._literal_num(args[2], "SUBSTRING"))
+                int(self._static_num(e.args[2], args[2], "SUBSTRING"))
                 if len(args) > 2 else None
             )
             lo = max(start - 1, 0)  # SQL is 1-based
@@ -692,7 +692,7 @@ class Evaluator:
                 v = _descale(v)
             x = v.data.astype(jnp.float64)
             if len(args) > 1:
-                nd = int(self._literal_num(args[1], "ROUND"))
+                nd = int(self._static_num(e.args[1], args[1], "ROUND"))
                 m = 10.0 ** nd
                 # half-away-from-zero (PG/Arrow), not banker's rounding
                 out = jnp.sign(x) * jnp.floor(jnp.abs(x) * m + 0.5) / m
@@ -727,7 +727,162 @@ class Evaluator:
             return _dict_map_host(
                 args[0], _normalize_tsquery, DataType(TypeKind.TSQUERY)
             )
+        out = self._eval_math_fn(e, f, args)
+        if out is None:
+            out = self._eval_string_fn(e, f, args)
+        if out is not None:
+            return out
         raise ExecutionError(f"scalar function {f.value} not implemented")
+
+    # unary math: (jnp fn, domain-validity fn or None)
+    _MATH_UNARY = {
+        lp.ScalarFn.EXP: (jnp.exp, None),
+        lp.ScalarFn.LN: (jnp.log, lambda x: x > 0),
+        lp.ScalarFn.LOG10: (lambda x: jnp.log(x) / np.log(10.0),
+                            lambda x: x > 0),
+        lp.ScalarFn.SIGN: (jnp.sign, None),
+        lp.ScalarFn.SIN: (jnp.sin, None),
+        lp.ScalarFn.COS: (jnp.cos, None),
+        lp.ScalarFn.TAN: (jnp.tan, None),
+        lp.ScalarFn.ASIN: (jnp.arcsin, lambda x: jnp.abs(x) <= 1),
+        lp.ScalarFn.ACOS: (jnp.arccos, lambda x: jnp.abs(x) <= 1),
+        lp.ScalarFn.ATAN: (jnp.arctan, None),
+        lp.ScalarFn.DEGREES: (jnp.degrees, None),
+        lp.ScalarFn.RADIANS: (jnp.radians, None),
+    }
+
+    def _eval_math_fn(self, e, f, args) -> Optional[Val]:
+        """Device-vectorized math batch. Domain violations (LN of a
+        non-positive, ASIN out of [-1,1]) yield NULL rather than NaN —
+        closer to erroring PG than silent NaN propagation, and NULL-safe
+        through every downstream aggregate."""
+        F = lp.ScalarFn
+
+        def f64(v):
+            x = _descale(v) if v.dtype.kind is TypeKind.DECIMAL128 else v
+            return x.data.astype(jnp.float64), x.validity
+
+        if f in self._MATH_UNARY:
+            fn, dom = self._MATH_UNARY[f]
+            x, ok = f64(args[0])
+            if dom is not None:
+                ok = ok & dom(x)
+            return Val(fn(x), ok, DataType.float64())
+        if f is F.LOG:
+            if len(args) == 1:  # PG: LOG(x) = log10
+                x, ok = f64(args[0])
+                return Val(jnp.log(x) / np.log(10.0), ok & (x > 0),
+                           DataType.float64())
+            b, bok = f64(args[0])
+            x, xok = f64(args[1])
+            ok = bok & xok & (x > 0) & (b > 0) & (b != 1.0)
+            return Val(jnp.log(x) / jnp.log(b), ok, DataType.float64())
+        if f is F.ATAN2:
+            y, yok = f64(args[0])
+            x, xok = f64(args[1])
+            return Val(jnp.arctan2(y, x), yok & xok, DataType.float64())
+        if f is F.TRUNC:
+            x, ok = f64(args[0])
+            if len(args) > 1:
+                nd = int(self._static_num(e.args[1], args[1], "TRUNC"))
+                m = 10.0 ** nd
+                return Val(jnp.trunc(x * m) / m, ok, DataType.float64())
+            return Val(jnp.trunc(x), ok, DataType.float64())
+        if f in (F.GREATEST, F.LEAST):
+            # PG: NULL args are ignored; NULL only when every arg is NULL
+            if any(a.dictionary is not None for a in args):
+                raise ExecutionError(f"{f.value} over strings not supported")
+            pick_hi = f is F.GREATEST
+            acc, ok = args[0].data, args[0].validity
+            for a in args[1:]:
+                better = (a.data > acc) if pick_hi else (a.data < acc)
+                take = a.validity & (better | ~ok)
+                acc = jnp.where(take, a.data, acc)
+                ok = ok | a.validity
+            dt = next(
+                (a.dtype for a in args if a.dtype.kind is not TypeKind.NULL),
+                args[0].dtype,
+            )
+            return Val(acc, ok, dt)
+        return None
+
+    def _eval_string_fn(self, e, f, args) -> Optional[Val]:
+        """Host per-dictionary-value string batch (same execution model as
+        UPPER/SUBSTRING: functions run once per distinct value)."""
+        F = lp.ScalarFn
+        if f in (F.LEFT, F.RIGHT):
+            # PG: negative n drops |n| chars from the other end; Python
+            # slicing matches exactly (RIGHT(s,0) is the one special case)
+            n = int(self._static_num(e.args[1], args[1], f.value))
+            if f is F.LEFT:
+                cut = lambda s: s[:n]  # noqa: E731
+            else:
+                cut = lambda s: "" if n == 0 else s[-n:]  # noqa: E731
+            return _dict_map_host(args[0], cut)
+        if f in (F.LPAD, F.RPAD):
+            ln = int(self._static_num(e.args[1], args[1], f.value))
+            fill = (self._literal_str(args[2], f.value)
+                    if len(args) > 2 else " ")
+
+            def pad(s, ln=ln, fill=fill, left=(f is F.LPAD)):
+                if len(s) >= ln:
+                    return s[:ln]
+                if not fill:
+                    return s
+                need = ln - len(s)
+                p = (fill * (need // len(fill) + 1))[:need]
+                return p + s if left else s + p
+
+            return _dict_map_host(args[0], pad)
+        if f is F.REVERSE:
+            return _dict_map_host(args[0], lambda s: s[::-1])
+        if f is F.INITCAP:
+            import re as _re
+
+            def initcap(s):
+                return _re.sub(
+                    r"[A-Za-z0-9]+",
+                    lambda m: m.group(0)[:1].upper() + m.group(0)[1:].lower(),
+                    s,
+                )
+
+            return _dict_map_host(args[0], initcap)
+        if f is F.SPLIT_PART:
+            delim = self._literal_str(args[1], "SPLIT_PART")
+            n = int(self._static_num(e.args[2], args[2], "SPLIT_PART"))
+            if n == 0:
+                raise ExecutionError("SPLIT_PART field position must not be 0")
+
+            def part(s, delim=delim, n=n):
+                parts = s.split(delim) if delim else [s]
+                i = n - 1 if n > 0 else len(parts) + n
+                return parts[i] if 0 <= i < len(parts) else ""
+
+            return _dict_map_host(args[0], part)
+        if f is F.REPEAT:
+            n = int(self._static_num(e.args[1], args[1], "REPEAT"))
+            return _dict_map_host(args[0], lambda s: s * max(n, 0))
+        if f is F.LTRIM:
+            chars = (self._literal_str(args[1], "LTRIM")
+                     if len(args) > 1 else None)
+            return _dict_map_host(args[0], lambda s: s.lstrip(chars))
+        if f is F.RTRIM:
+            chars = (self._literal_str(args[1], "RTRIM")
+                     if len(args) > 1 else None)
+            return _dict_map_host(args[0], lambda s: s.rstrip(chars))
+        if f is F.STRPOS:
+            sub = self._literal_str(args[1], "STRPOS")
+            return _dict_lookup_host(
+                args[0], lambda s: s.find(sub) + 1, np.int64,
+                DataType.int64(),
+            )
+        if f is F.STARTS_WITH:
+            pre = self._literal_str(args[1], "STARTS_WITH")
+            return _dict_lookup_host(
+                args[0], lambda s: s.startswith(pre), np.bool_,
+                DataType.boolean(),
+            )
+        return None
 
     def _eval_extract(self, args: List[Val]) -> Val:
         """EXTRACT(field FROM temporal) — vectorized on-device. PG semantics:
@@ -858,6 +1013,25 @@ class Evaluator:
     @staticmethod
     def _literal_num(v: Val, fn: str):
         return np.asarray(v.data)[0]
+
+    def _static_num(self, expr: lp.LogicalExpr, val: Val, fn: str):
+        """Static numeric argument (SUBSTRING offsets, ROUND digits, ...).
+        Read it from the EXPRESSION node: inside a traced program even a
+        constant's broadcast plane is a tracer, so converting the evaluated
+        Val would fail. Falls back to the Val for non-literal shapes (eager
+        path only)."""
+        x, neg = expr, False
+        while isinstance(x, (lp.AliasExpr, lp.UnaryExpr)):
+            if isinstance(x, lp.UnaryExpr):
+                if x.op is not lp.UnOp.NEG:
+                    break
+                neg = not neg
+            x = x.expr
+        if isinstance(x, lp.Literal) and x.value.value is not None \
+                and not isinstance(x.value.value, str):
+            v = x.value.value
+            return -v if neg else v
+        return self._literal_num(val, fn)
 
     # ---- udf -----------------------------------------------------------
     def _eval_udf(self, e: lp.UdfExpr, batch: ColumnBatch) -> Val:

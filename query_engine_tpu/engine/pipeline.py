@@ -434,7 +434,9 @@ def _mark_static_literals(e: lp.LogicalExpr, out: set) -> None:
     def visit(x):
         args = None
         if isinstance(x, lp.ScalarFnExpr) and x.func in (
-            lp.ScalarFn.SUBSTRING, lp.ScalarFn.ROUND,
+            lp.ScalarFn.SUBSTRING, lp.ScalarFn.ROUND, lp.ScalarFn.TRUNC,
+            lp.ScalarFn.LEFT, lp.ScalarFn.RIGHT, lp.ScalarFn.LPAD,
+            lp.ScalarFn.RPAD, lp.ScalarFn.SPLIT_PART, lp.ScalarFn.REPEAT,
         ):
             args = x.args[1:]
         elif isinstance(x, lp.WindowExpr):
@@ -1018,7 +1020,9 @@ class CompiledPipeline:
         if isinstance(plan, pp.PHashAggregate):
             if plan.mode != "single":
                 raise _Unsupported("distributed aggregate mode")
-            if any(a.func in lp.PERCENTILE_FNS for a in plan.agg_exprs):
+            if any(a.func in lp.ORDERED_SET_FNS
+                   or a.func is lp.AggFunc.STRING_AGG
+                   for a in plan.agg_exprs):
                 # sort-based quantiles run in the eager engine (an eager
                 # leaf here); a traced segment-percentile is future work
                 raise _Unsupported("percentile aggregate")

@@ -672,7 +672,8 @@ class MeshPipeline:
     def _mplan_key_agg(self, plan: pp.PHashAggregate, ctx):
         if plan.mode != "single":
             raise _Unsupported("non-single aggregate mode")
-        if any(a.func in lp.PERCENTILE_FNS for a in plan.agg_exprs):
+        if any(a.func in lp.ORDERED_SET_FNS
+               or a.func is lp.AggFunc.STRING_AGG for a in plan.agg_exprs):
             raise _Unsupported("percentile aggregate")  # eager leaf
         exprs = list(plan.group_exprs) + [
             a.expr for a in plan.agg_exprs if a.expr is not None
@@ -1016,6 +1017,13 @@ class MeshPipeline:
             if not w.order_by:
                 raise _Unsupported("global rank window order")
             return ("rank",)
+        if fn in (lp.WindowFn.PERCENT_RANK, lp.WindowFn.CUME_DIST):
+            # recomputed from the global rank / last-peer position + the
+            # broadcast total count; ties co-locate after the range
+            # exchange so peer boundaries are local
+            if not w.order_by:
+                raise _Unsupported("global rank-dist window order")
+            return ("rank_dist",)
         if fn is lp.WindowFn.NTILE:
             if not w.order_by:
                 raise _Unsupported("global NTILE order")
@@ -1257,6 +1265,40 @@ class MeshPipeline:
             if kind[0] == "last_peer":
                 # last tie peer: ties co-locate after the exchange, so the
                 # local tracer's answer is already globally correct
+                continue
+            if kind == ("rank_dist",):
+                # PERCENT_RANK = (global_rank - 1)/(T - 1); CUME_DIST =
+                # global last-peer position / T. Peer boundaries are local
+                # (ties co-locate), so recompute rank/peer-end in the local
+                # sorted space and add the prior-shard row offset.
+                perm, pos = local_rank(w)
+                o_vals = [ev.eval(k.expr, _ShimBatch(t2))
+                          for k in w.order_by]
+                order_sorted = []
+                for v in o_vals:
+                    kk, nn = K.normalize_key(v.data[perm], v.validity[perm])
+                    order_sorted += [nn.astype(jnp.int32), kk]
+                pad_sorted = jnp.arange(cap2) >= cnt
+                seg_change, peer_change, _seg = K.window_segments(
+                    [], order_sorted, pad_sorted
+                )
+                rank_s = K.rank_sorted(seg_change, peer_change)
+                pe_s = K._seg_end_pos(peer_change).astype(jnp.int64)
+                grank = rank_s[pos] + prior_rows
+                gpeer = pe_s[pos] + prior_rows
+                total = jnp.sum(counts)
+                if w.func is lp.WindowFn.PERCENT_RANK:
+                    nd = jnp.where(
+                        total > 1,
+                        (grank - 1).astype(jnp.float64)
+                        / jnp.maximum(total - 1, 1).astype(jnp.float64),
+                        0.0,
+                    )
+                else:
+                    nd = (gpeer + 1).astype(jnp.float64) / jnp.maximum(
+                        total, 1
+                    ).astype(jnp.float64)
+                new_cols[ci] = Column(nd, col.validity, col.dtype, None)
                 continue
             if kind == ("ntile",):
                 # recompute from the global rank and total count (PG

@@ -246,6 +246,7 @@ class AggFunc(enum.Enum):
     # them (compiled/mesh demote gracefully), distributed plans gather.
     PERCENTILE_CONT = "PERCENTILE_CONT"
     PERCENTILE_DISC = "PERCENTILE_DISC"
+    MODE = "MODE"
     # two-argument statistics f(Y, X): like VARIANCE, lowered into
     # pair-masked SUM/COUNT components + a formula projection, so they
     # distribute and chunk through the ordinary partial/final machinery
@@ -261,6 +262,14 @@ class AggFunc(enum.Enum):
     REGR_SXX = "REGR_SXX"
     REGR_SYY = "REGR_SYY"
     REGR_SXY = "REGR_SXY"
+    # STRING_AGG(expr, delim): per-group ordered concatenation. Host
+    # finalization over dictionary codes (eager engine only; compiled/mesh
+    # demote, distributed gathers via single_agg). param = (delim, False).
+    STRING_AGG = "STRING_AGG"
+    # boolean aggregates: lowered into MIN/MAX over a 0/1 mask + an = 1
+    # comparison, so they distribute/chunk like everything else
+    BOOL_AND = "BOOL_AND"
+    BOOL_OR = "BOOL_OR"
 
 
 VARIANCE_FNS = {
@@ -270,12 +279,18 @@ VARIANCE_FNS = {
 
 PERCENTILE_FNS = {AggFunc.PERCENTILE_CONT, AggFunc.PERCENTILE_DISC}
 
+# ordered-set aggregates (WITHIN GROUP): sort-based, not decomposable —
+# the eager engine computes them; compiled/mesh demote, distributed gathers
+ORDERED_SET_FNS = PERCENTILE_FNS | {AggFunc.MODE}
+
 COVAR_FNS = {
     AggFunc.COVAR_POP, AggFunc.COVAR_SAMP, AggFunc.CORR,
     AggFunc.REGR_SLOPE, AggFunc.REGR_INTERCEPT, AggFunc.REGR_R2,
     AggFunc.REGR_AVGX, AggFunc.REGR_AVGY, AggFunc.REGR_COUNT,
     AggFunc.REGR_SXX, AggFunc.REGR_SYY, AggFunc.REGR_SXY,
 }
+
+BOOL_FNS = {AggFunc.BOOL_AND, AggFunc.BOOL_OR}
 
 
 @dataclass
@@ -296,8 +311,12 @@ class AggregateExpr(LogicalExpr):
         elif (f is AggFunc.AVG or f in VARIANCE_FNS or f in COVAR_FNS
               or f is AggFunc.PERCENTILE_CONT):
             self.dtype = DataType.float64()
-        elif f is AggFunc.PERCENTILE_DISC:
+        elif f in BOOL_FNS:
+            self.dtype = DataType.boolean()
+        elif f is AggFunc.PERCENTILE_DISC or f is AggFunc.MODE:
             self.dtype = self.expr.dtype
+        elif f is AggFunc.STRING_AGG:
+            self.dtype = DataType.utf8()
         elif f is AggFunc.SUM:
             t = self.expr.dtype
             if t.kind is TypeKind.DECIMAL128:
@@ -312,13 +331,16 @@ class AggregateExpr(LogicalExpr):
     def name(self) -> str:
         inner = "*" if self.expr is None else self.expr.name()
         d = "DISTINCT " if self.distinct else ""
-        if self.func in PERCENTILE_FNS:
+        if self.func in ORDERED_SET_FNS:
             frac, desc = self.param
             o = " DESC" if desc else ""
-            return (f"{self.func.value}({frac}) WITHIN GROUP "
+            head = "" if self.func is AggFunc.MODE else str(frac)
+            return (f"{self.func.value}({head}) WITHIN GROUP "
                     f"(ORDER BY {inner}{o})")
         if self.func in COVAR_FNS:
             return f"{self.func.value}({inner}, {self.expr2.name()})"
+        if self.func is AggFunc.STRING_AGG:
+            return f"STRING_AGG({inner}, {self.param[0]!r})"
         return f"{self.func.value}({d}{inner})"
 
 
@@ -368,10 +390,50 @@ class ScalarFn(enum.Enum):
     TO_TSQUERY = "TO_TSQUERY"
     EXTRACT = "EXTRACT"
     DATE_TRUNC = "DATE_TRUNC"
+    # math batch (all device-vectorized, engine/expr_eval.py)
+    EXP = "EXP"
+    LN = "LN"
+    LOG = "LOG"        # LOG(x) = log10; LOG(b, x) = log base b (PG)
+    LOG10 = "LOG10"
+    SIGN = "SIGN"
+    SIN = "SIN"
+    COS = "COS"
+    TAN = "TAN"
+    ASIN = "ASIN"
+    ACOS = "ACOS"
+    ATAN = "ATAN"
+    ATAN2 = "ATAN2"
+    DEGREES = "DEGREES"
+    RADIANS = "RADIANS"
+    TRUNC = "TRUNC"
+    GREATEST = "GREATEST"
+    LEAST = "LEAST"
+    # string batch (host per-dictionary-value, like UPPER/SUBSTRING)
+    LEFT = "LEFT"
+    RIGHT = "RIGHT"
+    LPAD = "LPAD"
+    RPAD = "RPAD"
+    REVERSE = "REVERSE"
+    INITCAP = "INITCAP"
+    SPLIT_PART = "SPLIT_PART"
+    REPEAT = "REPEAT"
+    LTRIM = "LTRIM"
+    RTRIM = "RTRIM"
+    STRPOS = "STRPOS"
+    STARTS_WITH = "STARTS_WITH"
 
 
 _STRING_FNS = {ScalarFn.UPPER, ScalarFn.LOWER, ScalarFn.CONCAT,
-               ScalarFn.SUBSTRING, ScalarFn.TRIM, ScalarFn.REPLACE}
+               ScalarFn.SUBSTRING, ScalarFn.TRIM, ScalarFn.REPLACE,
+               ScalarFn.LEFT, ScalarFn.RIGHT, ScalarFn.LPAD, ScalarFn.RPAD,
+               ScalarFn.REVERSE, ScalarFn.INITCAP, ScalarFn.SPLIT_PART,
+               ScalarFn.REPEAT, ScalarFn.LTRIM, ScalarFn.RTRIM}
+
+_MATH_F64_FNS = {ScalarFn.EXP, ScalarFn.LN, ScalarFn.LOG, ScalarFn.LOG10,
+                 ScalarFn.SIGN, ScalarFn.SIN, ScalarFn.COS, ScalarFn.TAN,
+                 ScalarFn.ASIN, ScalarFn.ACOS, ScalarFn.ATAN,
+                 ScalarFn.ATAN2, ScalarFn.DEGREES, ScalarFn.RADIANS,
+                 ScalarFn.TRUNC}
 
 
 @dataclass
@@ -383,13 +445,21 @@ class ScalarFnExpr(LogicalExpr):
         f = self.func
         if f in _STRING_FNS:
             self.dtype = DataType.utf8()
-        elif f is ScalarFn.LENGTH:
+        elif f in (ScalarFn.LENGTH, ScalarFn.STRPOS):
             self.dtype = DataType.int64()
+        elif f is ScalarFn.STARTS_WITH:
+            self.dtype = DataType.boolean()
         elif f in (ScalarFn.CEIL, ScalarFn.FLOOR, ScalarFn.ROUND,
-                   ScalarFn.SQRT, ScalarFn.POWER):
+                   ScalarFn.SQRT, ScalarFn.POWER) or f in _MATH_F64_FNS:
             self.dtype = DataType.float64()
         elif f is ScalarFn.ABS:
             self.dtype = self.args[0].dtype
+        elif f in (ScalarFn.GREATEST, ScalarFn.LEAST):
+            self.dtype = next(
+                (a.dtype for a in self.args
+                 if a.dtype.kind is not TypeKind.NULL),
+                DataType.null(),
+            )
         elif f in (ScalarFn.COALESCE, ScalarFn.NULLIF):
             self.dtype = next(
                 (a.dtype for a in self.args if a.dtype.kind is not TypeKind.NULL),
@@ -517,7 +587,14 @@ class CaseExpr(LogicalExpr):
         self.nullable = True
 
     def name(self) -> str:
-        return "CASE"
+        # must spell out the branches: aggregate dedup keys on name(), so a
+        # bare "CASE" would alias AVG(CASE WHEN a ...) with AVG(CASE WHEN
+        # b ...) — e.g. two different FILTER clauses collapsing to one
+        parts = " ".join(
+            f"WHEN {c.name()} THEN {v.name()}" for c, v in self.branches
+        )
+        tail = f" ELSE {self.else_expr.name()}" if self.else_expr else ""
+        return f"CASE {parts}{tail} END"
 
 
 @dataclass
@@ -531,7 +608,12 @@ class InListExpr(LogicalExpr):
         self.nullable = self.expr.nullable
 
     def name(self) -> str:
-        return f"{self.expr.name()} IN (...)"
+        # full item list + negation: aggregate dedup keys on name(), so
+        # `x IN (...)` hiding the items would alias SUM(CASE WHEN x IN (a)
+        # ...) with SUM(CASE WHEN x NOT IN (b) ...)
+        neg = " NOT" if self.negated else ""
+        items = ", ".join(i.name() for i in self.items)
+        return f"{self.expr.name()}{neg} IN ({items})"
 
 
 @dataclass
@@ -557,7 +639,10 @@ class ScalarSubqueryExpr(LogicalExpr):
         self.nullable = True
 
     def name(self) -> str:
-        return "(subquery)"
+        # id-tagged: aggregate dedup keys on name(), and two DIFFERENT
+        # subqueries must not alias (display prettiness matters less than
+        # correctness; users alias subquery outputs anyway)
+        return f"(subquery#{id(self.plan) & 0xffff:04x})"
 
 
 @dataclass
@@ -571,7 +656,8 @@ class InSubqueryExpr(LogicalExpr):
         self.nullable = self.expr.nullable
 
     def name(self) -> str:
-        return f"{self.expr.name()} IN (subquery)"
+        neg = " NOT" if self.negated else ""
+        return f"{self.expr.name()}{neg} IN (subquery#{id(self.plan) & 0xffff:04x})"
 
 
 @dataclass
@@ -605,7 +691,9 @@ class CorrelatedLookupExpr(LogicalExpr):
             self.nullable = True
 
     def name(self) -> str:
-        return "(correlated subquery)"
+        neg = "NOT " if self.negated else ""
+        return (f"({neg}correlated {self.mode} "
+                f"subquery#{id(self.plan) & 0xffff:04x})")
 
 
 @dataclass

@@ -408,7 +408,7 @@ def build_hash_aggregate(input_phys: pp.PhysicalPlan,
     excluded entirely (PG semantics) — into the components each function
     needs among sx, sy, sxx, syy, sxy, c (see _COVAR_COMPONENTS)."""
     if not any(a.func in lp.VARIANCE_FNS or a.func in lp.COVAR_FNS
-               for a in aggs):
+               or a.func in lp.BOOL_FNS for a in aggs):
         return pp.PHashAggregate(input_phys, list(groups), list(aggs))
     from query_engine_tpu.core.types import DataType
 
@@ -425,6 +425,20 @@ def build_hash_aggregate(input_phys: pp.PhysicalPlan,
                 lp.AggFunc.SUM, lp.BinaryExpr(x, lp.BinOp.MUL, x)
             ))
             base_aggs.append(lp.AggregateExpr(lp.AggFunc.COUNT, a.expr))
+        elif a.func in lp.BOOL_FNS:
+            # BOOL_AND = MIN(m) = 1, BOOL_OR = MAX(m) = 1 over
+            # m = CASE WHEN x THEN 1 WHEN NOT x THEN 0 END (NULL stays NULL,
+            # so all-NULL groups yield NULL like PG)
+            one = lp.Literal(lp.ScalarValue.int64(1))
+            zero = lp.Literal(lp.ScalarValue.int64(0))
+            m = lp.CaseExpr(
+                [(a.expr, one), (lp.UnaryExpr(lp.UnOp.NOT, a.expr), zero)],
+                None,
+            )
+            base_fn = (lp.AggFunc.MIN if a.func is lp.AggFunc.BOOL_AND
+                       else lp.AggFunc.MAX)
+            slots.append((len(base_aggs), a.func, None))
+            base_aggs.append(lp.AggregateExpr(base_fn, m))
         elif a.func in lp.COVAR_FNS:
             pair = lp.BinaryExpr(
                 lp.IsNullExpr(a.expr, True), lp.BinOp.AND,
@@ -477,6 +491,12 @@ def build_hash_aggregate(input_phys: pp.PhysicalPlan,
             proj_exprs.append(lp.AliasExpr(
                 _covar_formula(vfn, {n: ref(k + j + o)
                                      for n, o in comps.items()}, f64),
+                a.name(),
+            ))
+            continue
+        if vfn in lp.BOOL_FNS:
+            proj_exprs.append(lp.AliasExpr(
+                lp.BinaryExpr(ref(k + j), lp.BinOp.EQ, lit_i(1)),
                 a.name(),
             ))
             continue

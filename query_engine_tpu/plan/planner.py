@@ -499,6 +499,14 @@ class Planner:
             return lp.CastExpr(self.plan_expr(e.expr, scope, ctes), e.data_type)
         if isinstance(e, ast.ScalarFunctionCall):
             args = [self.plan_expr(a, scope, ctes) for a in e.args]
+            if e.func is ast.ScalarFunction.PI:
+                import math as _math
+
+                return lp.Literal(lp.ScalarValue.float64(_math.pi))
+            if e.func is ast.ScalarFunction.MOD:
+                if len(args) != 2:
+                    raise PlanError("MOD takes exactly 2 arguments")
+                return lp.BinaryExpr(args[0], lp.BinOp.MOD, args[1])
             return lp.ScalarFnExpr(lp.ScalarFn[e.func.name], args)
         if isinstance(e, ast.UdfCall):
             udf = self.udfs.get(e.name)
@@ -570,7 +578,7 @@ class Planner:
     # PG aliases: VARIANCE = VAR_SAMP, STDDEV = STDDEV_SAMP,
     # MEDIAN = PERCENTILE_CONT(0.5)
     _AGG_ALIASES = {"VARIANCE": "VAR_SAMP", "STDDEV": "STDDEV_SAMP",
-                    "MEDIAN": "PERCENTILE_CONT"}
+                    "MEDIAN": "PERCENTILE_CONT", "EVERY": "BOOL_AND"}
 
     def _plan_aggregate(self, e: ast.Aggregate, scope, ctes) -> lp.AggregateExpr:
         func = lp.AggFunc[self._AGG_ALIASES.get(e.func.name, e.func.name)]
@@ -579,16 +587,18 @@ class Planner:
                 raise PlanError(f"{func.value}(*) is not valid")
             return lp.AggregateExpr(func, None, e.distinct)
         inner = self.plan_expr(e.expr, scope, ctes)
-        if func in lp.PERCENTILE_FNS or e.func.name == "MEDIAN":
+        if func in lp.ORDERED_SET_FNS or e.func.name == "MEDIAN":
             if e.func.name == "MEDIAN":
                 func, param = lp.AggFunc.PERCENTILE_CONT, (0.5, False)
             else:
                 param = e.param
             frac, desc = param
-            if not (0.0 <= frac <= 1.0):
-                raise PlanError(
-                    f"{func.value} fraction must be in [0, 1], got {frac}"
-                )
+            if func is not lp.AggFunc.MODE:
+                if not (0.0 <= frac <= 1.0):
+                    raise PlanError(
+                        f"{func.value} fraction must be in [0, 1], got {frac}"
+                    )
+                frac = float(frac)
             if e.distinct:
                 raise PlanError(f"{func.value}(DISTINCT ...) is not supported")
             if (not inner.dtype.is_numeric
@@ -597,7 +607,7 @@ class Planner:
                     f"{func.value} requires a non-decimal numeric argument, "
                     f"got {inner.dtype}"
                 )
-            return lp.AggregateExpr(func, inner, False, (float(frac), desc))
+            return lp.AggregateExpr(func, inner, False, (frac, desc))
         if func in lp.VARIANCE_FNS:
             if e.distinct:
                 # the (sum, sumsq) decomposition can't dedup on the raw
@@ -608,6 +618,25 @@ class Planner:
                     f"{func.value} requires a numeric argument, "
                     f"got {inner.dtype}"
                 )
+        if func in lp.BOOL_FNS:
+            if inner.dtype.kind.name != "BOOLEAN":
+                raise PlanError(
+                    f"{func.value} requires a boolean argument, "
+                    f"got {inner.dtype}"
+                )
+            # DISTINCT is legal but a no-op for AND/OR
+            return lp.AggregateExpr(func, inner, False)
+        if func is lp.AggFunc.STRING_AGG:
+            if not inner.dtype.is_dictionary:
+                raise PlanError(
+                    f"STRING_AGG requires a string argument, got {inner.dtype}"
+                )
+            d = self.plan_expr(e.expr2, scope, ctes)
+            if not (isinstance(d, lp.Literal)
+                    and isinstance(d.value.value, str)):
+                raise PlanError("STRING_AGG delimiter must be a string literal")
+            return lp.AggregateExpr(func, inner, False,
+                                    (d.value.value, False))
         if func in lp.COVAR_FNS:
             inner2 = self.plan_expr(e.expr2, scope, ctes)
             for arg in (inner, inner2):

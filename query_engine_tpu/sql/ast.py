@@ -128,6 +128,7 @@ class AggregateFunction(enum.Enum):
     MEDIAN = "MEDIAN"
     PERCENTILE_CONT = "PERCENTILE_CONT"
     PERCENTILE_DISC = "PERCENTILE_DISC"
+    MODE = "MODE"
     # two-argument statistics family: f(Y, X) over rows where BOTH are
     # non-null (PG binary aggregates)
     COVAR_POP = "COVAR_POP"
@@ -142,6 +143,11 @@ class AggregateFunction(enum.Enum):
     REGR_SXX = "REGR_SXX"
     REGR_SYY = "REGR_SYY"
     REGR_SXY = "REGR_SXY"
+    STRING_AGG = "STRING_AGG"
+    # boolean aggregates (EVERY is the SQL-standard alias of BOOL_AND)
+    BOOL_AND = "BOOL_AND"
+    BOOL_OR = "BOOL_OR"
+    EVERY = "EVERY"
 
 
 @dataclass(frozen=True)
@@ -304,6 +310,39 @@ class ScalarFunction(enum.Enum):
     TO_TSQUERY = "TO_TSQUERY"
     EXTRACT = "EXTRACT"
     DATE_TRUNC = "DATE_TRUNC"
+    # math batch (PI and MOD desugar at planning: a literal and `%`)
+    EXP = "EXP"
+    LN = "LN"
+    LOG = "LOG"
+    LOG10 = "LOG10"
+    SIGN = "SIGN"
+    MOD = "MOD"
+    PI = "PI"
+    SIN = "SIN"
+    COS = "COS"
+    TAN = "TAN"
+    ASIN = "ASIN"
+    ACOS = "ACOS"
+    ATAN = "ATAN"
+    ATAN2 = "ATAN2"
+    DEGREES = "DEGREES"
+    RADIANS = "RADIANS"
+    TRUNC = "TRUNC"
+    GREATEST = "GREATEST"
+    LEAST = "LEAST"
+    # string batch
+    LEFT = "LEFT"
+    RIGHT = "RIGHT"
+    LPAD = "LPAD"
+    RPAD = "RPAD"
+    REVERSE = "REVERSE"
+    INITCAP = "INITCAP"
+    SPLIT_PART = "SPLIT_PART"
+    REPEAT = "REPEAT"
+    LTRIM = "LTRIM"
+    RTRIM = "RTRIM"
+    STRPOS = "STRPOS"
+    STARTS_WITH = "STARTS_WITH"
 
 
 @dataclass(frozen=True)

@@ -25,16 +25,20 @@ KEYWORDS = {
     "OUTER", "ON", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE",
     "IS", "NULL", "ASC", "DESC", "COUNT", "SUM", "AVG", "MIN", "MAX", "WITH",
     "VARIANCE", "VAR_POP", "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
-    "MEDIAN", "PERCENTILE_CONT", "PERCENTILE_DISC", "WITHIN",
+    "MEDIAN", "PERCENTILE_CONT", "PERCENTILE_DISC", "MODE", "WITHIN",
     "COVAR_POP", "COVAR_SAMP", "CORR", "REGR_SLOPE", "REGR_INTERCEPT",
     "REGR_R2", "REGR_AVGX", "REGR_AVGY", "REGR_COUNT", "REGR_SXX",
-    "REGR_SYY", "REGR_SXY", "FILTER",
+    "REGR_SYY", "REGR_SXY", "FILTER", "BOOL_AND", "BOOL_OR", "EVERY", "STRING_AGG",
     "RECURSIVE", "EXISTS", "OVER", "PARTITION", "ROWS", "RANGE", "UNBOUNDED",
     "PRECEDING", "FOLLOWING", "CURRENT", "ROW",
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "FIRST_VALUE", "LAST_VALUE", "PERCENT_RANK", "CUME_DIST", "NTH_VALUE",
     "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
     "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
+    "EXP", "LN", "LOG", "LOG10", "SIGN", "MOD", "PI", "SIN", "COS", "TAN",
+    "ASIN", "ACOS", "ATAN", "ATAN2", "DEGREES", "RADIANS", "TRUNC",
+    "GREATEST", "LEAST", "LPAD", "RPAD", "REVERSE", "INITCAP", "SPLIT_PART",
+    "REPEAT", "LTRIM", "RTRIM", "STRPOS", "STARTS_WITH",
     "CREATE", "DROP", "INDEX", "UNIQUE", "USING", "IF", "TABLE",
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",

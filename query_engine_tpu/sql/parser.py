@@ -25,12 +25,12 @@ from query_engine_tpu.sql.lexer import Token, tokenize
 _TWO_ARG_AGG_KWS = {
     "COVAR_POP", "COVAR_SAMP", "CORR", "REGR_SLOPE", "REGR_INTERCEPT",
     "REGR_R2", "REGR_AVGX", "REGR_AVGY", "REGR_COUNT", "REGR_SXX",
-    "REGR_SYY", "REGR_SXY",
+    "REGR_SYY", "REGR_SXY", "STRING_AGG",
 }
 _AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "VARIANCE", "VAR_POP",
             "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
-            "MEDIAN"} | _TWO_ARG_AGG_KWS
-_ORDERED_SET_KWS = {"PERCENTILE_CONT", "PERCENTILE_DISC"}
+            "MEDIAN", "BOOL_AND", "BOOL_OR", "EVERY"} | _TWO_ARG_AGG_KWS
+_ORDERED_SET_KWS = {"PERCENTILE_CONT", "PERCENTILE_DISC", "MODE"}
 _WINDOW_KWS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "FIRST_VALUE", "LAST_VALUE", "PERCENT_RANK", "CUME_DIST", "NTH_VALUE",
@@ -39,6 +39,11 @@ _SCALAR_KWS = {
     "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
     "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
     "TO_TSVECTOR", "TO_TSQUERY", "EXTRACT", "DATE_TRUNC",
+    "EXP", "LN", "LOG", "LOG10", "SIGN", "MOD", "PI", "SIN", "COS", "TAN",
+    "ASIN", "ACOS", "ATAN", "ATAN2", "DEGREES", "RADIANS", "TRUNC",
+    "GREATEST", "LEAST", "LEFT", "RIGHT", "LPAD", "RPAD", "REVERSE",
+    "INITCAP", "SPLIT_PART", "REPEAT", "LTRIM", "RTRIM", "STRPOS",
+    "STARTS_WITH",
 }
 _INTERVAL_UNITS = {
     "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
@@ -796,7 +801,10 @@ class Parser:
         if t.kind == "KEYWORD" and t.value in _WINDOW_KWS:
             return self.parse_window_function()
         if t.kind == "KEYWORD" and t.value in _SCALAR_KWS:
-            return self.parse_scalar_function()
+            # LEFT/RIGHT double as join keywords and identifiers; only a
+            # following "(" makes them the string functions
+            if t.value not in ("LEFT", "RIGHT") or self.peek().is_op("("):
+                return self.parse_scalar_function()
         if t.is_op("("):
             self.advance()
             if self.cur.is_kw("SELECT", "WITH"):
@@ -891,9 +899,12 @@ class Parser:
             return ast.Aggregate(
                 agg.func, mask(ast.NumberLit("1")), agg.distinct, agg.param
             )
+        # STRING_AGG's second argument is the delimiter, not a value column
+        mask2 = (mask if agg.func is not ast.AggregateFunction.STRING_AGG
+                 else (lambda x: x))
         return ast.Aggregate(
             agg.func, mask(agg.expr), agg.distinct, agg.param,
-            mask(agg.expr2) if agg.expr2 is not None else None,
+            mask2(agg.expr2) if agg.expr2 is not None else None,
         )
 
     def parse_ordered_set_aggregate(self) -> ast.Expr:
@@ -901,18 +912,21 @@ class Parser:
         (PG ordered-set aggregate syntax)."""
         func = ast.AggregateFunction[self.advance().value]
         self.expect_op("(")
-        neg = False
-        if self.cur.is_op("-"):
+        if func is ast.AggregateFunction.MODE:
+            frac = None  # MODE() takes no direct argument
+        else:
+            neg = False
+            if self.cur.is_op("-"):
+                self.advance()
+                neg = True
+            ft = self.cur
+            if ft.kind != "NUMBER":
+                raise ParseError(
+                    f"{func.value} fraction must be a numeric literal, "
+                    f"got {ft.value!r}"
+                )
             self.advance()
-            neg = True
-        ft = self.cur
-        if ft.kind != "NUMBER":
-            raise ParseError(
-                f"{func.value} fraction must be a numeric literal, "
-                f"got {ft.value!r}"
-            )
-        self.advance()
-        frac = float(ft.value) * (-1.0 if neg else 1.0)
+            frac = float(ft.value) * (-1.0 if neg else 1.0)
         self.expect_op(")")
         self.expect_kw("WITHIN")
         self.expect_kw("GROUP")

@@ -130,3 +130,17 @@ def test_filter_on_mesh_matches_single_device():
     for ra, rb in zip(a, b):
         assert ra[0] == rb[0] and approx(ra[1], rb[1]) and ra[2] == rb[2]
     assert dist.mesh_pipeline.stats["fallbacks"] == 0
+
+
+def test_distinct_filter_predicates_do_not_collide():
+    # regression: CaseExpr.name() was a bare "CASE", so the planner's
+    # aggregate dedup aliased any two aggregates over different CASE
+    # expressions (e.g. two FILTER clauses) into one
+    s = Session()
+    s.register_table("e", {"v": [1.0, 2.0, 30.0, 40.0],
+                           "b": [True, False, True, False]})
+    assert s.sql(
+        "SELECT AVG(v) FILTER (WHERE b), AVG(v) FILTER (WHERE NOT b), "
+        "AVG(CASE WHEN b THEN v END), AVG(CASE WHEN NOT b THEN v END) "
+        "FROM e"
+    ).to_pylist() == [(15.5, 21.0, 15.5, 21.0)]

@@ -50,11 +50,18 @@ PREDICATES = [
     "k IS NULL", "v BETWEEN -100 AND 250", "s IN ('beta', 'gamma')",
     "ABS(f) < 50", "k > 5 AND v < 100", "v > 200 OR k = 3",
     "s LIKE 'a%'", "CASE WHEN k > 10 THEN v ELSE -v END > 0",
+    "STARTS_WITH(s, 'a')", "LN(ABS(v) + 1) < 4", "MOD(v, 7) = 2",
 ]
 PROJ = [
     "id", "k", "v", "f", "s", "v + k", "v * 2", "ABS(v)",
     "COALESCE(v, 0)", "CASE WHEN v > 0 THEN 'p' ELSE 'n' END",
     "UPPER(s)", "LENGTH(s)", "v / 10",
+    "TRUNC(v / 7)", "SIGN(f)", "GREATEST(v, k)", "LEAST(v, 100)",
+    # ROUND(f) not ROUND(f, n): the scaled form's mul+add contracts to an
+    # FMA inside one XLA program but not in per-op eager dispatch -> 1-ulp
+    # diffs that a bit-exact differential oracle must not chase
+    "ROUND(f)", "LEFT(s, 2)", "REVERSE(s)", "STRPOS(s, 'a')",
+    "SPLIT_PART(s, 'a', 1)", "EXP(v / 500)",
 ]
 AGGS = [
     "COUNT(*)", "COUNT(v)", "SUM(v)", "AVG(v)", "MIN(v)", "MAX(v)",

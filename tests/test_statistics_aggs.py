@@ -451,3 +451,87 @@ def test_covar_explain_keeps_logical_form():
     out = s.sql("EXPLAIN SELECT CORR(y, x) FROM t2 GROUP BY k").to_pylist()
     text = "\n".join(r[0] for r in out)
     assert "CORR(t2.y, t2.x)" in text and "Aggregate" in text
+
+
+# ---- MODE() WITHIN GROUP ---------------------------------------------------
+
+def test_mode_vs_numpy():
+    s = make_session()
+    rows = s.sql(
+        "SELECT k, MODE() WITHIN GROUP (ORDER BY iv % 10) "
+        "FROM t GROUP BY k ORDER BY k"
+    ).to_pylist()
+    for g, m in rows:
+        vals = [int(x % 10) for x, kk in zip(IV, K) if kk == g]
+        counts = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        best = max(counts.values())
+        # PG: ties break to the first value in the WITHIN GROUP order (ASC)
+        expect = min(v for v, c in counts.items() if c == best)
+        assert m == expect, (g, m, expect)
+
+
+def test_mode_edges_and_desc_ties():
+    s = Session()
+    s.register_table("e", {"g": [1] * 4 + [2], "v": [1, 1, 2, 2, None]})
+    rows = s.sql(
+        "SELECT g, MODE() WITHIN GROUP (ORDER BY v), "
+        "MODE() WITHIN GROUP (ORDER BY v DESC) FROM e GROUP BY g ORDER BY g"
+    ).to_pylist()
+    assert rows[0] == (1, 1, 2)   # tie: first in ASC order vs DESC order
+    assert rows[1] == (2, None, None)
+    assert s.sql(
+        "SELECT MODE() WITHIN GROUP (ORDER BY v) FROM e WHERE v > 9"
+    ).to_pylist() == [(None,)]
+
+
+def test_mode_on_mesh_falls_back_correctly():
+    devs = jax.devices()
+    sql = ("SELECT k, MODE() WITHIN GROUP (ORDER BY iv % 7) AS m "
+           "FROM t GROUP BY k ORDER BY k")
+    a = make_session().sql(sql).to_pylist()
+    b = make_session(mesh=make_mesh(devs[:8])).sql(sql).to_pylist()
+    assert a == b
+
+
+# ---- STRING_AGG ------------------------------------------------------------
+
+def test_string_agg_basic_and_filter():
+    s = Session()
+    s.register_table("e", {"k": [1, 1, 1, 2, 2, 3],
+                           "s": ["a", "b", None, "x", "y", None]})
+    assert s.sql(
+        "SELECT k, STRING_AGG(s, ', ') FROM e GROUP BY k ORDER BY k"
+    ).to_pylist() == [(1, "a, b"), (2, "x, y"), (3, None)]
+    assert s.sql("SELECT STRING_AGG(s, '|') FROM e").to_pylist() == [
+        ("a|b|x|y",)
+    ]
+    assert s.sql(
+        "SELECT STRING_AGG(s, '-') FILTER (WHERE s > 'a') FROM e"
+    ).to_pylist() == [("b-x-y",)]
+    assert s.sql(
+        "SELECT STRING_AGG(s, ',') FROM e WHERE s = 'zz'"
+    ).to_pylist() == [(None,)]
+
+
+def test_string_agg_errors():
+    s = Session()
+    s.register_table("e", {"k": [1], "s": ["a"]})
+    with pytest.raises(Exception, match="string argument"):
+        s.sql("SELECT STRING_AGG(k, ',') FROM e")
+    with pytest.raises(Exception, match="delimiter"):
+        s.sql("SELECT STRING_AGG(s, k) FROM e")
+
+
+def test_string_agg_mesh_and_distributed_match():
+    devs = jax.devices()
+    data = {"k": [i % 4 for i in range(64)],
+            "s": [f"v{i:02d}" if i % 5 else None for i in range(64)]}
+    sql = "SELECT k, STRING_AGG(s, ',') AS agg FROM e GROUP BY k ORDER BY k"
+    a = Session()
+    a.register_table("e", data)
+    ra = a.sql(sql).to_pylist()
+    b = Session(mesh=make_mesh(devs[:8]))
+    b.register_table("e", data)
+    assert b.sql(sql).to_pylist() == ra

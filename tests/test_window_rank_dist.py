@@ -130,10 +130,22 @@ def test_mesh_matches_single_device():
     assert a == b
 
 
-def test_global_window_on_mesh_falls_back_correctly():
+def test_global_rank_dist_lowers_to_mesh():
+    # no PARTITION BY: PERCENT_RANK/CUME_DIST ride the ("rank_dist",)
+    # patch family — range exchange + prior-shard offset + broadcast total
     devs = jax.devices()
-    sql = ("SELECT id, CUME_DIST() OVER (ORDER BY v) AS cd FROM t "
-           "ORDER BY id")
+    sql = ("SELECT id, CUME_DIST() OVER (ORDER BY v) AS cd, "
+           "PERCENT_RANK() OVER (ORDER BY v) AS pr FROM t ORDER BY id")
     a = make_session().sql(sql).to_pylist()
-    b = make_session(mesh=make_mesh(devs[:8])).sql(sql).to_pylist()
+    dist = make_session(mesh=make_mesh(devs[:8]))
+    b = dist.sql(sql).to_pylist()
     assert a == b
+    st = dist.mesh_pipeline.stats
+    assert st["fallbacks"] == 0 and st["queries"] == 1, st
+    # NTH_VALUE stays order-sensitive: correct through halo admission or
+    # wholesale fallback
+    sql2 = ("SELECT id, NTH_VALUE(v, 3) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv "
+            "FROM t ORDER BY id")
+    assert (make_session().sql(sql2).to_pylist()
+            == make_session(mesh=make_mesh(devs[:8])).sql(sql2).to_pylist())
