@@ -1,11 +1,13 @@
-"""Mini TPC-H: Q1, Q3, Q4, Q6 over synthetic tables through the full SQL
-engine (parse -> plan -> compiled pipeline). Exercises multi-key string
-grouping (Q1), 3-way FK joins with group+top-k (Q3), correlated EXISTS
-(Q4), and date-range filter aggregation (Q6).
+"""Mini TPC-H: Q1, Q3, Q4, Q5, Q6, Q12, Q14 over synthetic tables through
+the full SQL engine (parse -> plan -> compiled pipeline). Exercises
+multi-key string grouping (Q1), 3-way FK joins with group+top-k (Q3),
+correlated EXISTS (Q4), a 6-way join through two dimension chains (Q5),
+date-range filter aggregation (Q6), conditional CASE aggregation over a
+join (Q12), and a promo-revenue ratio (Q14).
 
     python benchmarks/tpch_mini.py [lineitem_rows]   # default 2^21
 
-At small scale, Q1/Q6 results are cross-checked against pandas.
+At small scale, Q1/Q5/Q6/Q12/Q14 results are cross-checked against pandas.
 """
 
 import datetime
@@ -36,8 +38,35 @@ def build(n_li: int):
     n_ord = max(n_li // 4, 64)
     n_cust = max(n_ord // 10, 16)
 
+    n_supp = max(n_ord // 100, 8)
+    n_part = max(n_li // 20, 16)
+    n_nation, n_region = 25, 5
+
+    region = ColumnBatch.from_pydict({
+        "r_regionkey": np.arange(n_region),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    })
+    nation = ColumnBatch.from_pydict({
+        "n_nationkey": np.arange(n_nation),
+        "n_name": [f"NATION{i:02d}" for i in range(n_nation)],
+        "n_regionkey": (np.arange(n_nation) % n_region),
+    })
+    supp = ColumnBatch.from_pydict({
+        "s_suppkey": np.arange(n_supp),
+        "s_nationkey": rng.integers(0, n_nation, n_supp),
+    })
+    part_types = [
+        "PROMO BURNISHED COPPER", "PROMO PLATED TIN", "STANDARD BRUSHED",
+        "ECONOMY ANODIZED STEEL", "MEDIUM POLISHED NICKEL",
+        "LARGE BRUSHED BRASS",
+    ]
+    part = ColumnBatch.from_pydict({
+        "p_partkey": np.arange(n_part),
+        "p_type": rng.choice(part_types, n_part).tolist(),
+    })
     cust = ColumnBatch.from_pydict({
         "c_custkey": np.arange(n_cust),
+        "c_nationkey": rng.integers(0, n_nation, n_cust),
         "c_mktsegment": rng.choice(
             ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"],
             n_cust,
@@ -66,6 +95,11 @@ def build(n_li: int):
     receipt = ship + rng.integers(1, 31, n_li)
     li = ColumnBatch.from_pydict({
         "l_orderkey": okey,
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_partkey": rng.integers(0, n_part, n_li),
+        "l_shipmode": rng.choice(
+            ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"], n_li
+        ).tolist(),
         "l_quantity": rng.integers(1, 51, n_li),
         "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
         "l_discount": np.round(rng.uniform(0.0, 0.1, n_li), 2),
@@ -77,6 +111,9 @@ def build(n_li: int):
         "l_receiptdate": receipt,
     }, Schema([
         Field("l_orderkey", DataType.int64()),
+        Field("l_suppkey", DataType.int64()),
+        Field("l_partkey", DataType.int64()),
+        Field("l_shipmode", DataType.utf8()),
         Field("l_quantity", DataType.int64()),
         Field("l_extendedprice", DataType.float64()),
         Field("l_discount", DataType.float64()),
@@ -91,7 +128,11 @@ def build(n_li: int):
     s.register_table("customer", cust)
     s.register_table("orders", orders)
     s.register_table("lineitem", li)
-    return s, (cust, orders, li)
+    s.register_table("supplier", supp)
+    s.register_table("nation", nation)
+    s.register_table("region", region)
+    s.register_table("part", part)
+    return s, (cust, orders, li, supp, nation, region, part)
 
 
 QUERIES = {
@@ -124,10 +165,44 @@ QUERIES = {
         "AND l.l_commitdate < l.l_receiptdate) "
         "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
     ),
+    "Q5": (
+        "SELECT n.n_name, "
+        "SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA' "
+        "AND o.o_orderdate >= '1994-01-01' AND o.o_orderdate < '1995-01-01' "
+        "GROUP BY n.n_name ORDER BY revenue DESC"
+    ),
     "Q6": (
         "SELECT SUM(l_extendedprice * l_discount) AS revenue FROM lineitem "
         "WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "Q12": (
+        "SELECT l.l_shipmode, "
+        "SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS low_line_count "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE l.l_shipmode IN ('MAIL', 'SHIP') "
+        "AND l.l_commitdate < l.l_receiptdate "
+        "AND l.l_shipdate < l.l_commitdate "
+        "AND l.l_receiptdate >= '1994-01-01' "
+        "AND l.l_receiptdate < '1995-01-01' "
+        "GROUP BY l.l_shipmode ORDER BY l.l_shipmode"
+    ),
+    "Q14": (
+        "SELECT 100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) / "
+        "SUM(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_shipdate >= '1995-09-01' AND l.l_shipdate < '1995-10-01'"
     ),
 }
 
@@ -135,7 +210,8 @@ QUERIES = {
 def crosscheck(s, tables):
     import pandas as pd
 
-    _, _, li = tables
+    cust, orders, li = tables[0], tables[1], tables[2]
+    supp, nation, region, part = tables[3], tables[4], tables[5], tables[6]
     df = pd.DataFrame(li.to_pydict())  # temporal columns arrive as dates
     # Q6
     m = (
@@ -155,7 +231,46 @@ def crosscheck(s, tables):
     want_n = {k: len(v) for k, v in g.groups.items()}
     for r in rows:
         assert r[-1] == want_n[(r[0], r[1])]
-    print("cross-check vs pandas: OK", file=sys.stderr)
+    # Q5: 6-way join revenue by nation
+    do = pd.DataFrame(orders.to_pydict())
+    dc = pd.DataFrame(cust.to_pydict())
+    ds = pd.DataFrame(supp.to_pydict())
+    dn = pd.DataFrame(nation.to_pydict())
+    dr = pd.DataFrame(region.to_pydict())
+    j = (df.merge(do, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(dc, left_on="o_custkey", right_on="c_custkey")
+           .merge(ds, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(dn, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(dr, left_on="n_regionkey", right_on="r_regionkey"))
+    j = j[(j.c_nationkey == j.s_nationkey) & (j.r_name == "ASIA")
+          & (j.o_orderdate >= datetime.date(1994, 1, 1))
+          & (j.o_orderdate < datetime.date(1995, 1, 1))]
+    want5 = (j.l_extendedprice * (1 - j.l_discount)).groupby(j.n_name).sum()
+    got5 = s.sql(QUERIES["Q5"]).to_pylist()
+    assert len(got5) == len(want5), (len(got5), len(want5))
+    for name, rev in got5:
+        assert abs(rev - want5[name]) < 1e-6 * max(abs(want5[name]), 1)
+    # Q12: conditional counts by ship mode
+    j12 = df.merge(do, left_on="l_orderkey", right_on="o_orderkey")
+    j12 = j12[j12.l_shipmode.isin(["MAIL", "SHIP"])
+              & (j12.l_commitdate < j12.l_receiptdate)
+              & (j12.l_shipdate < j12.l_commitdate)
+              & (j12.l_receiptdate >= datetime.date(1994, 1, 1))
+              & (j12.l_receiptdate < datetime.date(1995, 1, 1))]
+    hi = j12.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    for mode, h, lo in s.sql(QUERIES["Q12"]).to_pylist():
+        m12 = j12.l_shipmode == mode
+        assert h == int(hi[m12].sum()) and lo == int((~hi[m12]).sum())
+    # Q14: promo ratio
+    dp = pd.DataFrame(part.to_pydict())
+    j14 = df.merge(dp, left_on="l_partkey", right_on="p_partkey")
+    j14 = j14[(j14.l_shipdate >= datetime.date(1995, 9, 1))
+              & (j14.l_shipdate < datetime.date(1995, 10, 1))]
+    rev = j14.l_extendedprice * (1 - j14.l_discount)
+    want14 = 100.0 * rev[j14.p_type.str.startswith("PROMO")].sum() / rev.sum()
+    (got14,) = s.sql(QUERIES["Q14"]).to_pylist()[0]
+    assert abs(got14 - want14) < 1e-6 * max(abs(want14), 1), (got14, want14)
+    print("cross-check vs pandas: OK (Q1/Q5/Q6/Q12/Q14)", file=sys.stderr)
 
 
 def main():
