@@ -353,6 +353,8 @@ class Evaluator:
             return self._eval_scalar_subquery(e, batch)
         if isinstance(e, lp.InSubqueryExpr):
             return self._eval_in_subquery(e, batch)
+        if isinstance(e, lp.QuantifiedCmpExpr):
+            return self._eval_quantified_cmp(e, batch)
         if isinstance(e, lp.ExistsExpr):
             return self._eval_exists(e, batch)
         if isinstance(e, lp.CorrelatedLookupExpr):
@@ -1157,6 +1159,78 @@ class Evaluator:
         if e.negated:
             data = ~data
         return Val(data, valid, DataType.boolean())
+
+    def _eval_quantified_cmp(self, e: lp.QuantifiedCmpExpr, batch) -> Val:
+        """x op ANY|ALL (S): reduce S to MIN/MAX of its non-null values and
+        apply PG 3-valued logic. x > ANY(S) <=> x > MIN(S); x > ALL(S) <=>
+        x > MAX(S); <> ANY / = ALL test against BOTH extremes. Result per
+        row: ANY — TRUE when the extreme test passes; FALSE when it fails
+        with no NULL in play; else NULL (empty S is FALSE even for NULL x).
+        ALL mirrors with TRUE/FALSE swapped and empty S TRUE."""
+        sub = self._run_subplan(e.plan)
+        v = self.eval(e.expr, batch)
+        scol = sub.columns[0]
+        sdata = jnp.asarray(scol.data)
+        svalid = jnp.asarray(scol.validity)
+        if v.dictionary is not None and scol.dictionary is not None:
+            sval = Val(sdata, svalid, DataType.utf8(), scol.dictionary)
+            v2, s2 = unify_dicts(v, sval)
+            # dictionaries are SORTED, so code order == string order
+            x, sd = v2.data.astype(jnp.int64), s2.data.astype(jnp.int64)
+        elif v.dictionary is not None or scol.dictionary is not None:
+            # one side is strings, the other is not: legal only when the
+            # string side carries no actual values (an all-NULL column
+            # infers as utf8 with an EMPTY dictionary) — then it never
+            # contributes a comparison, only NULL-ness
+            strside = v if v.dictionary is not None else scol
+            if any(x_ != "" for x_ in strside.dictionary.values):
+                raise ExecutionError(
+                    "cannot compare string and non-string in ANY/ALL"
+                )
+            if v.dictionary is not None:  # probe side is the empty one
+                x = jnp.zeros(v.data.shape, jnp.int64)
+                v = Val(v.data, jnp.zeros_like(v.validity), v.dtype)
+                sd = sdata.astype(jnp.int64)
+            else:  # subquery side is the empty one: no valid s values
+                x = v.data.astype(jnp.int64)
+                sd = jnp.zeros(sdata.shape, jnp.int64)
+                svalid = jnp.zeros_like(svalid)
+        elif v.dtype.is_float or scol.dtype.is_float:
+            x, sd = v.data.astype(jnp.float64), sdata.astype(jnp.float64)
+        else:
+            x, sd = v.data.astype(jnp.int64), sdata.astype(jnp.int64)
+        lm = K.live_mask(sub.capacity, sub.num_rows)
+        nn = lm & svalid
+        nonempty = jnp.any(lm)
+        has_nonnull = jnp.any(nn)
+        has_null = jnp.any(lm & ~svalid)
+        big = jnp.asarray(
+            jnp.finfo(sd.dtype).max if jnp.issubdtype(sd.dtype, jnp.floating)
+            else jnp.iinfo(sd.dtype).max, sd.dtype
+        )
+        mn = jnp.min(jnp.where(nn, sd, big))
+        mx = jnp.max(jnp.where(nn, sd, -big))
+        O = lp.BinOp
+        if e.is_any:
+            cand = {
+                O.GT: lambda: x > mn, O.GTE: lambda: x >= mn,
+                O.LT: lambda: x < mx, O.LTE: lambda: x <= mx,
+                O.NEQ: lambda: (x != mn) | (x != mx),
+                O.EQ: lambda: (x >= mn) & (x <= mx) & (x == x),  # unused
+            }[e.op]()
+            true_m = v.validity & has_nonnull & cand
+            false_m = ~nonempty | (v.validity & ~has_null & has_nonnull
+                                   & ~cand)
+            return Val(true_m, true_m | false_m, DataType.boolean())
+        cand = {
+            O.GT: lambda: x > mx, O.GTE: lambda: x >= mx,
+            O.LT: lambda: x < mn, O.LTE: lambda: x <= mn,
+            O.EQ: lambda: (x == mn) & (x == mx),
+            O.NEQ: lambda: (x != mn) | (x != mx),  # unused (routed to IN)
+        }[e.op]()
+        true_m = ~nonempty | (v.validity & ~has_null & has_nonnull & cand)
+        false_m = v.validity & has_nonnull & ~cand
+        return Val(true_m, true_m | false_m, DataType.boolean())
 
     def _eval_correlated_lookup(self, e: lp.CorrelatedLookupExpr, batch) -> Val:
         """Vectorized decorrelated-subquery evaluation: run the grouped

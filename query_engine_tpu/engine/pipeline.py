@@ -537,6 +537,10 @@ def _expr_key(e: lp.LogicalExpr, ctx=None):
     if ctx is not None and isinstance(e, lp.ExistsExpr):
         ctx.sub_exprs.append(e)
         return ("exists", e.negated)
+    if ctx is not None and isinstance(e, lp.QuantifiedCmpExpr):
+        inner = _expr_key(e.expr, ctx)
+        ctx.sub_exprs.append(e)
+        return ("qcmp", e.op.value, e.is_any, inner)
     if ctx is not None and isinstance(e, lp.CorrelatedLookupExpr):
         okeys = tuple(_expr_key(k, ctx) for k in e.outer_keys)
         ctx.sub_exprs.append(e)

@@ -661,6 +661,28 @@ class InSubqueryExpr(LogicalExpr):
 
 
 @dataclass
+class QuantifiedCmpExpr(LogicalExpr):
+    """expr op ANY|ALL (subquery). =ANY / <>ALL route to InSubqueryExpr at
+    planning (rank membership); the remaining forms reduce to MIN/MAX of
+    the subquery column + PG 3-valued logic over (has rows, has non-null,
+    has null) — one subplan execution per query, no per-row re-execution."""
+
+    expr: LogicalExpr
+    op: BinOp  # EQ/NEQ/LT/LTE/GT/GTE
+    is_any: bool
+    plan: "LogicalPlan"
+
+    def __post_init__(self):
+        self.dtype = DataType.boolean()
+        self.nullable = True
+
+    def name(self) -> str:
+        q = "ANY" if self.is_any else "ALL"
+        return (f"{self.expr.name()} {self.op.value} {q}"
+                f"(subquery#{id(self.plan) & 0xffff:04x})")
+
+
+@dataclass
 class CorrelatedLookupExpr(LogicalExpr):
     """Decorrelated subquery (the reference leaves correlated subqueries
     unimplemented; operators.rs:34-52 errors on all subquery forms).
@@ -1004,7 +1026,7 @@ def walk_exprs(expr: LogicalExpr, visit) -> None:
         )
     elif isinstance(expr, InListExpr):
         children = (expr.expr,) + tuple(expr.items)
-    elif isinstance(expr, (InSubqueryExpr,)):
+    elif isinstance(expr, (InSubqueryExpr, QuantifiedCmpExpr)):
         children = (expr.expr,)
     elif isinstance(expr, CorrelatedLookupExpr):
         children = tuple(expr.outer_keys)

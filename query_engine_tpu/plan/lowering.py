@@ -330,6 +330,15 @@ class Lowering:
             e2.dtype = e.dtype
             e2.nullable = e.nullable
             return e2
+        if isinstance(e, lp.QuantifiedCmpExpr):
+            e2 = lp.QuantifiedCmpExpr.__new__(lp.QuantifiedCmpExpr)
+            e2.expr = self._lower_expr(e.expr)
+            e2.op = e.op
+            e2.is_any = e.is_any
+            e2.plan = self.lower(e.plan)
+            e2.dtype = e.dtype
+            e2.nullable = e.nullable
+            return e2
         if isinstance(e, lp.CorrelatedLookupExpr):
             e2 = lp.CorrelatedLookupExpr.__new__(lp.CorrelatedLookupExpr)
             e2.outer_keys = [self._lower_expr(k) for k in e.outer_keys]

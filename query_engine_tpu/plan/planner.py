@@ -547,6 +547,27 @@ class Planner:
         if isinstance(e, ast.InSubquery):
             inner = self.plan_expr(e.expr, scope, ctes)
             return lp.InSubqueryExpr(inner, self.plan_select(e.query, ctes), e.negated)
+        if isinstance(e, ast.QuantifiedComparison):
+            inner = self.plan_expr(e.expr, scope, ctes)
+            sub = self.plan_select(e.query, ctes)
+            if len(sub.schema()) != 1:
+                raise PlanError(
+                    "quantified comparison subquery must return one column"
+                )
+            B = ast.BinaryOperator
+            # = ANY is IN; <> ALL is NOT IN (exact rank membership)
+            if e.op is B.EQ and e.is_any:
+                return lp.InSubqueryExpr(inner, sub, False)
+            if e.op is B.NEQ and not e.is_any:
+                return lp.InSubqueryExpr(inner, sub, True)
+            m = {B.EQ: lp.BinOp.EQ, B.NEQ: lp.BinOp.NEQ,
+                 B.LT: lp.BinOp.LT, B.LTE: lp.BinOp.LTE,
+                 B.GT: lp.BinOp.GT, B.GTE: lp.BinOp.GTE}
+            if e.op not in m:
+                raise PlanError(
+                    f"operator {e.op.value} cannot be quantified with ANY/ALL"
+                )
+            return lp.QuantifiedCmpExpr(inner, m[e.op], e.is_any, sub)
         if isinstance(e, ast.Exists):
             try:
                 return lp.ExistsExpr(self.plan_select(e.query, ctes), e.negated)

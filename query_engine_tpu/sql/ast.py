@@ -188,6 +188,16 @@ class InList(Expr):
 
 
 @dataclass(frozen=True)
+class QuantifiedComparison(Expr):
+    """expr op ANY|SOME|ALL (subquery) — PG quantified comparison."""
+
+    expr: Expr
+    op: BinaryOperator  # EQ/NEQ/LT/LTE/GT/GTE
+    is_any: bool  # True for ANY/SOME, False for ALL
+    query: "SelectStatement"
+
+
+@dataclass(frozen=True)
 class Exists(Expr):
     query: "SelectStatement"
     negated: bool = False

@@ -42,7 +42,7 @@ KEYWORDS = {
     "CREATE", "DROP", "INDEX", "UNIQUE", "USING", "IF", "TABLE",
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",
-    "UNION", "ALL", "TO_TSVECTOR", "TO_TSQUERY", "CAST",
+    "UNION", "ALL", "ANY", "SOME", "TO_TSVECTOR", "TO_TSQUERY", "CAST",
     "EXTRACT", "DATE_TRUNC", "ROLLUP", "CUBE", "GROUPING", "SETS",
     "CASE", "WHEN", "THEN", "ELSE", "END",
     "INTERSECT", "EXCEPT",

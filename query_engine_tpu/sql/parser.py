@@ -641,6 +641,16 @@ class Parser:
             t = self.cur
             if t.kind == "OP" and t.value in _CMP_OPS:
                 self.advance()
+                if self.cur.is_kw("ANY", "SOME", "ALL") and \
+                        self.peek().is_op("("):
+                    q = self.advance().value
+                    self.expect_op("(")
+                    query = self.parse_select()
+                    self.expect_op(")")
+                    left = ast.QuantifiedComparison(
+                        left, _CMP_OPS[t.value], q != "ALL", query
+                    )
+                    continue
                 left = ast.BinaryOp(left, _CMP_OPS[t.value], self.parse_additive())
             elif t.is_kw("LIKE", "ILIKE"):
                 self.advance()
