@@ -734,6 +734,7 @@ class QueryExecutor:
                 )
             return mxu_cache[key]
 
+        pct_sort_cache: dict = {}
         for agg in plan.agg_exprs:
             func = agg.func
             if agg.expr is None:
@@ -760,7 +761,8 @@ class QueryExecutor:
                 f = schema.field(fi)
                 fi += 1
                 out_d, out_v = self._grouped_percentile(
-                    agg, data, validity, gid, batch.num_rows, cap, out_cap
+                    agg, data, validity, gid, batch.num_rows, cap, out_cap,
+                    pct_sort_cache,
                 )
                 cols.append(Column(out_d[:out_cap], out_v[:out_cap],
                                    f.data_type, None))
@@ -853,7 +855,7 @@ class QueryExecutor:
         return ColumnBatch(schema, cols, num_groups)
 
     def _grouped_percentile(self, agg, data, validity, gid, num_rows, cap,
-                            out_cap):
+                            out_cap, sort_cache=None):
         """Sort-based per-group quantile (PERCENTILE_CONT/DISC, MEDIAN):
         ONE two-key lax.sort orders live valid rows by (group, value);
         exclusive-scan group offsets + counts give each group's target
@@ -871,16 +873,25 @@ class QueryExecutor:
         ties break to the FIRST value in the WITHIN GROUP order (PG)."""
         frac, desc = agg.param
         fn = agg.func
-        lm = K.live_mask(cap, num_rows)
-        ok = lm & validity
-        gkey = jnp.where(ok, gid.astype(jnp.int64), jnp.int64(out_cap))
-        vals = (data.astype(jnp.float64)
-                if fn is lp.AggFunc.PERCENTILE_CONT else data)
-        skey, sval = jax.lax.sort([gkey, vals], num_keys=2)
-        cnt = jax.ops.segment_sum(
-            ok.astype(jnp.int64), gkey, num_segments=out_cap + 1
-        )[:out_cap]
-        start = jnp.cumsum(cnt) - cnt
+        # multiple quantiles over one column (P50/P90/P99 dashboards) share
+        # ONE sorted space per (argument plane, value representation)
+        ck = (id(data), id(validity), fn is lp.AggFunc.PERCENTILE_CONT)
+        hit = sort_cache.get(ck) if sort_cache is not None else None
+        if hit is None:
+            lm = K.live_mask(cap, num_rows)
+            ok = lm & validity
+            gkey = jnp.where(ok, gid.astype(jnp.int64), jnp.int64(out_cap))
+            vals = (data.astype(jnp.float64)
+                    if fn is lp.AggFunc.PERCENTILE_CONT else data)
+            skey, sval = jax.lax.sort([gkey, vals], num_keys=2)
+            cnt = jax.ops.segment_sum(
+                ok.astype(jnp.int64), gkey, num_segments=out_cap + 1
+            )[:out_cap]
+            start = jnp.cumsum(cnt) - cnt
+            hit = (skey, sval, cnt, start)
+            if sort_cache is not None:
+                sort_cache[ck] = hit
+        skey, sval, cnt, start = hit
         c = cnt
         if fn is lp.AggFunc.MODE:
             idx = jnp.arange(cap)
