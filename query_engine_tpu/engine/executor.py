@@ -136,15 +136,28 @@ def classify_window_frame(frame, has_order: bool):
     start, end = frame.start, frame.end
     mode = frame.mode.value if hasattr(frame.mode, "value") else str(frame.mode)
     if mode == "RANGE":
-        if not (start.kind == "PRECEDING" and start.offset is None):
-            raise ExecutionError(
-                "RANGE frames support UNBOUNDED PRECEDING starts only"
-            )
+        if start.kind == "PRECEDING" and start.offset is None:
+            if end is None or end.kind == "CURRENT":
+                return ("range_current",)
+            if end.kind == "FOLLOWING" and end.offset is None:
+                return ("partition",)
+            if end.kind == "FOLLOWING":
+                return ("range_off", None, int(end.offset))
+        # value-distance frames: RANGE BETWEEN x PRECEDING AND y FOLLOWING
+        # over a single numeric ORDER BY key
+        if start.kind == "CURRENT":
+            s_off = 0
+        elif start.kind == "PRECEDING":
+            s_off = None if start.offset is None else int(start.offset)
+        else:
+            raise ExecutionError("FOLLOWING RANGE frame starts not supported")
         if end is None or end.kind == "CURRENT":
-            return ("range_current",)
-        if end.kind == "FOLLOWING" and end.offset is None:
-            return ("partition",)
-        raise ExecutionError("unsupported RANGE frame end")
+            e_off = 0
+        elif end.kind == "FOLLOWING":
+            e_off = None if end.offset is None else int(end.offset)
+        else:
+            raise ExecutionError("PRECEDING RANGE frame ends not supported")
+        return ("range_off", s_off, e_off)
     # ROWS
     if start.kind == "CURRENT":
         s_off = 0
@@ -929,6 +942,39 @@ class QueryExecutor:
             out = sval[jnp.clip(start + idx, 0, cap - 1)]
         return out, c > 0
 
+    def _range_off_order_plane(self, wexpr, batch, perm):
+        """Sorted raw ORDER BY key for a value-distance (RANGE offset)
+        frame: exactly one numeric key; DESC negates so the kernel applies
+        [k - s_off, k + e_off] uniformly."""
+        if len(wexpr.order_by) != 1:
+            raise ExecutionError(
+                "RANGE offset frames require exactly one ORDER BY key"
+            )
+        k0 = wexpr.order_by[0]
+        ov = self.evaluator.eval(k0.expr, batch)
+        if ov.dictionary is not None or not (
+            jnp.issubdtype(ov.data.dtype, jnp.integer)
+            or jnp.issubdtype(ov.data.dtype, jnp.floating)
+        ):
+            raise ExecutionError(
+                "RANGE offset frames require a numeric ORDER BY key"
+            )
+        kd = ov.data[perm]
+        if not k0.asc:
+            kd = -kd
+        # NULL keys sit at one end of each segment in window order; give
+        # them a sentinel at that same end so the kernel's joint sort
+        # reproduces the window order positions exactly
+        okv = ov.validity[perm]
+        if jnp.issubdtype(kd.dtype, jnp.floating):
+            s_lo, s_hi = -jnp.inf, jnp.inf
+        else:
+            s_lo = jnp.iinfo(kd.dtype).min // 2
+            s_hi = jnp.iinfo(kd.dtype).max // 2
+        sent = s_lo if k0.resolved_nulls_first() else s_hi
+        kd = jnp.where(okv, kd, jnp.asarray(sent, kd.dtype))
+        return kd, okv
+
     def _grouped_string_agg(self, agg, av, gid, num_rows, cap, out_cap):
         """STRING_AGG(expr, delim): host finalization — one pass over the
         live rows' dictionary codes in input order (PG leaves the order
@@ -1178,9 +1224,12 @@ class QueryExecutor:
                     vals = vok = None
                     fname = "count_star"
                 fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
+                oplane = None
+                if fdesc[0] == "range_off":
+                    oplane = self._range_off_order_plane(wexpr, batch, perm)
                 svals, svalid = K.window_aggregate_sorted(
                     fname, vals, vok, seg_change, peer_change, pad_sorted,
-                    fdesc,
+                    fdesc, order_plane=oplane,
                 )
             elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
                 av = self.evaluator.eval(wexpr.args[0], batch)

@@ -2478,9 +2478,31 @@ class CompiledPipeline:
                     wvals = wok = None
                     fname = "count_star"
                 fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
+                oplane = None
+                if fdesc[0] == "range_off":
+                    ok0 = wexpr.order_by[0] if wexpr.order_by else None
+                    if len(wexpr.order_by) != 1:
+                        raise _Unsupported("RANGE offset order keys")
+                    kv = ex.evaluator.eval(ok0.expr, shim)
+                    if kv.dictionary is not None or not (
+                        jnp.issubdtype(kv.data.dtype, jnp.integer)
+                        or jnp.issubdtype(kv.data.dtype, jnp.floating)
+                    ):
+                        raise _Unsupported("RANGE offset key type")
+                    kd, kok = sorted_arg(kv, ok0.expr)
+                    if not ok0.asc:
+                        kd = -kd
+                    if jnp.issubdtype(kd.dtype, jnp.floating):
+                        s_lo, s_hi = -jnp.inf, jnp.inf
+                    else:
+                        s_lo = jnp.iinfo(kd.dtype).min // 2
+                        s_hi = jnp.iinfo(kd.dtype).max // 2
+                    sent = s_lo if ok0.resolved_nulls_first() else s_hi
+                    kd = jnp.where(kok, kd, jnp.asarray(sent, kd.dtype))
+                    oplane = (kd, kok)
                 svals, svalid = K.window_aggregate_sorted(
                     fname, wvals, wok, seg_change, peer_change, pad_sorted,
-                    fdesc,
+                    fdesc, order_plane=oplane,
                 )
             elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
                 av = ex.evaluator.eval(wexpr.args[0], shim)

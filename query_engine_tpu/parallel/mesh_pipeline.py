@@ -1076,6 +1076,10 @@ class MeshPipeline:
                 fdesc = classify_window_frame(w.frame, bool(w.order_by))
             except ExecutionError:
                 raise _Unsupported("global window frame")
+            if fdesc[0] == "range_off":
+                # value-distance frames can straddle shard boundaries by
+                # arbitrary amounts — no halo bound; fall back wholesale
+                raise _Unsupported("global RANGE offset frame")
             if fdesc == ("partition",):
                 return ("agg_whole",)
             if fdesc == ("range_current",):

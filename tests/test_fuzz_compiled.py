@@ -94,6 +94,10 @@ WINDOWS = [
     "MIN(v) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) AS w1",
     "COUNT(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) AS w1",
     "SUM(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w1",
+    "SUM(v) OVER (PARTITION BY k ORDER BY v RANGE BETWEEN 50 PRECEDING "
+    "AND 20 FOLLOWING) AS w1",
+    "COUNT(v) OVER (ORDER BY v RANGE BETWEEN 30 PRECEDING AND 30 "
+    "FOLLOWING) AS w1",
     "NTILE(6) OVER (ORDER BY id) AS w1",
     "PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS w1",
     "CUME_DIST() OVER (PARTITION BY s ORDER BY v) AS w1",

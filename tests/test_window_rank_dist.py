@@ -149,3 +149,70 @@ def test_global_rank_dist_lowers_to_mesh():
             "FROM t ORDER BY id")
     assert (make_session().sql(sql2).to_pylist()
             == make_session(mesh=make_mesh(devs[:8])).sql(sql2).to_pylist())
+
+
+# ---- value-distance (RANGE offset) frames ----------------------------------
+
+def test_range_offset_frames_vs_python():
+    rng = np.random.default_rng(17)
+    n = 1500
+    k = rng.integers(0, 4, n)
+    vn = [None if rng.random() < 0.06 else float(x)
+          for x in rng.integers(0, 80, n)]
+    s = Session()
+    s.register_table("e", {"id": list(range(n)),
+                           "k": [int(x) for x in k], "v": vn})
+    got = s.sql(
+        "SELECT id, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY v "
+        "RANGE BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS sm, "
+        "COUNT(v) OVER (PARTITION BY k ORDER BY v DESC "
+        "RANGE BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS cd, "
+        "AVG(v) OVER (PARTITION BY k ORDER BY v "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING) AS au, "
+        "MIN(v) OVER (PARTITION BY k ORDER BY v "
+        "RANGE BETWEEN 4 PRECEDING AND UNBOUNDED FOLLOWING) AS mu "
+        "FROM e ORDER BY id"
+    ).to_pylist()
+    for i, sm, cd, au, mu in got:
+        if vn[i] is None:
+            assert sm is None and cd == 0 and au is None and mu is None
+            continue
+        grp = [x for x, kk in zip(vn, k) if kk == k[i] and x is not None]
+        asc = [x for x in grp if vn[i] - 5 <= x <= vn[i] + 2]
+        assert (sm is None) == (not asc)
+        if asc:
+            assert sm == pytest.approx(sum(asc))
+        dsc = [x for x in grp if vn[i] - 2 <= x <= vn[i] + 5]
+        assert cd == len(dsc)
+        un = [x for x in grp if x <= vn[i] + 3]
+        assert au == pytest.approx(sum(un) / len(un))
+        lo = [x for x in grp if x >= vn[i] - 4]
+        assert mu == pytest.approx(min(lo))
+
+
+def test_range_offset_frames_errors_and_mesh():
+    s = Session()
+    s.register_table("e", {"k": [1, 1], "v": [1.0, 2.0], "w": [1.0, 2.0]})
+    with pytest.raises(Exception, match="one ORDER BY key"):
+        s.sql("SELECT MAX(v) OVER (ORDER BY v, w RANGE BETWEEN 1 PRECEDING "
+              "AND 1 FOLLOWING) FROM e")
+    with pytest.raises(Exception, match="bounded RANGE offset"):
+        s.sql("SELECT MIN(v) OVER (ORDER BY v RANGE BETWEEN 1 PRECEDING "
+              "AND 1 FOLLOWING) FROM e")
+    # mesh: partitioned specs run per shard; global falls back wholesale
+    devs = jax.devices()
+    data = {"id": list(range(400)),
+            "k": [i % 3 for i in range(400)],
+            "v": [float((i * 13) % 50) for i in range(400)]}
+    sql = ("SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY v "
+           "RANGE BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS r FROM e2 "
+           "ORDER BY id")
+    a = Session()
+    a.register_table("e2", data)
+    b = Session(mesh=make_mesh(devs[:8]))
+    b.register_table("e2", data)
+    assert a.sql(sql).to_pylist() == b.sql(sql).to_pylist()
+    gsql = ("SELECT id, SUM(v) OVER (ORDER BY v RANGE BETWEEN 4 PRECEDING "
+            "AND 4 FOLLOWING) AS r FROM e2 ORDER BY id")
+    assert a.sql(gsql).to_pylist() == b.sql(gsql).to_pylist()
