@@ -604,6 +604,18 @@ class Evaluator:
             d, codes = Dictionary.from_values(strs)
             return Val(jnp.asarray(codes), v.validity, t, d)
         if v.dictionary is not None:
+            if t.is_temporal:
+                # string -> date/timestamp via per-dictionary-value ISO parse
+                sentinel = np.iinfo(np.int64).min
+
+                def parse_t(s):
+                    p = _parse_temporal(s, t.kind)
+                    return sentinel if p is None else p
+
+                tv = _dict_lookup_host(v, parse_t, np.int64, t)
+                bad = tv.data == sentinel
+                return Val(tv.data.astype(jnp.dtype(t.device_dtype)),
+                           tv.validity & ~bad, t)
             # string -> numeric via per-dictionary-value parse
             def parse(s):
                 try:

@@ -43,6 +43,7 @@ KEYWORDS = {
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",
     "UNION", "ALL", "ANY", "SOME", "TO_TSVECTOR", "TO_TSQUERY", "CAST",
+    "CURRENT_DATE", "CURRENT_TIMESTAMP", "NOW",
     "EXTRACT", "DATE_TRUNC", "ROLLUP", "CUBE", "GROUPING", "SETS",
     "CASE", "WHEN", "THEN", "ELSE", "END",
     "INTERSECT", "EXCEPT",

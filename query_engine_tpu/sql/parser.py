@@ -663,6 +663,28 @@ class Parser:
             elif t.is_kw("IS"):
                 self.advance()
                 negated = self.match_kw("NOT")
+                if self.match_kw("DISTINCT"):
+                    # IS [NOT] DISTINCT FROM: null-safe (in)equality,
+                    # desugared to a CASE so every path inherits it
+                    self.expect_kw("FROM")
+                    right = self.parse_additive()
+                    both_null = ast.BinaryOp(
+                        ast.IsNull(left, False), ast.BinaryOperator.AND,
+                        ast.IsNull(right, False),
+                    )
+                    either_null = ast.BinaryOp(
+                        ast.IsNull(left, False), ast.BinaryOperator.OR,
+                        ast.IsNull(right, False),
+                    )
+                    same = ast.Case(None, (
+                        (both_null, ast.BoolLit(True)),
+                        (either_null, ast.BoolLit(False)),
+                        (ast.BinaryOp(left, ast.BinaryOperator.EQ, right),
+                         ast.BoolLit(True)),
+                    ), ast.BoolLit(False))
+                    left = (same if negated
+                            else ast.UnaryOp(ast.UnaryOperator.NOT, same))
+                    continue
                 self.expect_kw("NULL")
                 left = ast.IsNull(left, negated)
             elif t.is_kw("BETWEEN"):
@@ -798,6 +820,24 @@ class Parser:
             query = self.parse_select()
             self.expect_op(")")
             return ast.Exists(query, negated=True)
+        if t.kind == "KEYWORD" and t.value in ("CURRENT_DATE",
+                                               "CURRENT_TIMESTAMP", "NOW"):
+            # statement-time constants (PG statement_timestamp granularity):
+            # desugared to CAST('<now>' AS DATE/TIMESTAMP) at parse time
+            import datetime as _dt
+
+            self.advance()
+            if t.value == "NOW":
+                self.expect_op("(")
+                self.expect_op(")")
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            if t.value == "CURRENT_DATE":
+                return ast.Cast(ast.StringLit(now.date().isoformat()),
+                                DataType.date32())
+            return ast.Cast(
+                ast.StringLit(now.isoformat(sep=" ", timespec="microseconds")),
+                DataType.timestamp(),
+            )
         if t.kind == "KEYWORD" and t.value in _ORDERED_SET_KWS:
             return self._maybe_filter(self.parse_ordered_set_aggregate())
         if t.kind == "KEYWORD" and t.value in _AGG_KWS:

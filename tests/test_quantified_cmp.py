@@ -96,3 +96,47 @@ def test_strings_and_where_position(sess):
 def test_quantified_errors(sess):
     with pytest.raises(Exception, match="one column"):
         sess.sql("SELECT x > ANY (SELECT y, g FROM u) FROM t")
+
+
+# ---- IS [NOT] DISTINCT FROM + statement-time constants ---------------------
+
+def test_is_distinct_from():
+    s = Session()
+    s.register_table("e", {"a": [1, None, 3, None], "b": [1, None, 4, 7]})
+    rows = s.sql(
+        "SELECT a IS DISTINCT FROM b, a IS NOT DISTINCT FROM b FROM e"
+    ).to_pylist()
+    # never NULL: null-safe comparison
+    assert rows == [(False, True), (False, True), (True, False),
+                    (True, False)]
+    assert s.sql(
+        "SELECT a, b FROM e WHERE a IS DISTINCT FROM b"
+    ).to_pylist() == [(3, 4), (None, 7)]
+
+
+def test_cast_string_to_temporal_and_now():
+    import datetime
+
+    s = Session()
+    s.register_table("e", {"a": [1]})
+    (d, ts) = s.sql(
+        "SELECT CAST('1995-01-02' AS DATE), "
+        "CAST('1995-01-02 03:04:05' AS TIMESTAMP) FROM e"
+    ).to_pylist()[0]
+    assert d == datetime.date(1995, 1, 2)
+    assert ts == datetime.datetime(1995, 1, 2, 3, 4, 5)
+    # malformed strings -> NULL, not an error
+    assert s.sql(
+        "SELECT CAST('not-a-date' AS DATE) FROM e"
+    ).to_pylist() == [(None,)]
+    (cd, cts, nw) = s.sql(
+        "SELECT CURRENT_DATE, CURRENT_TIMESTAMP, NOW() FROM e"
+    ).to_pylist()[0]
+    today = datetime.datetime.now(datetime.timezone.utc).date()
+    assert abs((cd - today).days) <= 1
+    assert isinstance(cts, datetime.datetime) and isinstance(nw, datetime.datetime)
+    # usable in predicates against date columns
+    s.register_table("d", {"when_": ["2020-01-01", "2099-01-01"]})
+    assert s.sql(
+        "SELECT COUNT(*) FROM d WHERE CAST(when_ AS DATE) < CURRENT_DATE"
+    ).to_pylist() == [(1,)]
