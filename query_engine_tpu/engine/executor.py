@@ -786,6 +786,13 @@ class QueryExecutor:
                     agg, av, gid, batch.num_rows, cap, out_cap
                 ))
                 continue
+            if func is lp.AggFunc.ARRAY_AGG:
+                f = schema.field(fi)
+                fi += 1
+                cols.append(self._grouped_array_agg(
+                    av, gid, batch.num_rows, cap, out_cap, f.data_type
+                ))
+                continue
             if (
                 use_mxu and not agg.distinct and plan.mode != "partial"
                 and func in (lp.AggFunc.SUM, lp.AggFunc.COUNT, lp.AggFunc.AVG)
@@ -1004,6 +1011,36 @@ class QueryExecutor:
         return Column(
             jnp.asarray(new_codes.astype(np.int32)), jnp.asarray(valid),
             DataType.utf8(), new_dict,
+        )
+
+    def _grouped_array_agg(self, av, gid, num_rows, cap, out_cap, dtype):
+        """ARRAY_AGG(expr): per-group Python lists in input order; PG keeps
+        NULL inputs (result is NULL only for zero-row groups). The result
+        column is a dictionary of Python list objects — the dictionary
+        machinery already routes host objects through to_pylist/to_arrow;
+        such a column is terminal output (not sortable/groupable)."""
+        import numpy as np
+
+        host_col = Column(
+            np.asarray(av.data), np.asarray(av.validity), av.dtype,
+            av.dictionary,
+        )
+        pyvals = host_col.to_pylist(cap)
+        lm = np.asarray(K.live_mask(cap, num_rows))
+        g = np.asarray(gid)
+        lists: dict = {}
+        for i in np.nonzero(lm)[0]:
+            gi = int(g[i])
+            if 0 <= gi < out_cap:
+                lists.setdefault(gi, []).append(pyvals[i])
+        values = np.empty(out_cap, dtype=object)
+        valid = np.zeros(out_cap, dtype=bool)
+        for gi, vs in lists.items():
+            values[gi] = vs
+            valid[gi] = True
+        return Column(
+            jnp.arange(out_cap, dtype=jnp.int32), jnp.asarray(valid),
+            dtype, Dictionary(values),
         )
 
     # Direct (sort-free) grouping applies when there is a single integer or

@@ -1025,7 +1025,7 @@ class CompiledPipeline:
             if plan.mode != "single":
                 raise _Unsupported("distributed aggregate mode")
             if any(a.func in lp.ORDERED_SET_FNS
-                   or a.func is lp.AggFunc.STRING_AGG
+                   or a.func in (lp.AggFunc.STRING_AGG, lp.AggFunc.ARRAY_AGG)
                    for a in plan.agg_exprs):
                 # sort-based quantiles run in the eager engine (an eager
                 # leaf here); a traced segment-percentile is future work

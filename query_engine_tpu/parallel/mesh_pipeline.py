@@ -673,7 +673,8 @@ class MeshPipeline:
         if plan.mode != "single":
             raise _Unsupported("non-single aggregate mode")
         if any(a.func in lp.ORDERED_SET_FNS
-               or a.func is lp.AggFunc.STRING_AGG for a in plan.agg_exprs):
+               or a.func in (lp.AggFunc.STRING_AGG, lp.AggFunc.ARRAY_AGG)
+               for a in plan.agg_exprs):
             raise _Unsupported("percentile aggregate")  # eager leaf
         exprs = list(plan.group_exprs) + [
             a.expr for a in plan.agg_exprs if a.expr is not None

@@ -266,6 +266,10 @@ class AggFunc(enum.Enum):
     # finalization over dictionary codes (eager engine only; compiled/mesh
     # demote, distributed gathers via single_agg). param = (delim, False).
     STRING_AGG = "STRING_AGG"
+    # ARRAY_AGG(expr): per-group list in input order (PG: NULL inputs are
+    # KEPT). Host finalization; result column is a dictionary of Python
+    # lists with dtype List<elem>.
+    ARRAY_AGG = "ARRAY_AGG"
     # boolean aggregates: lowered into MIN/MAX over a 0/1 mask + an = 1
     # comparison, so they distribute/chunk like everything else
     BOOL_AND = "BOOL_AND"
@@ -317,6 +321,8 @@ class AggregateExpr(LogicalExpr):
             self.dtype = self.expr.dtype
         elif f is AggFunc.STRING_AGG:
             self.dtype = DataType.utf8()
+        elif f is AggFunc.ARRAY_AGG:
+            self.dtype = DataType.list_(self.expr.dtype)
         elif f is AggFunc.SUM:
             t = self.expr.dtype
             if t.kind is TypeKind.DECIMAL128:

@@ -647,6 +647,10 @@ class Planner:
                 )
             # DISTINCT is legal but a no-op for AND/OR
             return lp.AggregateExpr(func, inner, False)
+        if func is lp.AggFunc.ARRAY_AGG:
+            if e.distinct:
+                raise PlanError("ARRAY_AGG(DISTINCT ...) is not supported")
+            return lp.AggregateExpr(func, inner, False)
         if func is lp.AggFunc.STRING_AGG:
             if not inner.dtype.is_dictionary:
                 raise PlanError(

@@ -144,6 +144,7 @@ class AggregateFunction(enum.Enum):
     REGR_SYY = "REGR_SYY"
     REGR_SXY = "REGR_SXY"
     STRING_AGG = "STRING_AGG"
+    ARRAY_AGG = "ARRAY_AGG"
     # boolean aggregates (EVERY is the SQL-standard alias of BOOL_AND)
     BOOL_AND = "BOOL_AND"
     BOOL_OR = "BOOL_OR"

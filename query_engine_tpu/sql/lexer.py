@@ -28,7 +28,7 @@ KEYWORDS = {
     "MEDIAN", "PERCENTILE_CONT", "PERCENTILE_DISC", "MODE", "WITHIN",
     "COVAR_POP", "COVAR_SAMP", "CORR", "REGR_SLOPE", "REGR_INTERCEPT",
     "REGR_R2", "REGR_AVGX", "REGR_AVGY", "REGR_COUNT", "REGR_SXX",
-    "REGR_SYY", "REGR_SXY", "FILTER", "BOOL_AND", "BOOL_OR", "EVERY", "STRING_AGG",
+    "REGR_SYY", "REGR_SXY", "FILTER", "BOOL_AND", "BOOL_OR", "EVERY", "STRING_AGG", "ARRAY_AGG",
     "RECURSIVE", "EXISTS", "OVER", "PARTITION", "ROWS", "RANGE", "UNBOUNDED",
     "PRECEDING", "FOLLOWING", "CURRENT", "ROW",
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",

@@ -29,7 +29,8 @@ _TWO_ARG_AGG_KWS = {
 }
 _AGG_KWS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "VARIANCE", "VAR_POP",
             "VAR_SAMP", "STDDEV", "STDDEV_POP", "STDDEV_SAMP",
-            "MEDIAN", "BOOL_AND", "BOOL_OR", "EVERY"} | _TWO_ARG_AGG_KWS
+            "MEDIAN", "BOOL_AND", "BOOL_OR", "EVERY",
+            "ARRAY_AGG"} | _TWO_ARG_AGG_KWS
 _ORDERED_SET_KWS = {"PERCENTILE_CONT", "PERCENTILE_DISC", "MODE"}
 _WINDOW_KWS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
@@ -936,6 +937,10 @@ class Parser:
         two-argument statistics mask both arguments (pair exclusion)."""
         if not self.cur.is_kw("FILTER"):
             return agg
+        if agg.func is ast.AggregateFunction.ARRAY_AGG:
+            # ARRAY_AGG KEEPS NULL inputs (PG), so the CASE desugar would
+            # surface excluded rows as NULL elements instead of dropping them
+            raise ParseError("ARRAY_AGG(...) FILTER is not supported")
         self.advance()
         self.expect_op("(")
         self.expect_kw("WHERE")

@@ -535,3 +535,39 @@ def test_string_agg_mesh_and_distributed_match():
     b = Session(mesh=make_mesh(devs[:8]))
     b.register_table("e", data)
     assert b.sql(sql).to_pylist() == ra
+
+
+# ---- ARRAY_AGG -------------------------------------------------------------
+
+def test_array_agg():
+    s = Session()
+    s.register_table("e", {"k": [1, 1, 1, 2, 3],
+                           "v": [5, None, 7, 9, None],
+                           "s": ["a", "b", None, "c", None]})
+    rows = s.sql(
+        "SELECT k, ARRAY_AGG(v), ARRAY_AGG(s) FROM e GROUP BY k ORDER BY k"
+    ).to_pylist()
+    # PG: NULL inputs are KEPT; result NULL only for zero-row groups
+    assert rows == [(1, [5, None, 7], ["a", "b", None]),
+                    (2, [9], ["c"]), (3, [None], [None])]
+    assert s.sql("SELECT ARRAY_AGG(v) FROM e WHERE v > 100").to_pylist() \
+        == [(None,)]
+    # arrow round-trip produces a real list<item> column
+    rb = s.sql("SELECT k, ARRAY_AGG(v) AS arr FROM e GROUP BY k ORDER BY k"
+               ).to_arrow()
+    assert str(rb.schema.field("arr").type).startswith("list")
+    with pytest.raises(Exception, match="FILTER"):
+        s.sql("SELECT ARRAY_AGG(v) FILTER (WHERE v > 5) FROM e")
+    with pytest.raises(Exception, match="DISTINCT"):
+        s.sql("SELECT ARRAY_AGG(DISTINCT v) FROM e")
+
+
+def test_array_agg_mesh_falls_back_correctly():
+    devs = jax.devices()
+    data = {"k": [i % 4 for i in range(100)], "v": list(range(100))}
+    sql = "SELECT k, ARRAY_AGG(v) AS a FROM e GROUP BY k ORDER BY k"
+    a = Session()
+    a.register_table("e", data)
+    b = Session(mesh=make_mesh(devs[:8]))
+    b.register_table("e", data)
+    assert a.sql(sql).to_pylist() == b.sql(sql).to_pylist()
