@@ -90,6 +90,18 @@ def encode_value(v, dt: DataType) -> Optional[bytes]:
         return v.isoformat(sep=" ").encode()
     if k is TypeKind.FLOAT32 or k is TypeKind.FLOAT64:
         return repr(float(v)).encode()
+    if k is TypeKind.LIST and isinstance(v, (list, tuple)):
+        # PG array text format: {elem,elem,...} with NULL and quoted strings
+        def el(x):
+            if x is None:
+                return "NULL"
+            if isinstance(x, str):
+                return '"' + x.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            if isinstance(x, bool):
+                return "t" if x else "f"
+            return repr(x) if isinstance(x, float) else str(x)
+
+        return ("{" + ",".join(el(x) for x in v) + "}").encode()
     if isinstance(v, float):
         return repr(v).encode()
     return str(v).encode()
