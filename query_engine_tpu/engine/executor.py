@@ -894,9 +894,12 @@ class QueryExecutor:
         frac, desc = agg.param
         fn = agg.func
         # multiple quantiles over one column (P50/P90/P99 dashboards) share
-        # ONE sorted space per (argument plane, value representation)
+        # ONE sorted space per (argument plane, value representation). The
+        # cache entry keeps the keying arrays ALIVE — id() of a freed array
+        # can be recycled for a different expression's planes
         ck = (id(data), id(validity), fn is lp.AggFunc.PERCENTILE_CONT)
-        hit = sort_cache.get(ck) if sort_cache is not None else None
+        entry = sort_cache.get(ck) if sort_cache is not None else None
+        hit = None if entry is None else entry[2]
         if hit is None:
             lm = K.live_mask(cap, num_rows)
             ok = lm & validity
@@ -910,7 +913,7 @@ class QueryExecutor:
             start = jnp.cumsum(cnt) - cnt
             hit = (skey, sval, cnt, start)
             if sort_cache is not None:
-                sort_cache[ck] = hit
+                sort_cache[ck] = (data, validity, hit)
         skey, sval, cnt, start = hit
         c = cnt
         if fn is lp.AggFunc.MODE:
@@ -966,21 +969,10 @@ class QueryExecutor:
             raise ExecutionError(
                 "RANGE offset frames require a numeric ORDER BY key"
             )
-        kd = ov.data[perm]
-        if not k0.asc:
-            kd = -kd
-        # NULL keys sit at one end of each segment in window order; give
-        # them a sentinel at that same end so the kernel's joint sort
-        # reproduces the window order positions exactly
-        okv = ov.validity[perm]
-        if jnp.issubdtype(kd.dtype, jnp.floating):
-            s_lo, s_hi = -jnp.inf, jnp.inf
-        else:
-            s_lo = jnp.iinfo(kd.dtype).min // 2
-            s_hi = jnp.iinfo(kd.dtype).max // 2
-        sent = s_lo if k0.resolved_nulls_first() else s_hi
-        kd = jnp.where(okv, kd, jnp.asarray(sent, kd.dtype))
-        return kd, okv
+        return K.range_off_order_plane(
+            ov.data[perm], ov.validity[perm], k0.asc,
+            k0.resolved_nulls_first(),
+        )
 
     def _grouped_string_agg(self, agg, av, gid, num_rows, cap, out_cap):
         """STRING_AGG(expr, delim): host finalization — one pass over the
@@ -1205,26 +1197,31 @@ class QueryExecutor:
             elif fn is lp.WindowFn.CUME_DIST:
                 svals = K.cume_dist_sorted(seg_change, peer_change)
                 svalid = jnp.ones(cap, dtype=bool)
-            elif fn is lp.WindowFn.NTH_VALUE:
+            elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE,
+                        lp.WindowFn.NTH_VALUE):
                 av = self.evaluator.eval(wexpr.args[0], batch)
-                nth = self._const_int(wexpr.args[1], 1)
-                if nth < 1:
-                    raise ExecutionError("NTH_VALUE position must be >= 1")
                 sd, sv = av.data[perm], av.validity[perm]
-                start = K._seg_start_pos(seg_change)
-                pos = start + (nth - 1)
-                # default frame ends at the current row's last tie peer;
-                # UNBOUNDED FOLLOWING extends to the partition end
-                unbounded_end = (
-                    wexpr.frame is not None
-                    and wexpr.frame.end is not None
-                    and wexpr.frame.end.kind == "FOLLOWING"
-                    and wexpr.frame.end.offset is None
+                fdesc = classify_window_frame(
+                    wexpr.frame, bool(wexpr.order_by)
                 )
-                fend = (K._seg_end_pos(seg_change) if unbounded_end
-                        else K._seg_end_pos(peer_change))
+                oplane = (self._range_off_order_plane(wexpr, batch, perm)
+                          if fdesc[0] == "range_off" else None)
+                lo, hi = K.window_frame_bounds(
+                    fdesc, seg_change, peer_change, pad_sorted, oplane
+                )
+                if fn is lp.WindowFn.FIRST_VALUE:
+                    pos = lo
+                elif fn is lp.WindowFn.LAST_VALUE:
+                    pos = hi
+                else:
+                    nth = self._const_int(wexpr.args[1], 1)
+                    if nth < 1:
+                        raise ExecutionError(
+                            "NTH_VALUE position must be >= 1"
+                        )
+                    pos = lo + (nth - 1)
                 svals, svalid = K.value_at(sd, sv, pos)
-                svalid = svalid & (pos <= fend)
+                svalid = svalid & (pos <= hi) & (pos >= lo)
                 out_dict = av.dictionary
             elif fn in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
                 av = self.evaluator.eval(wexpr.args[0], batch)
@@ -1268,26 +1265,6 @@ class QueryExecutor:
                     fname, vals, vok, seg_change, peer_change, pad_sorted,
                     fdesc, order_plane=oplane,
                 )
-            elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
-                av = self.evaluator.eval(wexpr.args[0], batch)
-                sd, sv = av.data[perm], av.validity[perm]
-                frame = wexpr.frame
-                if fn is lp.WindowFn.FIRST_VALUE:
-                    pos = K._seg_start_pos(seg_change)
-                else:
-                    unbounded_end = (
-                        frame is not None
-                        and frame.end is not None
-                        and frame.end.kind == "FOLLOWING"
-                        and frame.end.offset is None
-                    )
-                    if unbounded_end:
-                        pos = K._seg_end_pos(seg_change)
-                    else:
-                        # default frame ends at last peer of current row
-                        pos = K._seg_end_pos(peer_change)
-                svals, svalid = K.value_at(sd, sv, pos)
-                out_dict = av.dictionary
             else:
                 raise ExecutionError(f"window function {fn.value} not implemented")
 

@@ -427,6 +427,25 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
     return not bad
 
 
+def _trace_range_off_plane(ex, wexpr, shim, sorted_arg):
+    """Sorted raw ORDER BY key for a value-distance frame inside a traced
+    window segment (single numeric key; K.range_off_order_plane normalizes
+    DESC and NULL sentinels — shared with the eager executor)."""
+    if len(wexpr.order_by) != 1:
+        raise _Unsupported("RANGE offset order keys")
+    ok0 = wexpr.order_by[0]
+    kv = ex.evaluator.eval(ok0.expr, shim)
+    if kv.dictionary is not None or not (
+        jnp.issubdtype(kv.data.dtype, jnp.integer)
+        or jnp.issubdtype(kv.data.dtype, jnp.floating)
+    ):
+        raise _Unsupported("RANGE offset key type")
+    kd, kok = sorted_arg(kv, ok0.expr)
+    return K.range_off_order_plane(
+        kd, kok, ok0.asc, ok0.resolved_nulls_first()
+    )
+
+
 def _mark_static_literals(e: lp.LogicalExpr, out: set) -> None:
     """Literals that are consumed as STATIC values during tracing (string
     function offsets, window function parameters) must stay baked into the
@@ -2253,6 +2272,8 @@ class CompiledPipeline:
 
     # ---- window ------------------------------------------------------------
     def _trace_window(self, plan: pp.PWindow, tables, leaf_ids, res) -> _TTable:
+        from query_engine_tpu.engine.executor import classify_window_frame
+
         ex = self.executor
         t = self._trace(plan.input, tables, leaf_ids, res)
         shim = _ShimBatch(t)
@@ -2419,24 +2440,31 @@ class CompiledPipeline:
             elif fn is lp.WindowFn.CUME_DIST:
                 svals = K.cume_dist_sorted(seg_change, peer_change)
                 svalid = jnp.ones(cap, dtype=bool)
-            elif fn is lp.WindowFn.NTH_VALUE:
+            elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE,
+                        lp.WindowFn.NTH_VALUE):
                 av = ex.evaluator.eval(wexpr.args[0], shim)
-                nth = ex._const_int(wexpr.args[1], 1)
-                if nth < 1:
-                    raise _Unsupported("NTH_VALUE position must be >= 1")
                 sd, sv = sorted_arg(av, wexpr.args[0])
-                start = K._seg_start_pos(seg_change)
-                pos = start + (nth - 1)
-                unbounded_end = (
-                    wexpr.frame is not None
-                    and wexpr.frame.end is not None
-                    and wexpr.frame.end.kind == "FOLLOWING"
-                    and wexpr.frame.end.offset is None
+                fdesc = classify_window_frame(
+                    wexpr.frame, bool(wexpr.order_by)
                 )
-                fend = (K._seg_end_pos(seg_change) if unbounded_end
-                        else K._seg_end_pos(peer_change))
+                oplane = None
+                if fdesc[0] == "range_off":
+                    oplane = _trace_range_off_plane(ex, wexpr, shim,
+                                                    sorted_arg)
+                lo, hi = K.window_frame_bounds(
+                    fdesc, seg_change, peer_change, pad_sorted, oplane
+                )
+                if fn is lp.WindowFn.FIRST_VALUE:
+                    pos = lo
+                elif fn is lp.WindowFn.LAST_VALUE:
+                    pos = hi
+                else:
+                    nth = ex._const_int(wexpr.args[1], 1)
+                    if nth < 1:
+                        raise _Unsupported("NTH_VALUE position must be >= 1")
+                    pos = lo + (nth - 1)
                 svals, svalid = K.value_at(sd, sv, pos)
-                svalid = svalid & (pos <= fend)
+                svalid = svalid & (pos <= hi) & (pos >= lo)
                 out_dict = av.dictionary
             elif fn in (lp.WindowFn.LAG, lp.WindowFn.LEAD):
                 av = ex.evaluator.eval(wexpr.args[0], shim)
@@ -2480,49 +2508,12 @@ class CompiledPipeline:
                 fdesc = classify_window_frame(wexpr.frame, bool(wexpr.order_by))
                 oplane = None
                 if fdesc[0] == "range_off":
-                    ok0 = wexpr.order_by[0] if wexpr.order_by else None
-                    if len(wexpr.order_by) != 1:
-                        raise _Unsupported("RANGE offset order keys")
-                    kv = ex.evaluator.eval(ok0.expr, shim)
-                    if kv.dictionary is not None or not (
-                        jnp.issubdtype(kv.data.dtype, jnp.integer)
-                        or jnp.issubdtype(kv.data.dtype, jnp.floating)
-                    ):
-                        raise _Unsupported("RANGE offset key type")
-                    kd, kok = sorted_arg(kv, ok0.expr)
-                    if not ok0.asc:
-                        kd = -kd
-                    if jnp.issubdtype(kd.dtype, jnp.floating):
-                        s_lo, s_hi = -jnp.inf, jnp.inf
-                    else:
-                        s_lo = jnp.iinfo(kd.dtype).min // 2
-                        s_hi = jnp.iinfo(kd.dtype).max // 2
-                    sent = s_lo if ok0.resolved_nulls_first() else s_hi
-                    kd = jnp.where(kok, kd, jnp.asarray(sent, kd.dtype))
-                    oplane = (kd, kok)
+                    oplane = _trace_range_off_plane(ex, wexpr, shim,
+                                                    sorted_arg)
                 svals, svalid = K.window_aggregate_sorted(
                     fname, wvals, wok, seg_change, peer_change, pad_sorted,
                     fdesc, order_plane=oplane,
                 )
-            elif fn in (lp.WindowFn.FIRST_VALUE, lp.WindowFn.LAST_VALUE):
-                av = ex.evaluator.eval(wexpr.args[0], shim)
-                sd, sv = sorted_arg(av, wexpr.args[0])
-                frame = wexpr.frame
-                if fn is lp.WindowFn.FIRST_VALUE:
-                    pos = K._seg_start_pos(seg_change)
-                else:
-                    unbounded_end = (
-                        frame is not None
-                        and frame.end is not None
-                        and frame.end.kind == "FOLLOWING"
-                        and frame.end.offset is None
-                    )
-                    if unbounded_end:
-                        pos = K._seg_end_pos(seg_change)
-                    else:
-                        pos = K._seg_end_pos(peer_change)
-                svals, svalid = K.value_at(sd, sv, pos)
-                out_dict = av.dictionary
             else:
                 raise _Unsupported(f"window function {fn.value}")
 

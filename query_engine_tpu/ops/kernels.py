@@ -1523,6 +1523,23 @@ def _segment_running_extreme(
     return out
 
 
+def range_off_order_plane(kd, kok, asc: bool, nulls_first: bool):
+    """Normalize a sorted ORDER BY key plane for a value-distance frame:
+    DESC negates (offsets then apply uniformly as [k - s, k + e]); NULL
+    keys get a sentinel at the end of the segment they occupy in window
+    order so the joint sort reproduces window-order positions exactly.
+    Shared by the eager executor and the compiled tracer."""
+    if not asc:
+        kd = -kd
+    if jnp.issubdtype(kd.dtype, jnp.floating):
+        s_lo, s_hi = -jnp.inf, jnp.inf
+    else:
+        s_lo = jnp.iinfo(kd.dtype).min // 2
+        s_hi = jnp.iinfo(kd.dtype).max // 2
+    sent = s_lo if nulls_first else s_hi
+    return jnp.where(kok, kd, jnp.asarray(sent, kd.dtype)), kok
+
+
 def _range_off_bounds(okey, okey_ok, seg_change, peer_change, pad_sorted,
                       s_off, e_off):
     """Per-row [lo, hi] POSITIONS for a value-distance frame
@@ -1584,6 +1601,33 @@ def _range_off_bounds(okey, okey_ok, seg_change, peer_change, pad_sorted,
     return lo, hi
 
 
+def window_frame_bounds(frame, seg_change, peer_change, pad_sorted,
+                        order_plane=None):
+    """Per-row frame [lo, hi] POSITIONS in sorted space for any frame
+    descriptor — shared by aggregate windows and the positional value
+    functions (FIRST_VALUE/LAST_VALUE/NTH_VALUE read positions lo / hi /
+    lo + n - 1). Empty frames have hi < lo."""
+    cap = seg_change.shape[0]
+    i32 = jnp.arange(cap, dtype=jnp.int32)
+    seg_start = _seg_start_pos(seg_change)
+    seg_end = _seg_end_pos(seg_change)
+    kind = frame[0]
+    if kind == "partition":
+        return seg_start, seg_end
+    if kind == "range_current":
+        return seg_start, _seg_end_pos(peer_change)
+    if kind == "range_off":
+        okey, okey_ok = order_plane
+        return _range_off_bounds(
+            okey, okey_ok, seg_change, peer_change, pad_sorted,
+            frame[1], frame[2],
+        )
+    _, s_off, e_off = frame
+    lo = seg_start if s_off is None else jnp.maximum(i32 - s_off, seg_start)
+    hi = seg_end if e_off is None else jnp.minimum(i32 + e_off, seg_end)
+    return lo, hi
+
+
 def window_aggregate_sorted(
     func: str,                      # count_star|count|sum|avg|min|max
     vals: Optional[jnp.ndarray],    # sorted order; None for count_star
@@ -1613,20 +1657,9 @@ def window_aggregate_sorted(
     seg_end = _seg_end_pos(seg_change)
 
     kind = frame[0]
-    if kind == "partition":
-        lo, hi = seg_start, seg_end
-    elif kind == "range_current":
-        lo, hi = seg_start, _seg_end_pos(peer_change)
-    elif kind == "range_off":
-        okey, okey_ok = order_plane
-        lo, hi = _range_off_bounds(
-            okey, okey_ok, seg_change, peer_change, pad_sorted,
-            frame[1], frame[2],
-        )
-    else:
-        _, s_off, e_off = frame
-        lo = seg_start if s_off is None else jnp.maximum(i32 - s_off, seg_start)
-        hi = seg_end if e_off is None else jnp.minimum(i32 + e_off, seg_end)
+    lo, hi = window_frame_bounds(
+        frame, seg_change, peer_change, pad_sorted, order_plane
+    )
     empty = hi < lo
 
     if kind in ("partition", "range_current"):

@@ -1057,15 +1057,17 @@ class MeshPipeline:
                 ):
                     return ("first",)
                 raise _Unsupported("global FIRST_VALUE frame")
-            # LAST_VALUE mirrors the single-chip tracer: unbounded-end
-            # frames take the partition's last row, everything else the
-            # current row's last tie peer (pipeline.py _trace_window)
-            unbounded_end = (
-                w.frame is not None and w.frame.end is not None
-                and w.frame.end.kind == "FOLLOWING"
-                and w.frame.end.offset is None
-            )
-            return ("last_global",) if unbounded_end else ("last_peer",)
+            # LAST_VALUE is frame-aware on the single chip now: only the
+            # partition-end and last-tie-peer frames have mesh patches;
+            # bounded frame ends (positions near shard tails would need
+            # halos) fall back wholesale
+            if fdesc == ("partition",) or (
+                fdesc[0] == "rows" and fdesc[1] is None and fdesc[2] is None
+            ):
+                return ("last_global",)
+            if fdesc == ("range_current",):
+                return ("last_peer",)
+            raise _Unsupported("global LAST_VALUE frame")
         if fn in self._G_AGG_FNS:
             if w.args and w.args[0].dtype.kind.name not in (
                 "INT8", "INT16", "INT32", "INT64", "UINT8", "UINT16",

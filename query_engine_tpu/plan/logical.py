@@ -636,6 +636,27 @@ class IsNullExpr(LogicalExpr):
         return f"{self.expr.name()} IS{neg} NULL"
 
 
+
+
+def _plan_tag(plan) -> str:
+    """Deterministic fingerprint of a subquery plan for name() tags.
+    Aggregate dedup keys on name(), and the planner plans the same AST
+    aggregate twice (collect + post-agg rewrite), creating fresh subplan
+    objects each time — so the tag must be STRUCTURAL (identical SQL =>
+    identical tag) yet distinguish different subqueries. CRC32 of the
+    pretty-printed plan does both; cached on the plan object."""
+    t = getattr(plan, "_qe_name_tag", None)
+    if t is None:
+        import zlib
+
+        t = f"{zlib.crc32(plan.pretty().encode()) & 0xffffffff:08x}"
+        try:
+            plan._qe_name_tag = t
+        except Exception:
+            pass
+    return t
+
+
 @dataclass
 class ScalarSubqueryExpr(LogicalExpr):
     plan: "LogicalPlan"
@@ -648,7 +669,7 @@ class ScalarSubqueryExpr(LogicalExpr):
         # id-tagged: aggregate dedup keys on name(), and two DIFFERENT
         # subqueries must not alias (display prettiness matters less than
         # correctness; users alias subquery outputs anyway)
-        return f"(subquery#{id(self.plan) & 0xffff:04x})"
+        return f"(subquery#{_plan_tag(self.plan)})"
 
 
 @dataclass
@@ -663,7 +684,7 @@ class InSubqueryExpr(LogicalExpr):
 
     def name(self) -> str:
         neg = " NOT" if self.negated else ""
-        return f"{self.expr.name()}{neg} IN (subquery#{id(self.plan) & 0xffff:04x})"
+        return f"{self.expr.name()}{neg} IN (subquery#{_plan_tag(self.plan)})"
 
 
 @dataclass
@@ -685,7 +706,7 @@ class QuantifiedCmpExpr(LogicalExpr):
     def name(self) -> str:
         q = "ANY" if self.is_any else "ALL"
         return (f"{self.expr.name()} {self.op.value} {q}"
-                f"(subquery#{id(self.plan) & 0xffff:04x})")
+                f"(subquery#{_plan_tag(self.plan)})")
 
 
 @dataclass
@@ -721,7 +742,7 @@ class CorrelatedLookupExpr(LogicalExpr):
     def name(self) -> str:
         neg = "NOT " if self.negated else ""
         return (f"({neg}correlated {self.mode} "
-                f"subquery#{id(self.plan) & 0xffff:04x})")
+                f"subquery#{_plan_tag(self.plan)})")
 
 
 @dataclass
@@ -734,7 +755,10 @@ class ExistsExpr(LogicalExpr):
         self.nullable = False
 
     def name(self) -> str:
-        return "EXISTS (subquery)"
+        # id-tagged like the other subquery exprs: aggregate dedup keys on
+        # name(), and two different EXISTS subqueries must not alias
+        neg = "NOT " if self.negated else ""
+        return f"{neg}EXISTS (subquery#{_plan_tag(self.plan)})"
 
 
 # ---------------------------------------------------------------------------

@@ -693,6 +693,14 @@ class Planner:
             raise PlanError(
                 f"{e.func.name} is not supported as a window function"
             )
+        if wfn is lp.WindowFn.NTH_VALUE:
+            if len(args) != 2:
+                raise PlanError("NTH_VALUE takes exactly 2 arguments")
+            if not (isinstance(args[1], lp.Literal)
+                    and isinstance(args[1].value.value, int)):
+                raise PlanError(
+                    "NTH_VALUE position must be an integer literal"
+                )
         return lp.WindowExpr(wfn, args, partition_by, order_by, e.over.frame)
 
     def _plan_grouping_sets(self, base, group_lexprs, agg_exprs, sets):
@@ -938,6 +946,31 @@ class Planner:
                 num_groups, agg_exprs, ctes,
             )
             return lp.CastExpr(inner, e.data_type)
+        if isinstance(e, ast.QuantifiedComparison):
+            # the LEFT operand rewrites post-agg (SUM(x) > ALL (...));
+            # the subquery body is its own scope, planned normally
+            inner = self._plan_expr_agg(
+                e.expr, agg_scope, pre_scope, group_lexprs, agg_map,
+                num_groups, agg_exprs, ctes,
+            )
+            sub = self.plan_select(e.query, ctes)
+            if len(sub.schema()) != 1:
+                raise PlanError(
+                    "quantified comparison subquery must return one column"
+                )
+            B = ast.BinaryOperator
+            if e.op is B.EQ and e.is_any:
+                return lp.InSubqueryExpr(inner, sub, False)
+            if e.op is B.NEQ and not e.is_any:
+                return lp.InSubqueryExpr(inner, sub, True)
+            m = {B.EQ: lp.BinOp.EQ, B.NEQ: lp.BinOp.NEQ,
+                 B.LT: lp.BinOp.LT, B.LTE: lp.BinOp.LTE,
+                 B.GT: lp.BinOp.GT, B.GTE: lp.BinOp.GTE}
+            if e.op not in m:
+                raise PlanError(
+                    f"operator {e.op.value} cannot be quantified with ANY/ALL"
+                )
+            return lp.QuantifiedCmpExpr(inner, m[e.op], e.is_any, sub)
         if isinstance(e, (ast.NumberLit, ast.StringLit, ast.BoolLit, ast.NullLit)):
             return self.plan_expr(e, agg_scope, ctes)
         # plain columns: must be group keys (checked above) — or resolvable
@@ -1014,6 +1047,8 @@ class Planner:
             return (e.expr, e.low, e.high)
         if isinstance(e, (ast.InSubquery,)):
             return (e.expr,)
+        if isinstance(e, ast.QuantifiedComparison):
+            return (e.expr,)  # the subquery body is its own scope
         if isinstance(e, ast.WindowFunction):
             return tuple(e.args) + tuple(e.over.partition_by) + tuple(
                 ob.expr for ob in e.over.order_by
