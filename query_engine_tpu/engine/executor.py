@@ -766,7 +766,11 @@ class QueryExecutor:
                 data, validity, arg_dict = av.data, av.validity, av.dictionary
                 fname = func.value.lower()
             distinct_first = None
-            if agg.distinct and agg.expr is not None:
+            if (agg.distinct and agg.expr is not None
+                    and func not in (lp.AggFunc.STRING_AGG,
+                                     lp.AggFunc.ARRAY_AGG)):
+                # the host-finalized aggregates dedup on the host — the
+                # device flags would be wasted work
                 distinct_first = K.distinct_first_flags(
                     [data], [validity], gid, batch.num_rows
                 )
@@ -783,14 +787,14 @@ class QueryExecutor:
             if func is lp.AggFunc.STRING_AGG:
                 fi += 1
                 cols.append(self._grouped_string_agg(
-                    agg, av, gid, batch.num_rows, cap, out_cap
+                    agg, av, gid, batch, cap, out_cap
                 ))
                 continue
             if func is lp.AggFunc.ARRAY_AGG:
                 f = schema.field(fi)
                 fi += 1
                 cols.append(self._grouped_array_agg(
-                    av, gid, batch.num_rows, cap, out_cap, f.data_type
+                    agg, av, gid, batch, cap, out_cap, f.data_type
                 ))
                 continue
             if (
@@ -974,27 +978,68 @@ class QueryExecutor:
             k0.resolved_nulls_first(),
         )
 
-    def _grouped_string_agg(self, agg, av, gid, num_rows, cap, out_cap):
-        """STRING_AGG(expr, delim): host finalization — one pass over the
-        live rows' dictionary codes in input order (PG leaves the order
-        unspecified without an ORDER BY; input order is deterministic
-        here). O(n) host work is acceptable: the output is a per-group
-        STRING, inherently a host materialization."""
+    def _agg_host_row_order(self, agg, batch, rows):
+        """Order the host row indices of one order-sensitive aggregate by
+        its in-call ORDER BY (ARRAY_AGG(x ORDER BY k)). Stable multi-pass
+        sort from the last key to the first; None placement follows the
+        resolved NULLS FIRST/LAST. Input order is kept when there is no
+        ORDER BY (PG leaves it unspecified; input order is deterministic
+        here)."""
+        if not agg.order_by:
+            return rows
+        keys = []
+        for k, _asc, _nf in agg.order_by:
+            kv = self.evaluator.eval(k, batch)
+            host = Column(
+                np.asarray(kv.data), np.asarray(kv.validity), kv.dtype,
+                kv.dictionary,
+            )
+            keys.append(host.to_pylist(int(kv.data.shape[0])))
+        rows = list(rows)
+        for (_, asc, nulls_first), vals in reversed(
+            list(zip(agg.order_by, keys))
+        ):
+            nn = [i for i in rows if vals[i] is not None]
+            nulls = [i for i in rows if vals[i] is None]
+            nn.sort(key=lambda i: vals[i], reverse=not asc)
+            rows = nulls + nn if nulls_first else nn + nulls
+        return rows
+
+    @staticmethod
+    def _dedup_keep_order(vals):
+        seen = set()
+        out = []
+        for v in vals:
+            k = (v is None, v)
+            if k not in seen:
+                seen.add(k)
+                out.append(v)
+        return out
+
+    def _grouped_string_agg(self, agg, av, gid, batch, cap, out_cap):
+        """STRING_AGG([DISTINCT] expr, delim [ORDER BY k]): host
+        finalization — one pass over the live rows' dictionary codes (PG
+        leaves the order unspecified without an ORDER BY; input order is
+        deterministic here). O(n log n) host work is acceptable: the
+        output is a per-group STRING, inherently a host materialization."""
         from query_engine_tpu.core.types import DataType
 
         delim = agg.param[0]
-        lm = K.live_mask(cap, num_rows)
+        lm = K.live_mask(cap, batch.num_rows)
         ok = np.asarray(lm & av.validity)
         g = np.asarray(gid)
         codes = np.asarray(av.data)
         values = av.dictionary.values if av.dictionary is not None else []
+        rows = self._agg_host_row_order(agg, batch, np.nonzero(ok)[0])
         parts: dict = {}
-        for i in np.nonzero(ok)[0]:
+        for i in rows:
             gi = int(g[i])
             if 0 <= gi < out_cap:
                 parts.setdefault(gi, []).append(values[int(codes[i])])
         out_strs = [None] * out_cap
         for gi, vs in parts.items():
+            if agg.distinct:
+                vs = self._dedup_keep_order(vs)
             out_strs[gi] = delim.join(vs)
         new_dict, new_codes = Dictionary.from_values(
             ["" if v is None else v for v in out_strs]
@@ -1005,12 +1050,15 @@ class QueryExecutor:
             DataType.utf8(), new_dict,
         )
 
-    def _grouped_array_agg(self, av, gid, num_rows, cap, out_cap, dtype):
-        """ARRAY_AGG(expr): per-group Python lists in input order; PG keeps
-        NULL inputs (result is NULL only for zero-row groups). The result
-        column is a dictionary of Python list objects — the dictionary
-        machinery already routes host objects through to_pylist/to_arrow;
-        such a column is terminal output (not sortable/groupable)."""
+    def _grouped_array_agg(self, agg, av, gid, batch, cap, out_cap, dtype):
+        """ARRAY_AGG([DISTINCT] expr [ORDER BY k]) [FILTER (WHERE p)]:
+        per-group Python lists; PG keeps NULL inputs (result is NULL only
+        for zero-row groups / all-rows-filtered groups). FILTER excludes
+        rows entirely (the CASE desugar used by other aggregates would
+        surface them as NULL elements). The result column is a dictionary
+        of Python list objects — the dictionary machinery already routes
+        host objects through to_pylist/to_arrow; such a column is terminal
+        output (not sortable/groupable)."""
         import numpy as np
 
         host_col = Column(
@@ -1018,17 +1066,21 @@ class QueryExecutor:
             av.dictionary,
         )
         pyvals = host_col.to_pylist(cap)
-        lm = np.asarray(K.live_mask(cap, num_rows))
+        lm = np.asarray(K.live_mask(cap, batch.num_rows))
+        if agg.filter is not None:
+            fv = self.evaluator.eval(agg.filter, batch)
+            lm = lm & np.asarray(fv.data & fv.validity)
         g = np.asarray(gid)
+        rows = self._agg_host_row_order(agg, batch, np.nonzero(lm)[0])
         lists: dict = {}
-        for i in np.nonzero(lm)[0]:
+        for i in rows:
             gi = int(g[i])
             if 0 <= gi < out_cap:
                 lists.setdefault(gi, []).append(pyvals[i])
         values = np.empty(out_cap, dtype=object)
         valid = np.zeros(out_cap, dtype=bool)
         for gi, vs in lists.items():
-            values[gi] = vs
+            values[gi] = self._dedup_keep_order(vs) if agg.distinct else vs
             valid[gi] = True
         return Column(
             jnp.arange(out_cap, dtype=jnp.int32), jnp.asarray(valid),

@@ -306,6 +306,12 @@ class AggregateExpr(LogicalExpr):
     param: Optional[tuple] = None
     # second argument of binary aggregates: COVAR_POP(y, x) etc.
     expr2: Optional[LogicalExpr] = None
+    # in-call ORDER BY of the order-sensitive aggregates — tuple of
+    # (key_expr, asc, nulls_first); host finalization sorts each group
+    order_by: tuple = ()
+    # ARRAY_AGG row-exclusion predicate (FILTER (WHERE p) — other
+    # aggregates desugar FILTER into CASE masking at parse time)
+    filter: Optional[LogicalExpr] = None
 
     def __post_init__(self):
         f = self.func
@@ -345,9 +351,22 @@ class AggregateExpr(LogicalExpr):
                     f"(ORDER BY {inner}{o})")
         if self.func in COVAR_FNS:
             return f"{self.func.value}({inner}, {self.expr2.name()})"
+        # in-call ORDER BY and FILTER must appear in the name: the
+        # planner's aggregate dedup keys on name(), and two aggregates
+        # differing only in ordering/predicate must not alias
+        ob = ""
+        if self.order_by:
+            keys = ", ".join(
+                k.name() + ("" if asc else " DESC")
+                + ("" if nf == (not asc) else
+                   (" NULLS FIRST" if nf else " NULLS LAST"))
+                for k, asc, nf in self.order_by
+            )
+            ob = f" ORDER BY {keys}"
+        flt = f" FILTER ({self.filter.name()})" if self.filter is not None else ""
         if self.func is AggFunc.STRING_AGG:
-            return f"STRING_AGG({inner}, {self.param[0]!r})"
-        return f"{self.func.value}({d}{inner})"
+            return f"STRING_AGG({d}{inner}, {self.param[0]!r}{ob}){flt}"
+        return f"{self.func.value}({d}{inner}{ob}){flt}"
 
 
 @dataclass
@@ -1042,8 +1061,8 @@ def walk_exprs(expr: LogicalExpr, visit) -> None:
         children = (expr.expr,)
     elif isinstance(expr, AggregateExpr):
         children = tuple(
-            c for c in (expr.expr, expr.expr2) if c is not None
-        )
+            c for c in (expr.expr, expr.expr2, expr.filter) if c is not None
+        ) + tuple(k for k, _asc, _nf in expr.order_by)
     elif isinstance(expr, (ScalarFnExpr, UdfExpr)):
         children = tuple(expr.args)
     elif isinstance(expr, WindowExpr):

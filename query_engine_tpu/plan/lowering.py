@@ -362,7 +362,12 @@ class Lowering:
         if isinstance(e, lp.AggregateExpr):
             inner = self._lower_expr(e.expr) if e.expr is not None else None
             inner2 = self._lower_expr(e.expr2) if e.expr2 is not None else None
-            return lp.AggregateExpr(e.func, inner, e.distinct, e.param, inner2)
+            ob = tuple(
+                (self._lower_expr(k), asc, nf) for k, asc, nf in e.order_by
+            )
+            flt = self._lower_expr(e.filter) if e.filter is not None else None
+            return lp.AggregateExpr(e.func, inner, e.distinct, e.param,
+                                    inner2, ob, flt)
         if isinstance(e, lp.ScalarFnExpr):
             return lp.ScalarFnExpr(e.func, [self._lower_expr(a) for a in e.args])
         if isinstance(e, lp.UdfExpr):

@@ -648,9 +648,18 @@ class Planner:
             # DISTINCT is legal but a no-op for AND/OR
             return lp.AggregateExpr(func, inner, False)
         if func is lp.AggFunc.ARRAY_AGG:
-            if e.distinct:
-                raise PlanError("ARRAY_AGG(DISTINCT ...) is not supported")
-            return lp.AggregateExpr(func, inner, False)
+            flt = None
+            if e.filter is not None:
+                flt = self.plan_expr(e.filter, scope, ctes)
+                if flt.dtype.kind.name != "BOOLEAN":
+                    raise PlanError(
+                        "FILTER (WHERE ...) predicate must be boolean, "
+                        f"got {flt.dtype}"
+                    )
+            return lp.AggregateExpr(
+                func, inner, e.distinct,
+                order_by=self._plan_agg_order_by(e, scope, ctes), filter=flt,
+            )
         if func is lp.AggFunc.STRING_AGG:
             if not inner.dtype.is_dictionary:
                 raise PlanError(
@@ -660,8 +669,10 @@ class Planner:
             if not (isinstance(d, lp.Literal)
                     and isinstance(d.value.value, str)):
                 raise PlanError("STRING_AGG delimiter must be a string literal")
-            return lp.AggregateExpr(func, inner, False,
-                                    (d.value.value, False))
+            return lp.AggregateExpr(
+                func, inner, e.distinct, (d.value.value, False),
+                order_by=self._plan_agg_order_by(e, scope, ctes),
+            )
         if func in lp.COVAR_FNS:
             inner2 = self.plan_expr(e.expr2, scope, ctes)
             for arg in (inner, inner2):
@@ -672,6 +683,16 @@ class Planner:
                     )
             return lp.AggregateExpr(func, inner, False, expr2=inner2)
         return lp.AggregateExpr(func, inner, e.distinct)
+
+    def _plan_agg_order_by(self, e: ast.Aggregate, scope, ctes) -> tuple:
+        """In-call ORDER BY keys (ARRAY_AGG/STRING_AGG), resolved to
+        (key_expr, asc, nulls_first) with PG null-placement defaults."""
+        out = []
+        for ob in e.agg_order_by:
+            k = self.plan_expr(ob.expr, scope, ctes)
+            nf = ob.nulls_first if ob.nulls_first is not None else not ob.asc
+            out.append((k, ob.asc, nf))
+        return tuple(out)
 
     def _plan_window(self, e, scope, ctes, plan_post_agg):
         if isinstance(e, ast.GroupingCall):
@@ -1021,7 +1042,11 @@ class Planner:
         if isinstance(e, ast.Cast):
             return (e.expr,)
         if isinstance(e, ast.Aggregate):
-            return (e.expr,) if e.expr2 is None else (e.expr, e.expr2)
+            kids = [e.expr] if e.expr2 is None else [e.expr, e.expr2]
+            kids += [ob.expr for ob in e.agg_order_by]
+            if e.filter is not None:
+                kids.append(e.filter)
+            return tuple(kids)
         if isinstance(e, ast.GroupingCall):
             return ()  # args are key references, not value expressions
         if isinstance(e, ast.WindowAggregate):

@@ -161,6 +161,14 @@ class Aggregate(Expr):
     param: object = None
     # second argument of binary aggregates: COVAR_POP(y, x) etc.
     expr2: object = None
+    # in-call ORDER BY of the order-sensitive aggregates:
+    # ARRAY_AGG(x ORDER BY k) / STRING_AGG(x, d ORDER BY k) — tuple of
+    # OrderByExpr (PG: other aggregates ignore element order)
+    agg_order_by: tuple = ()
+    # ARRAY_AGG(x) FILTER (WHERE p): kept as a predicate instead of the
+    # CASE desugar used everywhere else, because ARRAY_AGG KEEPS NULL
+    # inputs — masking would surface excluded rows as NULL elements
+    filter: object = None
 
 
 @dataclass(frozen=True)

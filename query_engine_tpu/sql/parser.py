@@ -918,14 +918,36 @@ class Parser:
         else:
             arg = self.parse_expr()
         if fname in _TWO_ARG_AGG_KWS:
-            if distinct:
+            if distinct and fname != "STRING_AGG":
                 raise ParseError(f"{fname}(DISTINCT ...) is not valid")
             self.expect_op(",")
             arg2 = self.parse_expr()
+            order = self._maybe_agg_order_by(fname)
             self.expect_op(")")
-            return ast.Aggregate(func, arg, False, expr2=arg2)
+            return ast.Aggregate(func, arg, distinct, expr2=arg2,
+                                 agg_order_by=order)
+        order = self._maybe_agg_order_by(fname)
         self.expect_op(")")
-        return ast.Aggregate(func, arg, distinct)
+        return ast.Aggregate(func, arg, distinct, agg_order_by=order)
+
+    def _maybe_agg_order_by(self, fname: str) -> tuple:
+        """In-call ORDER BY — only the order-sensitive aggregates accept it
+        (PG parses it for every aggregate but element order is only
+        observable in ARRAY_AGG/STRING_AGG; rejecting elsewhere surfaces
+        no-op clauses instead of silently dropping them)."""
+        if not self.cur.is_kw("ORDER"):
+            return ()
+        if fname not in ("ARRAY_AGG", "STRING_AGG"):
+            raise ParseError(
+                f"ORDER BY inside {fname}(...) has no effect; it is only "
+                "supported for ARRAY_AGG and STRING_AGG"
+            )
+        self.advance()
+        self.expect_kw("BY")
+        items = [self.parse_order_by_expr()]
+        while self.match_op(","):
+            items.append(self.parse_order_by_expr())
+        return tuple(items)
 
     def _maybe_filter(self, agg: ast.Aggregate) -> ast.Aggregate:
         """PG `agg(...) FILTER (WHERE pred)` — desugared at parse time into
@@ -937,15 +959,19 @@ class Parser:
         two-argument statistics mask both arguments (pair exclusion)."""
         if not self.cur.is_kw("FILTER"):
             return agg
-        if agg.func is ast.AggregateFunction.ARRAY_AGG:
-            # ARRAY_AGG KEEPS NULL inputs (PG), so the CASE desugar would
-            # surface excluded rows as NULL elements instead of dropping them
-            raise ParseError("ARRAY_AGG(...) FILTER is not supported")
         self.advance()
         self.expect_op("(")
         self.expect_kw("WHERE")
         pred = self.parse_expr()
         self.expect_op(")")
+        if agg.func is ast.AggregateFunction.ARRAY_AGG:
+            # ARRAY_AGG KEEPS NULL inputs (PG), so the CASE desugar would
+            # surface excluded rows as NULL elements instead of dropping
+            # them; carry the predicate and exclude rows at finalization
+            return ast.Aggregate(
+                agg.func, agg.expr, agg.distinct, agg.param, agg.expr2,
+                agg.agg_order_by, pred,
+            )
 
         def mask(e: ast.Expr) -> ast.Expr:
             return ast.Case(None, ((pred, e),), None)
@@ -960,6 +986,7 @@ class Parser:
         return ast.Aggregate(
             agg.func, mask(agg.expr), agg.distinct, agg.param,
             mask2(agg.expr2) if agg.expr2 is not None else None,
+            agg.agg_order_by,
         )
 
     def parse_ordered_set_aggregate(self) -> ast.Expr:

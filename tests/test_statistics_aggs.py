@@ -556,10 +556,75 @@ def test_array_agg():
     rb = s.sql("SELECT k, ARRAY_AGG(v) AS arr FROM e GROUP BY k ORDER BY k"
                ).to_arrow()
     assert str(rb.schema.field("arr").type).startswith("list")
-    with pytest.raises(Exception, match="FILTER"):
-        s.sql("SELECT ARRAY_AGG(v) FILTER (WHERE v > 5) FROM e")
-    with pytest.raises(Exception, match="DISTINCT"):
-        s.sql("SELECT ARRAY_AGG(DISTINCT v) FROM e")
+
+
+def test_array_agg_filter_excludes_rows():
+    # FILTER EXCLUDES rows (vs the CASE desugar, which would surface them
+    # as NULL elements); a group with every row filtered yields NULL
+    s = Session()
+    s.register_table("e", {"k": [1, 1, 1, 2, 2],
+                           "v": [5, None, 7, 1, 2]})
+    assert s.sql(
+        "SELECT k, ARRAY_AGG(v) FILTER (WHERE v > 1) AS a "
+        "FROM e GROUP BY k ORDER BY k"
+    ).to_pylist() == [(1, [5, 7]), (2, [2])]
+    assert s.sql(
+        "SELECT ARRAY_AGG(v) FILTER (WHERE v > 100) FROM e"
+    ).to_pylist() == [(None,)]
+    # two FILTERed ARRAY_AGGs over the same argument must not alias
+    assert s.sql(
+        "SELECT ARRAY_AGG(v) FILTER (WHERE v > 4) AS a, "
+        "ARRAY_AGG(v) FILTER (WHERE v < 4) AS b FROM e"
+    ).to_pylist() == [([5, 7], [1, 2])]
+
+
+def test_array_agg_order_by_and_distinct():
+    s = Session()
+    s.register_table("e", {"k": [1, 1, 1, 2, 2],
+                           "v": [3, 1, 2, 5, 4],
+                           "s": ["c", "a", "b", "e", "d"]})
+    assert s.sql(
+        "SELECT k, ARRAY_AGG(v ORDER BY v) AS a FROM e GROUP BY k ORDER BY k"
+    ).to_pylist() == [(1, [1, 2, 3]), (2, [4, 5])]
+    # order key independent of the argument, DESC
+    assert s.sql(
+        "SELECT k, ARRAY_AGG(s ORDER BY v DESC) AS a "
+        "FROM e GROUP BY k ORDER BY k"
+    ).to_pylist() == [(1, ["c", "b", "a"]), (2, ["e", "d"])]
+    # ORDER BY composes with FILTER
+    assert s.sql(
+        "SELECT ARRAY_AGG(v ORDER BY s DESC) FILTER (WHERE v <> 5) FROM e"
+    ).to_pylist() == [([4, 3, 2, 1],)]
+    # NULL order keys honor NULLS FIRST/LAST (default: LAST for ASC)
+    s.register_table("n", {"v": [1, 2, 3], "o": [None, 2, 1]})
+    assert s.sql("SELECT ARRAY_AGG(v ORDER BY o) FROM n").to_pylist() \
+        == [([3, 2, 1],)]
+    assert s.sql(
+        "SELECT ARRAY_AGG(v ORDER BY o NULLS FIRST) FROM n"
+    ).to_pylist() == [([1, 3, 2],)]
+    s.register_table("d", {"v": [2, 2, 1, 1]})
+    assert s.sql("SELECT ARRAY_AGG(DISTINCT v ORDER BY v) FROM d"
+                 ).to_pylist() == [([1, 2],)]
+    # ORDER BY is only meaningful for the order-sensitive aggregates
+    with pytest.raises(Exception, match="only"):
+        s.sql("SELECT SUM(v ORDER BY v) FROM d")
+
+
+def test_string_agg_order_by_and_distinct():
+    s = Session()
+    s.register_table("e", {"k": [1, 1, 1, 2, 2],
+                           "v": [3, 1, 2, 5, 4],
+                           "s": ["c", "a", "b", "e", "d"]})
+    assert s.sql(
+        "SELECT k, STRING_AGG(s, ',' ORDER BY v) AS sa "
+        "FROM e GROUP BY k ORDER BY k"
+    ).to_pylist() == [(1, "a,b,c"), (2, "d,e")]
+    assert s.sql(
+        "SELECT STRING_AGG(s, '|' ORDER BY s DESC) FROM e"
+    ).to_pylist() == [("e|d|c|b|a",)]
+    s.register_table("d", {"s": ["b", "a", "b", "a"]})
+    assert s.sql("SELECT STRING_AGG(DISTINCT s, ',' ORDER BY s) FROM d"
+                 ).to_pylist() == [("a,b",)]
 
 
 def test_array_agg_mesh_falls_back_correctly():
