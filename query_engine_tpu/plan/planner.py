@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Sequence
 
 from query_engine_tpu.core.errors import PlanError
 from query_engine_tpu.core.schema import Field, Schema
+from query_engine_tpu.core.types import DataType
 from query_engine_tpu.core.udf import UdfRegistry
 from query_engine_tpu.sql import ast
 from query_engine_tpu.plan import logical as lp
@@ -417,6 +418,24 @@ class Planner:
         for join in sel.joins:
             right = self._plan_table_ref(join.right, ctes)
             jt = lp.JoinType[join.join_type.name]
+            using = join.using
+            if join.natural:
+                rnames = {unqualified(f.name) for f in right.schema()}
+                seen = set()
+                common = []
+                for f in plan.schema():
+                    n = unqualified(f.name)
+                    if n in rnames and n not in seen:
+                        seen.add(n)
+                        common.append(n)
+                if not common:
+                    # PG: NATURAL JOIN with no common columns degenerates
+                    # to a cross join
+                    jt = lp.JoinType.CROSS
+                using = tuple(common)
+            if using:
+                plan = self._plan_using_join(plan, right, jt, using)
+                continue
             merged = Resolver(plan.schema().merge(right.schema()))
             on = (
                 self.plan_expr(join.on, merged, ctes)
@@ -426,9 +445,59 @@ class Planner:
             plan = lp.Join(plan, right, jt, on)
         return plan
 
+    def _plan_using_join(self, left, right, jt, using) -> lp.LogicalPlan:
+        """JOIN ... USING (c1, ...) / NATURAL JOIN: equality on the named
+        columns, then a projection that keeps ONE merged output column per
+        name (PG semantics: the merged column comes first and is
+        unqualified; FULL joins merge via COALESCE so unmatched rows from
+        either side keep their key)."""
+        lsch, rsch = left.schema(), right.schema()
+        lres, rres = Resolver(lsch), Resolver(rsch)
+        nleft = len(lsch.fields)
+        on = None
+        pairs = []
+        for c in using:
+            lc = lres.resolve(c)
+            rc0 = rres.resolve(c)
+            rc = lp.ColumnRef(rc0.index + nleft, rc0.col_name,
+                              rc0.dtype, rc0.nullable)
+            pairs.append((c, lc, rc, rc0.index))
+            eq = lp.BinaryExpr(lc, lp.BinOp.EQ, rc)
+            on = eq if on is None else lp.BinaryExpr(on, lp.BinOp.AND, eq)
+        joined = lp.Join(left, right, jt, on)
+        jsch = joined.schema()
+        exprs: List[lp.LogicalExpr] = []
+        for c, lc, rc, _ri in pairs:
+            # the join output may widen nullability (outer sides): re-read
+            # the column metadata from the joined schema
+            lj = jsch.field(lc.index)
+            rj = jsch.field(rc.index)
+            ljr = lp.ColumnRef(lc.index, lj.name, lj.data_type, lj.nullable)
+            rjr = lp.ColumnRef(rc.index, rj.name, rj.data_type, rj.nullable)
+            if jt is lp.JoinType.FULL:
+                e: lp.LogicalExpr = lp.ScalarFnExpr(
+                    lp.ScalarFn.COALESCE, [ljr, rjr]
+                )
+            elif jt is lp.JoinType.RIGHT:
+                e = rjr
+            else:
+                e = ljr
+            exprs.append(lp.AliasExpr(e, c))
+        drop = {lc.index for _c, lc, _rc, _ri in pairs}
+        drop |= {rc.index for _c, _lc, rc, _ri in pairs}
+        for i, f in enumerate(jsch.fields):
+            if i in drop:
+                continue
+            exprs.append(lp.AliasExpr(
+                lp.ColumnRef(i, f.name, f.data_type, f.nullable), f.name
+            ))
+        return lp.Projection(joined, exprs)
+
     def _plan_table_ref(
         self, tr: ast.TableReference, ctes: Dict[str, lp.LogicalPlan]
     ) -> lp.LogicalPlan:
+        if isinstance(tr, ast.ValuesRef):
+            return self._plan_values_ref(tr, ctes)
         if isinstance(tr, ast.SubqueryRef):
             sub = self.plan_select(tr.query, ctes)
             schema = prefix_schema(
@@ -456,6 +525,51 @@ class Planner:
             raise PlanError(f"table '{tr.name}' not found")
         schema = prefix_schema(self.tables[key], prefix)
         return lp.TableScan(tr.name, schema)
+
+    def _plan_values_ref(
+        self, tr: ast.ValuesRef, ctes: Dict[str, lp.LogicalPlan]
+    ) -> lp.LogicalPlan:
+        """(VALUES ...) AS alias(cols): a literal inline relation. Column
+        types come from the first typed (non-NULL) expression per column;
+        int/float mixes coerce to float64 (PG numeric-ladder behavior)."""
+        if not tr.rows:
+            raise PlanError("VALUES requires at least one row")
+        ncol = len(tr.rows[0])
+        if any(len(r) != ncol for r in tr.rows):
+            raise PlanError("VALUES rows must all have the same arity")
+        if tr.columns and len(tr.columns) != ncol:
+            raise PlanError(
+                f"VALUES has {ncol} columns but alias names {len(tr.columns)}"
+            )
+        empty = Resolver(Schema([]))
+        rows = [[self.plan_expr(e, empty, ctes) for e in r] for r in tr.rows]
+        names = tr.columns or tuple(f"column{i+1}" for i in range(ncol))
+        fields = []
+        for j in range(ncol):
+            exprs = [r[j] for r in rows]
+            typed = [x.dtype for x in exprs
+                     if not (isinstance(x, lp.Literal) and x.value.is_null)]
+            if not typed:
+                dt = DataType.utf8()  # all-NULL column: PG defaults to text
+            else:
+                dt = typed[0]
+                for t2 in typed[1:]:
+                    if t2 == dt:
+                        continue
+                    if dt.is_numeric and t2.is_numeric:
+                        dt = DataType.float64()
+                    else:
+                        raise PlanError(
+                            f"VALUES column {names[j]} mixes types "
+                            f"{dt} and {t2}"
+                        )
+            for i, x in enumerate(exprs):
+                if x.dtype != dt:
+                    rows[i][j] = lp.CastExpr(x, dt)
+            nullable = any(x.nullable for x in exprs)
+            fields.append(Field(names[j], dt, nullable))
+        schema = prefix_schema(Schema(fields), tr.alias)
+        return lp.Values(rows, schema)
 
     # ---- expressions ---------------------------------------------------
     def plan_expr(

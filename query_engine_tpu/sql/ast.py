@@ -433,10 +433,23 @@ class SubqueryRef(TableReference):
 
 
 @dataclass(frozen=True)
+class ValuesRef(TableReference):
+    """(VALUES (...), (...)) AS alias(col, ...) — a literal inline table
+    (also the body of a standalone VALUES statement, PG column1.. names)."""
+    rows: tuple  # tuple of tuples of Expr
+    alias: str = "values"
+    columns: tuple = ()  # () -> column1, column2, ...
+
+
+@dataclass(frozen=True)
 class Join:
     join_type: JoinType
     right: TableReference
     on: Optional[Expr] = None
+    # JOIN ... USING (c1, c2): equality on the named columns, output keeps
+    # ONE merged column per name (PG). NATURAL JOIN = USING(all common).
+    using: tuple = ()
+    natural: bool = False
 
 
 class SetOperation(enum.Enum):

@@ -36,6 +36,10 @@ _WINDOW_KWS = {
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "FIRST_VALUE", "LAST_VALUE", "PERCENT_RANK", "CUME_DIST", "NTH_VALUE",
 }
+# words that may follow a table name but must never be captured as an
+# implicit alias (they lex as IDENT, not KEYWORD)
+_NON_ALIAS_WORDS = {"NATURAL", "FETCH", "LATERAL", "TABLESAMPLE"}
+
 _SCALAR_KWS = {
     "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
     "ABS", "CEIL", "FLOOR", "ROUND", "SQRT", "POWER", "COALESCE", "NULLIF",
@@ -198,6 +202,28 @@ class Parser:
         t = self.cur
         if t.is_kw("SELECT") or t.is_op("("):
             return ast.Select(self.parse_select())
+        if t.is_kw("VALUES"):
+            # standalone VALUES (...), (...) [ORDER BY ...] [LIMIT n] —
+            # sugar for SELECT * FROM (VALUES ...) with PG column1.. names
+            self.advance()
+            rows = [tuple(self._parse_value_row())]
+            while self.match_op(","):
+                rows.append(tuple(self._parse_value_row()))
+            sel = ast.SelectStatement(
+                projection=[ast.WildcardItem()],
+                from_=ast.ValuesRef(tuple(rows)),
+            )
+            if self.cur.is_kw("ORDER"):
+                self.advance()
+                self.expect_kw("BY")
+                sel.order_by.append(self.parse_order_by_expr())
+                while self.match_op(","):
+                    sel.order_by.append(self.parse_order_by_expr())
+            if self.match_kw("LIMIT"):
+                sel.limit = self._parse_usize()
+            if self.match_kw("OFFSET"):
+                sel.offset = self._parse_usize()
+            return ast.Select(sel)
         if t.is_kw("WITH"):
             return self.parse_with_select()
         if t.is_kw("CREATE"):
@@ -275,15 +301,29 @@ class Parser:
                         ast.Join(ast.JoinType.CROSS, self.parse_table_reference())
                     )
                     continue
+                natural = False
+                if self._match_word("NATURAL"):
+                    natural = True
                 jt = self._try_parse_join_type()
                 if jt is None:
+                    if natural:
+                        raise ParseError("expected JOIN after NATURAL")
                     break
                 right = self.parse_table_reference()
                 on = None
-                if jt is not ast.JoinType.CROSS:
-                    self.expect_kw("ON")
-                    on = self.parse_expr()
-                sel.joins.append(ast.Join(jt, right, on))
+                using: tuple = ()
+                if jt is not ast.JoinType.CROSS and not natural:
+                    if self.match_kw("USING"):
+                        self.expect_op("(")
+                        cols = [self.expect_ident()]
+                        while self.match_op(","):
+                            cols.append(self.expect_ident())
+                        self.expect_op(")")
+                        using = tuple(cols)
+                    else:
+                        self.expect_kw("ON")
+                        on = self.parse_expr()
+                sel.joins.append(ast.Join(jt, right, on, using, natural))
         if self.match_kw("WHERE"):
             sel.selection = self.parse_expr()
         if self.cur.is_kw("GROUP"):
@@ -355,7 +395,31 @@ class Parser:
             sel.limit = self._parse_usize()
         if self.match_kw("OFFSET"):
             sel.offset = self._parse_usize()
+            self._match_word("ROW", "ROWS")  # PG noise words
+        if self._match_word("FETCH"):
+            # FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY — SQL-standard LIMIT
+            if not self._match_word("FIRST", "NEXT"):
+                raise ParseError("expected FIRST or NEXT after FETCH")
+            n = 1
+            if self.cur.kind == "NUMBER":
+                n = self._parse_usize()
+            if not self._match_word("ROW", "ROWS"):
+                raise ParseError("expected ROW or ROWS in FETCH clause")
+            if not self._match_word("ONLY"):
+                raise ParseError(
+                    "only FETCH ... ROWS ONLY is supported (no WITH TIES)"
+                )
+            sel.limit = n
         return sel
+
+    def _match_word(self, *names: str) -> bool:
+        """Match-and-consume a non-reserved word that may lex as IDENT or
+        KEYWORD (NATURAL, FETCH, FIRST, ROWS, ONLY...)."""
+        t = self.cur
+        if t.kind in ("IDENT", "KEYWORD") and t.value.upper() in names:
+            self.advance()
+            return True
+        return False
 
     def _parse_usize(self) -> int:
         t = self.cur
@@ -410,6 +474,24 @@ class Parser:
 
     def parse_table_reference(self) -> ast.TableReference:
         if self.match_op("("):
+            if self.cur.is_kw("VALUES"):
+                self.advance()
+                rows = [tuple(self._parse_value_row())]
+                while self.match_op(","):
+                    rows.append(tuple(self._parse_value_row()))
+                self.expect_op(")")
+                self.match_kw("AS")
+                alias = "values"
+                cols: tuple = ()
+                if self.cur.kind == "IDENT":
+                    alias = self.advance().value
+                    if self.match_op("("):
+                        names = [self.expect_ident()]
+                        while self.match_op(","):
+                            names.append(self.expect_ident())
+                        self.expect_op(")")
+                        cols = tuple(names)
+                return ast.ValuesRef(tuple(rows), alias, cols)
             query = self.parse_select()
             self.expect_op(")")
             self.match_kw("AS")
@@ -419,7 +501,8 @@ class Parser:
         alias = None
         if self.match_kw("AS"):
             alias = self.expect_alias()
-        elif self.cur.kind == "IDENT":
+        elif (self.cur.kind == "IDENT"
+              and self.cur.value.upper() not in _NON_ALIAS_WORDS):
             alias = self.advance().value
         return ast.TableName(name, alias)
 
@@ -798,6 +881,26 @@ class Parser:
             self.advance()
             text = self.advance().value
             return _parse_interval(text)
+        if (t.is_kw("DATE", "TIMESTAMP") and self.peek().kind == "STRING"):
+            # typed literals DATE '...' / TIMESTAMP '...' — sugar for the
+            # string->temporal CAST (PG type 'literal' syntax)
+            self.advance()
+            text = self.advance().value
+            dt = (DataType.date32() if t.value == "DATE"
+                  else DataType.timestamp())
+            return ast.Cast(ast.StringLit(text), dt)
+        if (t.kind in ("IDENT", "KEYWORD") and t.value.upper() == "POSITION"
+                and self.peek().is_op("(")):
+            # POSITION(sub IN str) — PG special form of STRPOS(str, sub)
+            self.advance()
+            self.advance()
+            sub = self.parse_additive()  # stop before the IN keyword
+            self.expect_kw("IN")
+            s = self.parse_expr()
+            self.expect_op(")")
+            return ast.ScalarFunctionCall(
+                ast.ScalarFunction.STRPOS, (s, sub)
+            )
         if t.is_kw("CAST"):
             self.advance()
             self.expect_op("(")

@@ -401,3 +401,101 @@ def test_explain_analyze_runs_and_reports():
     assert "rows: 3" in text
     assert "timing:" in text
     assert "operator" in text  # per-op profiler table
+
+
+# ---- PG surface: typed literals, FETCH, POSITION, USING/NATURAL, VALUES ----
+
+def test_typed_temporal_literals():
+    import datetime
+    s = Session()
+    assert s.sql("SELECT DATE '2020-01-02' AS d").to_pylist() == [
+        (datetime.date(2020, 1, 2),)
+    ]
+    assert s.sql(
+        "SELECT EXTRACT(YEAR FROM TIMESTAMP '2020-03-01 12:00:00')"
+    ).to_pylist() == [(2020,)]
+
+
+def test_fetch_first_rows_only():
+    s = Session()
+    s.register_table("t", {"v": [3, 1, 2]})
+    assert s.sql(
+        "SELECT v FROM t ORDER BY v FETCH FIRST 2 ROWS ONLY"
+    ).to_pylist() == [(1,), (2,)]
+    # count defaults to 1; NEXT is a synonym; works with OFFSET
+    assert s.sql(
+        "SELECT v FROM t ORDER BY v OFFSET 1 ROW FETCH NEXT ROW ONLY"
+    ).to_pylist() == [(2,)]
+    # FETCH after a bare table name must not be eaten as an alias
+    assert s.sql("SELECT v FROM t FETCH FIRST 1 ROW ONLY").to_pylist() == [
+        (3,)
+    ]
+
+
+def test_position_in():
+    s = Session()
+    s.register_table("t", {"s": ["abc", "bcd", "xyz"]})
+    # PG: 1-based, 0 when absent
+    assert s.sql("SELECT POSITION('bc' IN s) FROM t").to_pylist() == [
+        (2,), (1,), (0,)
+    ]
+
+
+def test_join_using_and_natural():
+    s = Session()
+    s.register_table("t", {"g": [1, 1, 2], "v": [1, 2, 3]})
+    s.register_table("u", {"g": [1, 2], "w": [10, 20]})
+    # USING merges the join column: SELECT * shows it once
+    assert s.sql(
+        "SELECT * FROM t JOIN u USING (g) ORDER BY v"
+    ).to_pylist() == [(1, 1, 10), (1, 2, 10), (2, 3, 20)]
+    # bare g resolves unambiguously after the merge
+    assert s.sql(
+        "SELECT g, v, w FROM t JOIN u USING (g) ORDER BY g, v"
+    ).to_pylist() == [(1, 1, 10), (1, 2, 10), (2, 3, 20)]
+    assert s.sql(
+        "SELECT * FROM t NATURAL JOIN u ORDER BY v"
+    ).to_pylist() == [(1, 1, 10), (1, 2, 10), (2, 3, 20)]
+
+
+def test_join_using_outer_merges():
+    s = Session()
+    s.register_table("f1", {"k": [1, 2], "a": [1, 2]})
+    s.register_table("f2", {"k": [2, 3], "b": [20, 30]})
+    # FULL: merged key is COALESCE(left, right) so both unmatched sides
+    # keep their key
+    assert s.sql(
+        "SELECT k, a, b FROM f1 FULL JOIN f2 USING (k) ORDER BY k"
+    ).to_pylist() == [(1, 1, None), (2, 2, 20), (3, None, 30)]
+    # RIGHT: merged key comes from the right side
+    assert s.sql(
+        "SELECT k, b FROM f1 RIGHT JOIN f2 USING (k) ORDER BY k"
+    ).to_pylist() == [(2, 20), (3, 30)]
+    # multi-column USING
+    assert s.sql(
+        "SELECT * FROM (VALUES (1, 2, 10)) AS a(x, y, p) "
+        "JOIN (VALUES (1, 2, 20)) AS b(x, y, q) USING (x, y)"
+    ).to_pylist() == [(1, 2, 10, 20)]
+
+
+def test_values_table():
+    s = Session()
+    assert s.sql(
+        "SELECT a, b FROM (VALUES (1, 'x'), (2, 'y')) AS v(a, b) ORDER BY a"
+    ).to_pylist() == [(1, "x"), (2, "y")]
+    # standalone VALUES: PG column1.. names, ORDER BY ordinal
+    assert s.sql("VALUES (1, 'one'), (2, 'two') ORDER BY 1 DESC"
+                 ).to_pylist() == [(2, "two"), (1, "one")]
+    # int/float mix coerces to float64 (PG numeric ladder)
+    assert s.sql("SELECT * FROM (VALUES (1), (2.5)) AS v(x)"
+                 ).to_pylist() == [(1.0,), (2.5,)]
+    # NULLs type from the other rows
+    assert s.sql(
+        "SELECT * FROM (VALUES (1, NULL), (2, 'b')) AS v(a, b) ORDER BY a"
+    ).to_pylist() == [(1, None), (2, "b")]
+    # VALUES joins like any relation
+    s.register_table("t", {"g": [1, 2], "v": [10, 20]})
+    assert s.sql(
+        "SELECT t.v, m.name FROM t JOIN (VALUES (1, 'one'), (2, 'two')) "
+        "AS m(g, name) ON t.g = m.g ORDER BY t.v"
+    ).to_pylist() == [(10, "one"), (20, "two")]
