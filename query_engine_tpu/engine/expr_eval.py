@@ -164,6 +164,42 @@ def _like_to_regex(pattern: str, case_insensitive: bool) -> "re.Pattern":
     )
 
 
+def _similar_to_regex(pattern: str) -> str:
+    """SQL SIMILAR TO pattern -> Python regex source. The SQL dialect keeps
+    regex metachars | * + ? {m,n} ( ) [ ... ] but adds %/_ wildcards and
+    treats . ^ $ as LITERAL characters; % and _ inside a bracket class stay
+    literal (PG pattern-matching docs, 9.7.2)."""
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if in_class:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(pattern[i + 1])
+                i += 1
+            elif ch == "]":
+                in_class = False
+        elif ch == "\\" and i + 1 < n:
+            # escaped char is literal (PG default escape is backslash)
+            out.append(re.escape(pattern[i + 1]))
+            i += 1
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in ".^$":
+            out.append("\\" + ch)
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _parse_temporal(text: str, kind: TypeKind):
     import datetime
 
@@ -402,7 +438,7 @@ class Evaluator:
         if op is lp.BinOp.TS_MATCH:
             return self._eval_ts_match(l, r, batch)
         if op in (lp.BinOp.LIKE, lp.BinOp.ILIKE, lp.BinOp.NOT_LIKE,
-                  lp.BinOp.NOT_ILIKE):
+                  lp.BinOp.NOT_ILIKE) or op in lp._REGEX_OPS:
             return self._eval_like(l, r, op)
         if op is lp.BinOp.CONCAT:
             return self._eval_concat([l, r], batch)
@@ -551,13 +587,31 @@ class Evaluator:
         return Val(data, l.validity & r.validity, DataType.boolean())
 
     def _eval_like(self, l: Val, r: Val, op: lp.BinOp) -> Val:
+        """LIKE / POSIX `~` / SIMILAR TO families: one compiled-regex match
+        per distinct dictionary value, then a device gather by code (same
+        cost model as every string fn here)."""
+        B = lp.BinOp
         if l.dictionary is None or r.dictionary is None or len(r.dictionary) != 1:
-            raise ExecutionError("LIKE requires a string column and pattern")
-        ci = op in (lp.BinOp.ILIKE, lp.BinOp.NOT_ILIKE)
-        neg = op in (lp.BinOp.NOT_LIKE, lp.BinOp.NOT_ILIKE)
-        rx = _like_to_regex(r.dictionary.values[0], ci)
+            raise ExecutionError(
+                f"{op.value} requires a string column and a literal pattern"
+            )
+        pat = r.dictionary.values[0]
+        ci = op in (B.ILIKE, B.NOT_ILIKE, B.REGEX_IMATCH, B.NOT_REGEX_IMATCH)
+        neg = op in (B.NOT_LIKE, B.NOT_ILIKE, B.NOT_REGEX_MATCH,
+                     B.NOT_REGEX_IMATCH, B.NOT_SIMILAR_TO)
+        flags = re.IGNORECASE if ci else 0
+        if op in (B.LIKE, B.ILIKE, B.NOT_LIKE, B.NOT_ILIKE):
+            rx = _like_to_regex(pat, ci)
+            match = rx.match
+        elif op in (B.SIMILAR_TO, B.NOT_SIMILAR_TO):
+            rx = re.compile("^(?:" + _similar_to_regex(pat) + ")$", flags)
+            match = rx.match
+        else:
+            # PG POSIX operators: unanchored search
+            rx = re.compile(pat, flags)
+            match = rx.search
         d = l.dictionary
-        table = np.asarray([bool(rx.match(v)) for v in d.values], dtype=bool)
+        table = np.asarray([bool(match(v)) for v in d.values], dtype=bool)
         if len(table) == 0:
             table = np.zeros(1, bool)
         data = jnp.asarray(table)[jnp.clip(l.data, 0, max(len(d) - 1, 0))]
@@ -896,7 +950,57 @@ class Evaluator:
                 args[0], lambda s: s.startswith(pre), np.bool_,
                 DataType.boolean(),
             )
+        if f in (F.REGEXP_REPLACE, F.REGEXP_LIKE, F.REGEXP_SUBSTR,
+                 F.REGEXP_COUNT):
+            return self._eval_regexp_fn(e, f, args)
         return None
+
+    def _eval_regexp_fn(self, e, f, args) -> Val:
+        """PG regexp_* scalar functions. Patterns/flags must be literals;
+        the regex runs once per distinct dictionary value (host), rows get
+        their result by one device gather."""
+        F = lp.ScalarFn
+        pat = self._literal_str(args[1], f.value)
+        # trailing optional flags argument: 'g' = replace all, 'i' = fold case
+        fi = 3 if f is F.REGEXP_REPLACE else 2
+        flags_s = (self._literal_str(args[fi], f.value)
+                   if len(args) > fi else "")
+        unknown = set(flags_s) - set("gi")
+        if unknown:
+            raise ExecutionError(
+                f"{f.value}: unsupported regex flag(s) {sorted(unknown)}"
+            )
+        rx = re.compile(pat, re.IGNORECASE if "i" in flags_s else 0)
+        if f is F.REGEXP_REPLACE:
+            repl_raw = self._literal_str(args[2], f.value)
+            # PG replacement escapes: \1..\9 group refs, \& whole match,
+            # \\ literal backslash -> Python re.sub syntax
+            repl = re.sub(r"\\&", r"\\g<0>", repl_raw)
+            count = 0 if "g" in flags_s else 1
+            return _dict_map_host(
+                args[0], lambda s: rx.sub(repl, s, count=count)
+            )
+        if f is F.REGEXP_LIKE:
+            return _dict_lookup_host(
+                args[0], lambda s: bool(rx.search(s)), np.bool_,
+                DataType.boolean(),
+            )
+        if f is F.REGEXP_COUNT:
+            return _dict_lookup_host(
+                args[0], lambda s: len(rx.findall(s)), np.int64,
+                DataType.int64(),
+            )
+        # REGEXP_SUBSTR: first match, NULL when the pattern never matches
+        out = _dict_map_host(
+            args[0],
+            lambda s: (lambda m: m.group(0) if m else "")(rx.search(s)),
+        )
+        matched = _dict_lookup_host(
+            args[0], lambda s: bool(rx.search(s)), np.bool_,
+            DataType.boolean(),
+        )
+        return Val(out.data, out.validity & matched.data, out.dtype,
+                   out.dictionary)
 
     def _eval_extract(self, args: List[Val]) -> Val:
         """EXTRACT(field FROM temporal) — vectorized on-device. PG semantics:

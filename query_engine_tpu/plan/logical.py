@@ -137,13 +137,23 @@ class BinOp(enum.Enum):
     NOT_LIKE = "NOT LIKE"
     NOT_ILIKE = "NOT ILIKE"
     CONCAT = "||"
+    REGEX_MATCH = "~"
+    REGEX_IMATCH = "~*"
+    NOT_REGEX_MATCH = "!~"
+    NOT_REGEX_IMATCH = "!~*"
+    SIMILAR_TO = "SIMILAR TO"
+    NOT_SIMILAR_TO = "NOT SIMILAR TO"
 
 
 _CMP_OPS = {BinOp.EQ, BinOp.NEQ, BinOp.LT, BinOp.LTE, BinOp.GT, BinOp.GTE}
 _BOOL_OPS = {BinOp.AND, BinOp.OR}
+_REGEX_OPS = {
+    BinOp.REGEX_MATCH, BinOp.REGEX_IMATCH, BinOp.NOT_REGEX_MATCH,
+    BinOp.NOT_REGEX_IMATCH, BinOp.SIMILAR_TO, BinOp.NOT_SIMILAR_TO,
+}
 _PRED_OPS = _CMP_OPS | _BOOL_OPS | {
     BinOp.TS_MATCH, BinOp.LIKE, BinOp.ILIKE, BinOp.NOT_LIKE, BinOp.NOT_ILIKE
-}
+} | _REGEX_OPS
 
 
 def coerce_numeric(l: DataType, r: DataType) -> DataType:
@@ -446,13 +456,19 @@ class ScalarFn(enum.Enum):
     RTRIM = "RTRIM"
     STRPOS = "STRPOS"
     STARTS_WITH = "STARTS_WITH"
+    # regex batch (host per-dictionary-value; pattern must be a literal)
+    REGEXP_REPLACE = "REGEXP_REPLACE"
+    REGEXP_LIKE = "REGEXP_LIKE"
+    REGEXP_SUBSTR = "REGEXP_SUBSTR"
+    REGEXP_COUNT = "REGEXP_COUNT"
 
 
 _STRING_FNS = {ScalarFn.UPPER, ScalarFn.LOWER, ScalarFn.CONCAT,
                ScalarFn.SUBSTRING, ScalarFn.TRIM, ScalarFn.REPLACE,
                ScalarFn.LEFT, ScalarFn.RIGHT, ScalarFn.LPAD, ScalarFn.RPAD,
                ScalarFn.REVERSE, ScalarFn.INITCAP, ScalarFn.SPLIT_PART,
-               ScalarFn.REPEAT, ScalarFn.LTRIM, ScalarFn.RTRIM}
+               ScalarFn.REPEAT, ScalarFn.LTRIM, ScalarFn.RTRIM,
+               ScalarFn.REGEXP_REPLACE, ScalarFn.REGEXP_SUBSTR}
 
 _MATH_F64_FNS = {ScalarFn.EXP, ScalarFn.LN, ScalarFn.LOG, ScalarFn.LOG10,
                  ScalarFn.SIGN, ScalarFn.SIN, ScalarFn.COS, ScalarFn.TAN,
@@ -470,9 +486,9 @@ class ScalarFnExpr(LogicalExpr):
         f = self.func
         if f in _STRING_FNS:
             self.dtype = DataType.utf8()
-        elif f in (ScalarFn.LENGTH, ScalarFn.STRPOS):
+        elif f in (ScalarFn.LENGTH, ScalarFn.STRPOS, ScalarFn.REGEXP_COUNT):
             self.dtype = DataType.int64()
-        elif f is ScalarFn.STARTS_WITH:
+        elif f in (ScalarFn.STARTS_WITH, ScalarFn.REGEXP_LIKE):
             self.dtype = DataType.boolean()
         elif f in (ScalarFn.CEIL, ScalarFn.FLOOR, ScalarFn.ROUND,
                    ScalarFn.SQRT, ScalarFn.POWER) or f in _MATH_F64_FNS:

@@ -45,6 +45,12 @@ _BINOP_MAP = {
     ast.BinaryOperator.NOT_LIKE: lp.BinOp.NOT_LIKE,
     ast.BinaryOperator.NOT_ILIKE: lp.BinOp.NOT_ILIKE,
     ast.BinaryOperator.CONCAT_OP: lp.BinOp.CONCAT,
+    ast.BinaryOperator.REGEX_MATCH: lp.BinOp.REGEX_MATCH,
+    ast.BinaryOperator.REGEX_IMATCH: lp.BinOp.REGEX_IMATCH,
+    ast.BinaryOperator.NOT_REGEX_MATCH: lp.BinOp.NOT_REGEX_MATCH,
+    ast.BinaryOperator.NOT_REGEX_IMATCH: lp.BinOp.NOT_REGEX_IMATCH,
+    ast.BinaryOperator.SIMILAR_TO: lp.BinOp.SIMILAR_TO,
+    ast.BinaryOperator.NOT_SIMILAR_TO: lp.BinOp.NOT_SIMILAR_TO,
 }
 
 

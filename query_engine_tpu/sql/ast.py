@@ -91,6 +91,14 @@ class BinaryOperator(enum.Enum):
     NOT_LIKE = "NOT LIKE"
     NOT_ILIKE = "NOT ILIKE"
     CONCAT_OP = "||"
+    # POSIX regex operators (PG: unanchored search; * = case-insensitive)
+    REGEX_MATCH = "~"
+    REGEX_IMATCH = "~*"
+    NOT_REGEX_MATCH = "!~"
+    NOT_REGEX_IMATCH = "!~*"
+    # SQL standard regex (anchored, %/_ wildcards + regex metachars)
+    SIMILAR_TO = "SIMILAR TO"
+    NOT_SIMILAR_TO = "NOT SIMILAR TO"
 
 
 class UnaryOperator(enum.Enum):
@@ -362,6 +370,11 @@ class ScalarFunction(enum.Enum):
     RTRIM = "RTRIM"
     STRPOS = "STRPOS"
     STARTS_WITH = "STARTS_WITH"
+    # regex batch (pattern must be a literal; compiled per dictionary value)
+    REGEXP_REPLACE = "REGEXP_REPLACE"
+    REGEXP_LIKE = "REGEXP_LIKE"
+    REGEXP_SUBSTR = "REGEXP_SUBSTR"
+    REGEXP_COUNT = "REGEXP_COUNT"
 
 
 @dataclass(frozen=True)

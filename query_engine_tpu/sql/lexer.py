@@ -39,6 +39,8 @@ KEYWORDS = {
     "ASIN", "ACOS", "ATAN", "ATAN2", "DEGREES", "RADIANS", "TRUNC",
     "GREATEST", "LEAST", "LPAD", "RPAD", "REVERSE", "INITCAP", "SPLIT_PART",
     "REPEAT", "LTRIM", "RTRIM", "STRPOS", "STARTS_WITH",
+    "SIMILAR", "REGEXP_REPLACE", "REGEXP_LIKE", "REGEXP_SUBSTR",
+    "REGEXP_COUNT",
     "CREATE", "DROP", "INDEX", "UNIQUE", "USING", "IF", "TABLE",
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",
@@ -62,7 +64,7 @@ _TOKEN_RE = re.compile(
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<param>\$\d+)
-  | (?P<op>@@|<>|!=|<=|>=|\|\||::|[+\-*/%(),.;=<>\[\]])
+  | (?P<op>@@|<>|!=|<=|>=|\|\||::|!~\*|!~|~\*|~|[+\-*/%(),.;=<>\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )

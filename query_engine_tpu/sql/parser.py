@@ -49,6 +49,7 @@ _SCALAR_KWS = {
     "GREATEST", "LEAST", "LEFT", "RIGHT", "LPAD", "RPAD", "REVERSE",
     "INITCAP", "SPLIT_PART", "REPEAT", "LTRIM", "RTRIM", "STRPOS",
     "STARTS_WITH",
+    "REGEXP_REPLACE", "REGEXP_LIKE", "REGEXP_SUBSTR", "REGEXP_COUNT",
 }
 _INTERVAL_UNITS = {
     "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
@@ -744,6 +745,22 @@ class Parser:
                     else ast.BinaryOperator.ILIKE
                 )
                 left = ast.BinaryOp(left, op, self.parse_additive())
+            elif t.is_op("~", "~*", "!~", "!~*"):
+                self.advance()
+                op = {
+                    "~": ast.BinaryOperator.REGEX_MATCH,
+                    "~*": ast.BinaryOperator.REGEX_IMATCH,
+                    "!~": ast.BinaryOperator.NOT_REGEX_MATCH,
+                    "!~*": ast.BinaryOperator.NOT_REGEX_IMATCH,
+                }[t.value]
+                left = ast.BinaryOp(left, op, self.parse_additive())
+            elif t.is_kw("SIMILAR"):
+                self.advance()
+                if not self._match_word("TO"):
+                    raise ParseError("expected TO after SIMILAR")
+                left = ast.BinaryOp(
+                    left, ast.BinaryOperator.SIMILAR_TO, self.parse_additive()
+                )
             elif t.is_kw("IS"):
                 self.advance()
                 negated = self.match_kw("NOT")
@@ -780,10 +797,19 @@ class Parser:
             elif t.is_kw("IN"):
                 self.advance()
                 left = self._parse_in_tail(left, negated=False)
-            elif t.is_kw("NOT") and self.peek().is_kw("IN", "LIKE", "ILIKE", "BETWEEN"):
+            elif t.is_kw("NOT") and self.peek().is_kw(
+                "IN", "LIKE", "ILIKE", "BETWEEN", "SIMILAR"
+            ):
                 self.advance()
                 nxt = self.advance()
-                if nxt.value == "IN":
+                if nxt.value == "SIMILAR":
+                    if not self._match_word("TO"):
+                        raise ParseError("expected TO after SIMILAR")
+                    left = ast.BinaryOp(
+                        left, ast.BinaryOperator.NOT_SIMILAR_TO,
+                        self.parse_additive(),
+                    )
+                elif nxt.value == "IN":
                     left = self._parse_in_tail(left, negated=True)
                 elif nxt.value == "BETWEEN":
                     low = self.parse_additive()
