@@ -405,6 +405,11 @@ class QueryExecutor:
         nl, nr = left.num_rows, right.num_rows
         jt = plan.join_type
 
+        if plan.residual is not None and jt in (
+            lp.JoinType.LEFT, lp.JoinType.RIGHT, lp.JoinType.FULL
+        ):
+            return self._exec_outer_join_residual(plan, left, right)
+
         if jt is lp.JoinType.CROSS or not plan.key_pairs:
             if jt is not lp.JoinType.CROSS:
                 raise ExecutionError("non-cross join requires equi-keys")
@@ -645,6 +650,70 @@ class QueryExecutor:
             )
         return (lr, counts, rank_start, right_by_rank, lmatched, rmatched,
                 total, extra_l, extra_r)
+
+    def _exec_outer_join_residual(self, plan, left, right) -> ColumnBatch:
+        """Outer join with a non-equi residual ON condition (PG: a pair
+        matches only when the equi-keys AND the residual hold; an outer row
+        whose every candidate pair fails the residual still emits once,
+        NULL-padded — e.g. TPC-H Q13's `LEFT JOIN orders ON c_custkey =
+        o_custkey AND o_comment NOT LIKE ...`). A post-join filter would
+        wrongly drop those rows, so: run the inner match, filter the pairs
+        by the residual, recompute the unmatched sets from the surviving
+        pairs, and concatenate the NULL-padded blocks."""
+        import dataclasses
+
+        jt = plan.join_type
+        nl, nr = left.num_rows, right.num_rows
+        inner = dataclasses.replace(
+            plan, join_type=lp.JoinType.INNER, residual=None
+        )
+        (lr, counts, rank_start, right_by_rank, _lm, _rm,
+         total_t, _el, _er) = self._join_count_pass(inner, left, right)
+        total = int(total_t)
+        out_cap = padded_capacity(total)
+        li, ri, valid = K.join_emit_inner(
+            counts, rank_start, right_by_rank, lr, total, out_cap
+        )
+        pairs = self._assemble_join(
+            plan, left, right, li, ri, valid, valid, total
+        )
+        keep = self.evaluator.eval_predicate_mask(plan.residual, pairs)
+        keep = keep & (jnp.arange(out_cap) < total)
+        kept = int(K.filter_count(keep, total))
+        idx = K.compaction_indices(keep, total, padded_capacity(kept))
+        blocks = [_take(pairs, idx, kept)]
+        keep_i = keep.astype(jnp.int32)
+
+        def pad_block(surv_count_plane, n_rows, n_pad_cap, is_left):
+            surv = surv_count_plane > 0
+            n_extra = int(n_rows - jnp.sum(surv))
+            if n_extra == 0:
+                return None
+            ecap = padded_capacity(n_extra)
+            u = K.compaction_indices(~surv, n_rows, ecap)
+            pos = jnp.arange(ecap)
+            present = pos < n_extra
+            absent = jnp.zeros(ecap, dtype=bool)
+            zeros = jnp.zeros(ecap, dtype=u.dtype)
+            if is_left:
+                return self._assemble_join(
+                    plan, left, right, u, zeros, present, absent, n_extra
+                )
+            return self._assemble_join(
+                plan, left, right, zeros, u, absent, present, n_extra
+            )
+
+        if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+            lsurv = jnp.zeros(nl + 1, jnp.int32).at[
+                jnp.where(keep, li, nl)
+            ].max(keep_i)[:nl]
+            blocks.append(pad_block(lsurv, nl, out_cap, True))
+        if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+            rsurv = jnp.zeros(nr + 1, jnp.int32).at[
+                jnp.where(keep, ri, nr)
+            ].max(keep_i)[:nr]
+            blocks.append(pad_block(rsurv, nr, out_cap, False))
+        return ColumnBatch.concat([b for b in blocks if b is not None])
 
     def _assemble_join(
         self, plan, left, right, li, ri, lvalid, rvalid, num_rows

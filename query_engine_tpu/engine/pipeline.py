@@ -1129,6 +1129,10 @@ class CompiledPipeline:
                 raise _Unsupported("join key exprs")
         if plan.residual is not None and not _expr_traceable(plan.residual):
             raise _Unsupported("join residual")
+        if plan.residual is not None and plan.join_type is not lp.JoinType.INNER:
+            # outer rows whose every pair fails the residual must re-emit
+            # NULL-padded; needs the eager recompute-unmatched path
+            raise _Unsupported("outer join residual")
         lprov = self._unique_prov_multi(
             plan.left, [le for le, _ in plan.key_pairs], ctx
         )

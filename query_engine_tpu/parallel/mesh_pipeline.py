@@ -641,6 +641,8 @@ class MeshPipeline:
                 raise _Unsupported("join key exprs")
         if plan.residual is not None and not _expr_traceable(plan.residual):
             raise _Unsupported("join residual")
+        if plan.residual is not None and plan.join_type is not lp.JoinType.INNER:
+            raise _Unsupported("outer join residual")
         lprov = self.cp._unique_prov_multi(
             plan.left, [le for le, _ in plan.key_pairs], ctx
         )

@@ -242,13 +242,9 @@ class Lowering:
                 raise PlanError(
                     "outer join requires at least one equi-key in ON"
                 )
-        if residual is not None and plan.join_type not in (
-            lp.JoinType.INNER, lp.JoinType.CROSS
-        ):
-            raise PlanError(
-                "non-equi residual ON conditions are only supported for "
-                "INNER joins"
-            )
+        # outer joins with non-equi residual ON conditions execute through
+        # the eager recompute-unmatched path (executor.
+        # _exec_outer_join_residual); inner joins filter post-join
         return pp.PHashJoin(
             left, right, plan.join_type, key_pairs, residual, plan.schema()
         )

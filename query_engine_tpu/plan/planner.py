@@ -930,16 +930,29 @@ class Planner:
             except PlanError:
                 return False
 
-        inner_conj, pairs = [], []
+        _CORR_CMPS = {
+            ast.BinaryOperator.EQ, ast.BinaryOperator.NEQ,
+            ast.BinaryOperator.LT, ast.BinaryOperator.LTE,
+            ast.BinaryOperator.GT, ast.BinaryOperator.GTE,
+        }
+        _FLIP = {
+            ast.BinaryOperator.LT: ast.BinaryOperator.GT,
+            ast.BinaryOperator.GT: ast.BinaryOperator.LT,
+            ast.BinaryOperator.LTE: ast.BinaryOperator.GTE,
+            ast.BinaryOperator.GTE: ast.BinaryOperator.LTE,
+            ast.BinaryOperator.NEQ: ast.BinaryOperator.NEQ,
+            ast.BinaryOperator.EQ: ast.BinaryOperator.EQ,
+        }
+        inner_conj, pairs, nonequi = [], [], []
         for c in self._split_conjuncts(sel.selection) if sel.selection else []:
             if plans_inner(c):
                 inner_conj.append(c)
                 continue
-            if isinstance(c, ast.BinaryOp) and c.op is ast.BinaryOperator.EQ:
+            if isinstance(c, ast.BinaryOp) and c.op in _CORR_CMPS:
                 if plans_inner(c.left) and not plans_inner(c.right):
-                    inner_ast, outer_ast = c.left, c.right
+                    inner_ast, outer_ast, op = c.left, c.right, c.op
                 elif plans_inner(c.right) and not plans_inner(c.left):
-                    inner_ast, outer_ast = c.right, c.left
+                    inner_ast, outer_ast, op = c.right, c.left, _FLIP[c.op]
                 else:
                     raise PlanError(
                         "unsupported correlated predicate "
@@ -947,19 +960,23 @@ class Planner:
                     )
                 # raises with the true error if the outer side is bogus
                 outer_le = self.plan_expr(outer_ast, outer_scope, ctes)
-                pairs.append((inner_ast, outer_le))
+                if op is ast.BinaryOperator.EQ:
+                    pairs.append((inner_ast, outer_le))
+                else:
+                    # inequality correlation: decorrelated through per-group
+                    # MIN/MAX bounds (see _plan_correlated_exists)
+                    nonequi.append((inner_ast, op, outer_le))
                 continue
             raise PlanError(
-                "correlated subqueries support equality correlation only"
+                "correlated subqueries support comparison correlation only"
             )
         if not pairs:
             raise PlanError("subquery references an unknown column")
-        return from_plan, inner_scope, inner_conj, pairs
+        return from_plan, inner_scope, inner_conj, pairs, nonequi
 
     def _correlated_subplan(self, sel, outer_scope, ctes):
-        from_plan, inner_scope, inner_conj, pairs = self._correlation_split(
-            sel, outer_scope, ctes
-        )
+        (from_plan, inner_scope, inner_conj, pairs,
+         nonequi) = self._correlation_split(sel, outer_scope, ctes)
         plan = from_plan
         if inner_conj:
             pred = None
@@ -973,34 +990,119 @@ class Planner:
             self.plan_expr(a, inner_scope, ctes) for a, _ in pairs
         ]
         outer_keys = [o for _, o in pairs]
-        return plan, key_lexprs, outer_keys
+        return plan, key_lexprs, outer_keys, nonequi
 
     def _plan_correlated_scalar(self, sel, outer_scope, ctes):
         items = [it for it in sel.projection if isinstance(it, ast.ExprItem)]
-        if len(items) != 1 or not isinstance(items[0].expr, ast.Aggregate):
+        if len(items) != 1 or not self._ast_has_aggregate(items[0].expr):
             raise PlanError(
-                "correlated scalar subquery must select a single aggregate"
+                "correlated scalar subquery must select one aggregate "
+                "expression"
             )
-        plan, key_lexprs, outer_keys = self._correlated_subplan(
+        plan, key_lexprs, outer_keys, nonequi = self._correlated_subplan(
             sel, outer_scope, ctes
         )
+        if nonequi:
+            raise PlanError(
+                "correlated scalar subqueries support equality correlation "
+                "only"
+            )
         inner_scope = Resolver(plan.schema())
-        agg_le = self._plan_aggregate(items[0].expr, inner_scope, ctes)
-        plan = lp.Aggregate(plan, key_lexprs, [agg_le])
-        miss = (
-            lp.ScalarValue.int64(0)
-            if agg_le.func is lp.AggFunc.COUNT else None
+        if isinstance(items[0].expr, ast.Aggregate):
+            # bare aggregate: the agg output column IS the value column
+            agg_le = self._plan_aggregate(items[0].expr, inner_scope, ctes)
+            plan = lp.Aggregate(plan, key_lexprs, [agg_le])
+            miss = (
+                lp.ScalarValue.int64(0)
+                if agg_le.func is lp.AggFunc.COUNT else None
+            )
+            return lp.CorrelatedLookupExpr(
+                outer_keys, plan, "value", False, miss
+            )
+        # expression over aggregates (TPC-H Q17/Q20: 0.2 * AVG(x)): group,
+        # then project keys + the computed expression as the value column.
+        # A missing group yields NULL (comparisons then reject the row).
+        agg_map: Dict[str, int] = {}
+        agg_exprs: List[lp.AggregateExpr] = []
+        for a in self._ast_collect_aggregates(items[0].expr):
+            le = self._plan_aggregate(a, inner_scope, ctes)
+            key = le.name() + ("|d" if le.distinct else "")
+            if key not in agg_map:
+                agg_map[key] = len(agg_exprs)
+                agg_exprs.append(le)
+        agg_plan = lp.Aggregate(plan, key_lexprs, agg_exprs)
+        agg_scope = Resolver(agg_plan.schema())
+        value = self._plan_expr_agg(
+            items[0].expr, agg_scope, inner_scope, key_lexprs, agg_map,
+            len(key_lexprs), agg_exprs, ctes,
         )
-        return lp.CorrelatedLookupExpr(outer_keys, plan, "value", False, miss)
+        key_refs = [
+            lp.ColumnRef(i, f.name, f.data_type, f.nullable)
+            for i, f in enumerate(agg_plan.schema())
+        ][: len(key_lexprs)]
+        proj = lp.Projection(agg_plan, key_refs + [value])
+        return lp.CorrelatedLookupExpr(outer_keys, proj, "value", False, None)
+
+    def _corr_minmax_lookup(self, plan, key_lexprs, outer_keys, inner_le,
+                            func):
+        """keys -> MIN/MAX(inner_le) per correlation-key group, as a
+        CorrelatedLookupExpr (NULL on missing groups)."""
+        agg = lp.AggregateExpr(func, inner_le)
+        agg_plan = lp.Aggregate(plan, key_lexprs, [agg])
+        return lp.CorrelatedLookupExpr(
+            outer_keys, agg_plan, "value", False, None
+        )
 
     def _plan_correlated_exists(self, sel, outer_scope, ctes, negated: bool):
         if sel.limit is not None and sel.limit == 0:
             raise PlanError("EXISTS (... LIMIT 0) is never true")
-        plan, key_lexprs, outer_keys = self._correlated_subplan(
+        plan, key_lexprs, outer_keys, nonequi = self._correlated_subplan(
             sel, outer_scope, ctes
         )
-        plan = lp.Aggregate(plan, key_lexprs, [])  # distinct correlation keys
-        return lp.CorrelatedLookupExpr(outer_keys, plan, "exists", negated)
+        if not nonequi:
+            plan = lp.Aggregate(plan, key_lexprs, [])  # distinct corr keys
+            return lp.CorrelatedLookupExpr(outer_keys, plan, "exists", negated)
+        # One inequality correlation (TPC-H Q21: l2.l_suppkey !=
+        # l1.l_suppkey): a group row satisfying `inner CMP outer` exists iff
+        # the group's MIN/MAX bound does —
+        #   <,<=: MIN(inner) CMP outer     >,>=: MAX(inner) CMP outer
+        #   !=:   MIN != outer OR MAX != outer
+        # With >1 such conjunct the per-bound tests are not jointly sound
+        # (no single row need satisfy all), so reject.
+        if len(nonequi) > 1:
+            raise PlanError(
+                "correlated subqueries support at most one inequality "
+                "correlation"
+            )
+        inner_scope = Resolver(plan.schema())
+        inner_ast, op, outer_le = nonequi[0]
+        inner_le = self.plan_expr(inner_ast, inner_scope, ctes)
+        B, O = lp.BinOp, ast.BinaryOperator
+        mk = lambda f: self._corr_minmax_lookup(  # noqa: E731
+            plan, key_lexprs, outer_keys, inner_le, f
+        )
+        if op in (O.LT, O.LTE):
+            cond = lp.BinaryExpr(
+                mk(lp.AggFunc.MIN), B.LT if op is O.LT else B.LTE, outer_le
+            )
+        elif op in (O.GT, O.GTE):
+            cond = lp.BinaryExpr(
+                mk(lp.AggFunc.MAX), B.GT if op is O.GT else B.GTE, outer_le
+            )
+        else:  # NEQ
+            cond = lp.BinaryExpr(
+                lp.BinaryExpr(mk(lp.AggFunc.MIN), B.NEQ, outer_le),
+                B.OR,
+                lp.BinaryExpr(mk(lp.AggFunc.MAX), B.NEQ, outer_le),
+            )
+        member_plan = lp.Aggregate(plan, key_lexprs, [])
+        member = lp.CorrelatedLookupExpr(
+            outer_keys, member_plan, "exists", False
+        )
+        # Kleene: a missing group gives (false AND NULL) = false, so NOT
+        # EXISTS over an empty correlated set is still true
+        full = lp.BinaryExpr(member, B.AND, cond)
+        return lp.UnaryExpr(lp.UnOp.NOT, full) if negated else full
 
     # ---- aggregate rewriting -------------------------------------------
     def _plan_expr_agg(

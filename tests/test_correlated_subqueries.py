@@ -124,3 +124,94 @@ def test_uncorrelated_still_works(sess):
         "(SELECT AVG(salary) FROM employees) ORDER BY name"
     )
     assert out.to_pylist() == [("Bob",), ("Charlie",), ("Eve",)]
+
+
+# ---- expression-over-aggregate scalar subqueries (TPC-H Q17/Q20 shape) ----
+
+def test_correlated_scalar_expression_over_aggregate(sess):
+    # dept avgs: 101=85000, 102=87500, 103=80000; threshold 1.1*avg:
+    # 101: 93500 -> Charlie 95000 qualifies; 102: 96250 -> none; 103: none
+    out = sess.sql(
+        "SELECT name FROM employees e WHERE salary > "
+        "(SELECT 1.1 * AVG(salary) FROM employees e2 "
+        "WHERE e2.dept_id = e.dept_id) ORDER BY name"
+    ).to_pydict()
+    assert out["name"] == ["Charlie"]
+
+
+def test_correlated_scalar_two_aggregates(sess):
+    # SUM/COUNT == AVG: same rows as the plain above-average test
+    out = sess.sql(
+        "SELECT name FROM employees e WHERE salary > "
+        "(SELECT SUM(salary) / COUNT(*) FROM employees e2 "
+        "WHERE e2.dept_id = e.dept_id) ORDER BY name"
+    ).to_pydict()
+    assert out["name"] == ["Charlie", "Eve"]
+
+
+def test_correlated_scalar_still_requires_aggregate(sess):
+    from query_engine_tpu.core.errors import PlanError
+
+    with pytest.raises(PlanError):
+        sess.sql(
+            "SELECT name FROM employees e WHERE salary > "
+            "(SELECT salary FROM employees e2 WHERE e2.dept_id = e.dept_id)"
+        )
+
+
+# ---- inequality correlation in EXISTS (TPC-H Q21 shape) -------------------
+
+def test_exists_with_neq_correlation(sess):
+    # another employee in the same dept with a different id
+    out = sess.sql(
+        "SELECT name FROM employees e WHERE EXISTS "
+        "(SELECT 1 FROM employees e2 WHERE e2.dept_id = e.dept_id "
+        "AND e2.id != e.id) ORDER BY name"
+    ).to_pydict()
+    # 101: Alice+Charlie, 102: Bob+Eve; 103 solo Diana; Frank NULL dept
+    assert out["name"] == ["Alice", "Bob", "Charlie", "Eve"]
+
+
+def test_not_exists_with_neq_correlation(sess):
+    # nobody else in the department earns MORE -> department top earners
+    out = sess.sql(
+        "SELECT name FROM employees e WHERE NOT EXISTS "
+        "(SELECT 1 FROM employees e2 WHERE e2.dept_id = e.dept_id "
+        "AND e2.salary > e.salary) ORDER BY name"
+    ).to_pydict()
+    # 101 top: Charlie; 102 top: Eve; 103: Diana; Frank: NULL dept ->
+    # empty correlated set -> NOT EXISTS true
+    assert out["name"] == ["Charlie", "Diana", "Eve", "Frank"]
+
+
+def test_exists_with_lt_correlation(sess):
+    # someone younger in the same department
+    out = sess.sql(
+        "SELECT name FROM employees e WHERE EXISTS "
+        "(SELECT 1 FROM employees e2 WHERE e2.dept_id = e.dept_id "
+        "AND e2.age < e.age) ORDER BY name"
+    ).to_pydict()
+    assert out["name"] == ["Charlie", "Eve"]
+
+
+def test_exists_neq_with_inner_filter(sess):
+    # a DIFFERENT employee in the same dept earning >= 90000:
+    # 101: Charlie 95000 -> Alice yes, Charlie no (only himself)
+    # 102: Eve 90000 -> Bob yes, Eve no
+    out = sess.sql(
+        "SELECT name FROM employees e WHERE EXISTS "
+        "(SELECT 1 FROM employees e2 WHERE e2.dept_id = e.dept_id "
+        "AND e2.id != e.id AND e2.salary >= 90000) ORDER BY name"
+    ).to_pydict()
+    assert out["name"] == ["Alice", "Bob"]
+
+
+def test_two_inequality_correlations_rejected(sess):
+    from query_engine_tpu.core.errors import PlanError
+
+    with pytest.raises(PlanError):
+        sess.sql(
+            "SELECT name FROM employees e WHERE EXISTS "
+            "(SELECT 1 FROM employees e2 WHERE e2.dept_id = e.dept_id "
+            "AND e2.id != e.id AND e2.salary > e.salary)"
+        )
