@@ -196,6 +196,9 @@ class QueryExecutor:
         from query_engine_tpu.engine.chunked import ChunkedAggregate
 
         self.chunked = ChunkedAggregate(self)
+        # per-query memo for shared (multiply-referenced) WITH subplans,
+        # keyed by id() of the shared physical node; session-managed
+        self._cte_memo: Dict[int, ColumnBatch] = {}
 
     # ---- entry ---------------------------------------------------------
     def execute(self, plan: pp.PhysicalPlan) -> ColumnBatch:
@@ -261,7 +264,17 @@ class QueryExecutor:
         if isinstance(plan, pp.PSetOp):
             return self._exec_setop(plan)
         if isinstance(plan, pp.PSubquery):
-            child = self.execute(plan.input)
+            if plan.shared:
+                # WITH query referenced multiple times: materialize once,
+                # every reference reuses the SAME batch (PG semantics; also
+                # keeps float aggregates bit-identical across references).
+                # The session clears the memo around each query.
+                child = self._cte_memo.get(id(plan.input))
+                if child is None:
+                    child = self.execute(plan.input)
+                    self._cte_memo[id(plan.input)] = child
+            else:
+                child = self.execute(plan.input)
             return ColumnBatch(plan.out_schema, child.columns, child.num_rows)
         if isinstance(plan, pp.PEmpty):
             if plan.produce_one_row:

@@ -1079,6 +1079,12 @@ class CompiledPipeline:
                 leaves, n + 1,
             )
         if isinstance(plan, pp.PSubquery):
+            if plan.shared:
+                # multiply-referenced WITH query: a leaf boundary so the
+                # executor materializes it ONCE and every reference (this
+                # segment, other segments, subquery expressions) reuses the
+                # same batch
+                raise _Unsupported("shared CTE (materialized once)")
             body, leaves, n = self._child(plan.input, ctx)
             return ("subq", tuple(plan.out_schema.names()), body), leaves, n
         if isinstance(plan, pp.PSetOp):

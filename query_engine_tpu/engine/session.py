@@ -238,14 +238,22 @@ class Session:
 
         t0 = _time.perf_counter()
         plan = self._plan_query(stmt)
-        pplan = Lowering(self.sources).lower(plan)
+        from query_engine_tpu.plan.lowering import shared_subquery_ids
+
+        pplan = Lowering(
+            self.sources, shared_cte_ids=shared_subquery_ids(plan)
+        ).lower(plan)
         t1 = _time.perf_counter()
         self.last_timing.plan_ms += (t1 - t0) * 1e3
-        out = None
-        if self.mesh_pipeline is not None:
-            out = self.mesh_pipeline.try_execute(pplan)
-        if out is None:
-            out = self.executor.execute(pplan)
+        self.executor._cte_memo.clear()
+        try:
+            out = None
+            if self.mesh_pipeline is not None:
+                out = self.mesh_pipeline.try_execute(pplan)
+            if out is None:
+                out = self.executor.execute(pplan)
+        finally:
+            self.executor._cte_memo.clear()
         self.last_timing.execute_ms += (_time.perf_counter() - t1) * 1e3
         return out
 

@@ -532,6 +532,9 @@ class MeshPipeline:
                 leaves, nc if trivial else nc + 1, ne,
             )
         if isinstance(plan, pp.PSubquery):
+            if plan.shared:
+                # shared WITH query: executor-materialized once (leaf)
+                raise _Unsupported("shared CTE (materialized once)")
             body, leaves, nc, ne = self._mchild(plan.input, ctx)
             return (
                 ("subq", tuple(plan.out_schema.names()), body),

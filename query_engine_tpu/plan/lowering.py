@@ -20,10 +20,22 @@ from query_engine_tpu.plan import physical as pp
 
 
 class Lowering:
-    """Lower LogicalPlan trees given a table-name -> DataSource registry."""
+    """Lower LogicalPlan trees given a table-name -> DataSource registry.
 
-    def __init__(self, sources: Dict[str, object]):
+    `shared_cte_ids` holds id()s of LogicalPlan nodes referenced from more
+    than one SubqueryScan (the planner shares ONE plan object across every
+    use of a WITH query). Those lower to ONE shared physical subtree marked
+    `shared=True`, which the executor materializes exactly once per query
+    (PG WITH semantics) — recomputing a float aggregate along two different
+    paths (e.g. a mesh partial/final SUM vs an eager SUM) differs in
+    last-ulp rounding and breaks equality predicates like TPC-H Q15's
+    `total_revenue = (SELECT MAX(total_revenue) FROM revenue)`."""
+
+    def __init__(self, sources: Dict[str, object],
+                 shared_cte_ids: Optional[set] = None):
         self.sources = {k.lower(): v for k, v in sources.items()}
+        self.shared_cte_ids = shared_cte_ids or set()
+        self._cte_memo: Dict[int, pp.PhysicalPlan] = {}
 
     def lower(self, plan: lp.LogicalPlan) -> pp.PhysicalPlan:
         if isinstance(plan, lp.TableScan):
@@ -74,6 +86,13 @@ class Lowering:
                 self.lower(plan.left), self.lower(plan.right), plan.kind
             )
         if isinstance(plan, lp.SubqueryScan):
+            key = id(plan.input)
+            if key in self.shared_cte_ids:
+                child = self._cte_memo.get(key)
+                if child is None:
+                    child = self.lower(plan.input)
+                    self._cte_memo[key] = child
+                return pp.PSubquery(child, plan.schema(), plan.alias, True)
             return pp.PSubquery(self.lower(plan.input), plan.schema(), plan.alias)
         if isinstance(plan, lp.EmptyRelation):
             return pp.PEmpty(plan.schema(), plan.produce_one_row)
@@ -626,3 +645,55 @@ def _covar_formula(fn: lp.AggFunc, r: Dict[str, lp.LogicalExpr], f64):
         ],
         div(mul(sxy_c, sxy_c), mul(sxx_c, syy_c)),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared-CTE detection
+# ---------------------------------------------------------------------------
+
+
+def _node_exprs(plan: lp.LogicalPlan):
+    """Every LogicalExpr a plan node holds directly (for subplan walks)."""
+    if isinstance(plan, lp.Projection):
+        return list(plan.exprs)
+    if isinstance(plan, lp.Filter):
+        return [plan.predicate]
+    if isinstance(plan, lp.Join):
+        return [plan.on] if plan.on is not None else []
+    if isinstance(plan, lp.Aggregate):
+        return list(plan.group_exprs) + list(plan.agg_exprs)
+    if isinstance(plan, lp.Sort):
+        return [k.expr for k in plan.keys]
+    if isinstance(plan, lp.Window):
+        return list(plan.window_exprs)
+    if isinstance(plan, lp.Distinct):
+        return list(plan.on) if plan.on is not None else []
+    if isinstance(plan, lp.Values):
+        return [e for row in plan.rows for e in row]
+    return []
+
+
+def shared_subquery_ids(plan: lp.LogicalPlan) -> set:
+    """id()s of plan nodes referenced by MORE than one SubqueryScan — i.e.
+    WITH queries used multiple times (the planner shares one plan object
+    across uses, including uses inside subquery expressions)."""
+    counts: Dict[int, int] = {}
+
+    def walk_plan(p: lp.LogicalPlan):
+        if isinstance(p, lp.SubqueryScan):
+            counts[id(p.input)] = counts.get(id(p.input), 0) + 1
+        for e in _node_exprs(p):
+            lp.walk_exprs(e, visit_expr)
+        for c in p.children():
+            walk_plan(c)
+
+    def visit_expr(e: lp.LogicalExpr):
+        if isinstance(
+            e,
+            (lp.ScalarSubqueryExpr, lp.InSubqueryExpr, lp.ExistsExpr,
+             lp.QuantifiedCmpExpr, lp.CorrelatedLookupExpr),
+        ):
+            walk_plan(e.plan)
+
+    walk_plan(plan)
+    return {k for k, n in counts.items() if n >= 2}

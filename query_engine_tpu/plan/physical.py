@@ -254,6 +254,10 @@ class PSubquery(PhysicalPlan):
     input: PhysicalPlan
     out_schema: Schema
     alias: str = ""
+    # True when `input` is a WITH query shared by multiple references: the
+    # executor materializes it once per query and every reference reuses
+    # the same batch (compiled/mesh pipelines treat it as a leaf boundary)
+    shared: bool = False
 
     def schema(self) -> Schema:
         return self.out_schema
