@@ -333,6 +333,11 @@ class Evaluator:
     def __init__(self, subquery_exec=None, udfs=None, params=None):
         self.subquery_exec = subquery_exec
         self.udfs = udfs
+        # per-query reuse of the (outer keys x shared subplan keys)
+        # rank-match: multiple CorrelatedLookupExprs rooted at one shared
+        # aggregate (membership + MIN/MAX bounds) match identical key sets,
+        # so row/found compute once. Session clears this per query.
+        self._corr_match_memo = {}
         # trace-time map id(Literal) -> traced scalar (compiled pipelines
         # parameterize eligible literals so programs are value-independent)
         self._dyn_literals = None
@@ -1222,6 +1227,21 @@ class Evaluator:
         return acc
 
     # ---- subqueries ----------------------------------------------------
+    @staticmethod
+    def _shared_root_id(p):
+        """id() of the shared (multiply-referenced) physical subplan a
+        lookup plan is rooted at, else None. Walks only row-preserving
+        unary wrappers (PSubquery rename, PProjection)."""
+        from query_engine_tpu.plan import physical as pp
+
+        while p is not None:
+            if isinstance(p, pp.PSubquery):
+                return id(p.input) if p.shared else None
+            if not isinstance(p, pp.PProjection):
+                return None
+            p = p.input
+        return None
+
     def _run_subplan(self, plan) -> ColumnBatch:
         if self._subplans is not None and id(plan) in self._subplans:
             return self._subplans[id(plan)]  # traced shim (compiled path)
@@ -1356,23 +1376,34 @@ class Evaluator:
         never per-row re-execution."""
         sub = self._run_subplan(e.plan)
         nk = len(e.outer_keys)
-        okeys, skeys = [], []
-        for i, ke in enumerate(e.outer_keys):
-            ov = self.eval(ke, batch)
-            sc = sub.columns[i]
-            sv = Val(jnp.asarray(sc.data), jnp.asarray(sc.validity),
-                     sc.dtype, sc.dictionary)
-            if ov.dictionary is not None or sc.dictionary is not None:
-                ov, sv = unify_dicts(ov, sv)
-            okeys.append((ov.data, ov.validity))
-            skeys.append((sv.data, sv.validity))
-        lr, rr = K.join_ranks(okeys, skeys, batch.num_rows, sub.num_rows)
-        # grouped subplan => unique keys: rank -> row scatter table + one
-        # lookup gather (searchsorted lowers 50-100x slower than a sort
-        # on TPU; docs/TPU_DESIGN.md #2)
-        row, found = K.fk_join_right_lookup(
-            lr, rr, batch.num_rows, sub.num_rows
-        )
+        mkey = None
+        if self._subplans is None:  # eager path only (no traced arrays)
+            sid = self._shared_root_id(e.plan)
+            if sid is not None:
+                mkey = (id(batch), sid, tuple(id(k) for k in e.outer_keys))
+        hit = self._corr_match_memo.get(mkey) if mkey is not None else None
+        if hit is not None:
+            row, found = hit
+        else:
+            okeys, skeys = [], []
+            for i, ke in enumerate(e.outer_keys):
+                ov = self.eval(ke, batch)
+                sc = sub.columns[i]
+                sv = Val(jnp.asarray(sc.data), jnp.asarray(sc.validity),
+                         sc.dtype, sc.dictionary)
+                if ov.dictionary is not None or sc.dictionary is not None:
+                    ov, sv = unify_dicts(ov, sv)
+                okeys.append((ov.data, ov.validity))
+                skeys.append((sv.data, sv.validity))
+            lr, rr = K.join_ranks(okeys, skeys, batch.num_rows, sub.num_rows)
+            # grouped subplan => unique keys: rank -> row scatter table +
+            # one lookup gather (searchsorted lowers 50-100x slower than a
+            # sort on TPU; docs/TPU_DESIGN.md #2)
+            row, found = K.fk_join_right_lookup(
+                lr, rr, batch.num_rows, sub.num_rows
+            )
+            if mkey is not None:
+                self._corr_match_memo[mkey] = (row, found)
         if e.mode == "exists":
             data = ~found if e.negated else found
             return Val(data, jnp.ones(batch.capacity, dtype=bool),

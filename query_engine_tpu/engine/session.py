@@ -246,6 +246,7 @@ class Session:
         t1 = _time.perf_counter()
         self.last_timing.plan_ms += (t1 - t0) * 1e3
         self.executor._cte_memo.clear()
+        self.executor.evaluator._corr_match_memo.clear()
         try:
             out = None
             if self.mesh_pipeline is not None:
@@ -254,6 +255,7 @@ class Session:
                 out = self.executor.execute(pplan)
         finally:
             self.executor._cte_memo.clear()
+            self.executor.evaluator._corr_match_memo.clear()
         self.last_timing.execute_ms += (_time.perf_counter() - t1) * 1e3
         return out
 

@@ -1043,16 +1043,6 @@ class Planner:
         proj = lp.Projection(agg_plan, key_refs + [value])
         return lp.CorrelatedLookupExpr(outer_keys, proj, "value", False, None)
 
-    def _corr_minmax_lookup(self, plan, key_lexprs, outer_keys, inner_le,
-                            func):
-        """keys -> MIN/MAX(inner_le) per correlation-key group, as a
-        CorrelatedLookupExpr (NULL on missing groups)."""
-        agg = lp.AggregateExpr(func, inner_le)
-        agg_plan = lp.Aggregate(plan, key_lexprs, [agg])
-        return lp.CorrelatedLookupExpr(
-            outer_keys, agg_plan, "value", False, None
-        )
-
     def _plan_correlated_exists(self, sel, outer_scope, ctes, negated: bool):
         if sel.limit is not None and sel.limit == 0:
             raise PlanError("EXISTS (... LIMIT 0) is never true")
@@ -1078,27 +1068,55 @@ class Planner:
         inner_ast, op, outer_le = nonequi[0]
         inner_le = self.plan_expr(inner_ast, inner_scope, ctes)
         B, O = lp.BinOp, ast.BinaryOperator
-        mk = lambda f: self._corr_minmax_lookup(  # noqa: E731
-            plan, key_lexprs, outer_keys, inner_le, f
-        )
+        aggs = []
+        if op in (O.LT, O.LTE) or op is O.NEQ:
+            aggs.append(lp.AggregateExpr(lp.AggFunc.MIN, inner_le))
+        if op in (O.GT, O.GTE) or op is O.NEQ:
+            aggs.append(lp.AggregateExpr(lp.AggFunc.MAX, inner_le))
+        # ONE grouped subplan feeds every lookup (membership + bound(s));
+        # the SubqueryScan wrappers share the plan object, so the shared-CTE
+        # machinery (plan/lowering.py shared_subquery_ids) materializes the
+        # aggregate once per query instead of once per lookup
+        agg_plan = lp.Aggregate(plan, key_lexprs, aggs)
+        aschema = agg_plan.schema()
+        nk = len(key_lexprs)
+
+        def scan():
+            return lp.SubqueryScan(agg_plan, "__corr", aschema)
+
+        def bound_lookup(col_idx: int):
+            if col_idx == nk:
+                # the value column IS the first aggregate — no projection
+                return lp.CorrelatedLookupExpr(
+                    outer_keys, scan(), "value", False, None
+                )
+            key_refs = [
+                lp.ColumnRef(i, f.name, f.data_type, f.nullable)
+                for i, f in enumerate(aschema)
+            ][:nk]
+            f = aschema.field(col_idx)
+            proj = lp.Projection(scan(), key_refs + [
+                lp.ColumnRef(col_idx, f.name, f.data_type, f.nullable)
+            ])
+            return lp.CorrelatedLookupExpr(
+                outer_keys, proj, "value", False, None
+            )
+
         if op in (O.LT, O.LTE):
             cond = lp.BinaryExpr(
-                mk(lp.AggFunc.MIN), B.LT if op is O.LT else B.LTE, outer_le
+                bound_lookup(nk), B.LT if op is O.LT else B.LTE, outer_le
             )
         elif op in (O.GT, O.GTE):
             cond = lp.BinaryExpr(
-                mk(lp.AggFunc.MAX), B.GT if op is O.GT else B.GTE, outer_le
+                bound_lookup(nk), B.GT if op is O.GT else B.GTE, outer_le
             )
-        else:  # NEQ
+        else:  # NEQ: some value differs iff a bound does
             cond = lp.BinaryExpr(
-                lp.BinaryExpr(mk(lp.AggFunc.MIN), B.NEQ, outer_le),
+                lp.BinaryExpr(bound_lookup(nk), B.NEQ, outer_le),
                 B.OR,
-                lp.BinaryExpr(mk(lp.AggFunc.MAX), B.NEQ, outer_le),
+                lp.BinaryExpr(bound_lookup(nk + 1), B.NEQ, outer_le),
             )
-        member_plan = lp.Aggregate(plan, key_lexprs, [])
-        member = lp.CorrelatedLookupExpr(
-            outer_keys, member_plan, "exists", False
-        )
+        member = lp.CorrelatedLookupExpr(outer_keys, scan(), "exists", False)
         # Kleene: a missing group gives (false AND NULL) = false, so NOT
         # EXISTS over an empty correlated set is still true
         full = lp.BinaryExpr(member, B.AND, cond)

@@ -51,6 +51,10 @@ PREDICATES = [
     "ABS(f) < 50", "k > 5 AND v < 100", "v > 200 OR k = 3",
     "s LIKE 'a%'", "CASE WHEN k > 10 THEN v ELSE -v END > 0",
     "STARTS_WITH(s, 'a')", "LN(ABS(v) + 1) < 4", "MOD(v, 7) = 2",
+    # regex family (pattern tables built per dictionary value)
+    "s ~ '^[abg]'", "s ~* 'GAMMA'", "s !~ 'a$'",
+    "s SIMILAR TO '(alpha|beta)'", "s NOT SIMILAR TO '%t%'",
+    "REGEXP_LIKE(s, 'l.h')",
 ]
 PROJ = [
     "id", "k", "v", "f", "s", "v + k", "v * 2", "ABS(v)",
@@ -62,6 +66,8 @@ PROJ = [
     # diffs that a bit-exact differential oracle must not chase
     "ROUND(f)", "LEFT(s, 2)", "REVERSE(s)", "STRPOS(s, 'a')",
     "SPLIT_PART(s, 'a', 1)", "EXP(v / 500)",
+    "REGEXP_REPLACE(s, '[aeiou]', '*', 'g')", "REGEXP_COUNT(s, 'a')",
+    "REGEXP_SUBSTR(s, '[lmn]+')",
 ]
 AGGS = [
     "COUNT(*)", "COUNT(v)", "SUM(v)", "AVG(v)", "MIN(v)", "MAX(v)",
@@ -145,7 +151,12 @@ def gen_query(rnd: random.Random) -> tuple:
         safe = [p for p in PREDICATES if "k" not in p.replace("k =", "k=")
                 .split() and " k " not in f" {p} " and not p.startswith("k")]
         jwhere = f" WHERE {rnd.choice(safe)}" if rnd.random() < 0.6 else ""
-        q = f"SELECT {cols} FROM t1 {jt} {tbl} b ON t1.k = b.k{jwhere}"
+        # residual ON conditions exercise the INNER post-filter and the
+        # outer recompute-unmatched path (executor._exec_outer_join_residual)
+        residual = ""
+        if rnd.random() < 0.35:
+            residual = " AND b.u > 5" if tbl == "t3" else " AND b.w < 50"
+        q = f"SELECT {cols} FROM t1 {jt} {tbl} b ON t1.k = b.k{residual}{jwhere}"
         return q, False
     if shape < 0.78:  # join + aggregate
         q = (f"SELECT b.k AS gk, COUNT(*), SUM(t1.v) FROM t1 "
@@ -163,16 +174,25 @@ def gen_query(rnd: random.Random) -> tuple:
         q = f"SELECT id, v, {w} FROM t1{where} ORDER BY id"
         return q, True
     if shape < 0.94:  # correlated / uncorrelated subquery predicates
-        kind = rnd.randrange(3)
+        kind = rnd.randrange(5)
         if kind == 0:
             q = ("SELECT id FROM t1 WHERE v > (SELECT AVG(u) FROM t3) "
                  "ORDER BY id")
         elif kind == 1:
             q = ("SELECT t1.id FROM t1 WHERE EXISTS (SELECT 1 FROM t3 "
                  "WHERE t3.k = t1.k AND t3.u > 5) ORDER BY t1.id")
-        else:
+        elif kind == 2:
             q = ("SELECT t1.id, (SELECT MAX(t3.u) FROM t3 "
                  "WHERE t3.k = t1.k) AS m FROM t1 ORDER BY t1.id LIMIT 50")
+        elif kind == 3:
+            # expression over aggregates in a correlated scalar (Q17 shape)
+            q = ("SELECT t1.id FROM t1 WHERE t1.v < (SELECT 0.5 * AVG(u) "
+                 "+ 1 FROM t3 WHERE t3.k = t1.k) ORDER BY t1.id")
+        else:
+            # inequality correlation via per-group MIN/MAX (Q21 shape)
+            neg = rnd.choice(["", "NOT "])
+            q = (f"SELECT t1.id FROM t1 WHERE {neg}EXISTS (SELECT 1 FROM t3 "
+                 "WHERE t3.k = t1.k AND t3.u != t1.id % 10) ORDER BY t1.id")
         return q, True
     if shape < 0.96:  # grouping sets / rollup
         g1, g2 = rnd.sample(["k", "s"], 2)
@@ -188,16 +208,21 @@ def gen_query(rnd: random.Random) -> tuple:
                  f"GROUP BY ROLLUP({g1})")
         return q, False
     if shape < 0.97:  # CTE / derived-table / subquery shapes
-        kind = rnd.randrange(3)
+        kind = rnd.randrange(4)
         if kind == 0:
             q = (f"WITH f AS (SELECT k, v FROM t1{where}) "
                  f"SELECT k, COUNT(*), SUM(v) FROM f GROUP BY k")
         elif kind == 1:
             q = (f"SELECT sub.k, sub.m FROM (SELECT k, MAX(v) AS m FROM t1 "
                  f"GROUP BY k) sub WHERE sub.m > 100 ORDER BY sub.k")
-        else:
+        elif kind == 2:
             q = ("SELECT id, v FROM t1 WHERE v > "
                  "(SELECT AVG(v) FROM t1) ORDER BY id LIMIT 20")
+        else:
+            # shared CTE: both references must see ONE materialization
+            q = ("WITH r AS (SELECT k, COUNT(*) AS c FROM t1 GROUP BY k) "
+                 "SELECT a.k, a.c FROM r a "
+                 "WHERE a.c = (SELECT MAX(c) FROM r) ORDER BY a.k")
         return q, kind == 2
     # distinct
     cols = rnd.choice(["k", "s", "k, s"])
