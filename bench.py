@@ -26,11 +26,44 @@ import os
 import sys
 import time
 
-import numpy as np
 
-import query_engine_tpu  # noqa: F401  (enables x64)
-import jax
-import jax.numpy as jnp
+def _ensure_device_or_cpu():
+    """The driver runs this on a real TPU behind a tunnel; when the tunnel
+    is down, backend init hangs forever. Probe in a subprocess with a
+    timeout BEFORE any jax-touching import and fall back to CPU — clearly
+    labeled in the JSON — so the round still records A number instead of a
+    timeout. NOTE the harness exports JAX_PLATFORMS=axon, so "is it set"
+    is not a usable skip condition — only an explicit cpu request skips
+    the probe."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    import subprocess
+
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import query_engine_tpu, jax; jax.devices()"],
+            timeout=300, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc != 0:
+        print("TPU backend unavailable (tunnel down?); falling back to CPU "
+              "— numbers below are NOT TPU numbers", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault("QE_BENCH_ROWS", str(1 << 21))
+        os.environ.setdefault("QE_BENCH_OPS", "0")
+
+
+if __name__ == "__main__":
+    _ensure_device_or_cpu()
+
+import numpy as np  # noqa: E402
+
+import query_engine_tpu  # noqa: F401,E402  (enables x64)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from query_engine_tpu.ops import kernels as K
 from query_engine_tpu.ops.pallas.group_agg import grouped_sum_count_i64
@@ -184,6 +217,7 @@ def main():
         "metric": metric,
         "value": round(headline, 1),
         "unit": "rows/sec/chip",
+        "device": str(jax.devices()[0]),
         "vs_baseline": round(headline / REFERENCE_JOIN_ROWS_PER_SEC, 2),
         "hbm_roofline_frac": round(headline * 23 / HBM_BYTES_PER_SEC, 4),
         "fused_pipeline_rows_per_sec": round(rows_per_sec, 1),
