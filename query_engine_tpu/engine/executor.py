@@ -293,6 +293,17 @@ class QueryExecutor:
             return ColumnBatch.empty(plan.out_schema)
         if isinstance(plan, pp.PValues):
             return self._exec_values(plan)
+        if isinstance(plan, pp.PGenerateSeries):
+            start, stop, step = plan.start, plan.stop, plan.step
+            if step > 0:
+                n = 0 if start > stop else (stop - start) // step + 1
+            else:
+                n = 0 if start < stop else (start - stop) // (-step) + 1
+            cap = padded_capacity(n)
+            data = start + step * jnp.arange(cap, dtype=jnp.int64)
+            col = Column(data, jnp.ones(cap, dtype=bool),
+                         plan.out_schema.field(0).data_type, None)
+            return ColumnBatch(plan.out_schema, [col], n)
         raise ExecutionError(f"cannot execute {type(plan).__name__}")
 
     # ---- scan ----------------------------------------------------------

@@ -1067,6 +1067,23 @@ class Values(LogicalPlan):
         return self.rel_schema
 
 
+@dataclass
+class GenerateSeries(LogicalPlan):
+    """GENERATE_SERIES(start, stop[, step]): int64 arithmetic series —
+    lowers to a device iota, the cheapest possible TPU relation."""
+    start: int
+    stop: int
+    step: int
+    rel_schema: Schema
+
+    def schema(self) -> Schema:
+        return self.rel_schema
+
+    def _label(self) -> str:
+        return (f"GenerateSeries: {self.start}..{self.stop} "
+                f"step {self.step}")
+
+
 def walk_exprs(expr: LogicalExpr, visit) -> None:
     """Pre-order traversal over an expression tree."""
     visit(expr)

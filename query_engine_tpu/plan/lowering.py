@@ -101,6 +101,10 @@ class Lowering:
                 [[self._lower_expr(e) for e in row] for row in plan.rows],
                 plan.schema(),
             )
+        if isinstance(plan, lp.GenerateSeries):
+            return pp.PGenerateSeries(
+                plan.start, plan.stop, plan.step, plan.schema()
+            )
         if isinstance(plan, lp.IndexScan):
             raise PlanError("IndexScan lowering requires Session index manager")
         raise PlanError(f"cannot lower plan node {type(plan).__name__}")

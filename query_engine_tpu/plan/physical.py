@@ -285,3 +285,17 @@ class PValues(PhysicalPlan):
 
     def schema(self) -> Schema:
         return self.out_schema
+
+
+@dataclass
+class PGenerateSeries(PhysicalPlan):
+    start: int
+    stop: int
+    step: int
+    out_schema: Schema
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def _label(self):
+        return f"GenerateSeries: {self.start}..{self.stop} step {self.step}"

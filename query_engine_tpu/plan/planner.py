@@ -504,6 +504,8 @@ class Planner:
     ) -> lp.LogicalPlan:
         if isinstance(tr, ast.ValuesRef):
             return self._plan_values_ref(tr, ctes)
+        if isinstance(tr, ast.TableFnRef):
+            return self._plan_table_fn(tr, ctes)
         if isinstance(tr, ast.SubqueryRef):
             sub = self.plan_select(tr.query, ctes)
             schema = prefix_schema(
@@ -576,6 +578,41 @@ class Planner:
             fields.append(Field(names[j], dt, nullable))
         schema = prefix_schema(Schema(fields), tr.alias)
         return lp.Values(rows, schema)
+
+    def _plan_table_fn(self, tr: ast.TableFnRef, ctes) -> lp.LogicalPlan:
+        """GENERATE_SERIES(start, stop[, step]) — constant int arguments
+        (PG semantics: empty when step moves away from stop; step 0
+        errors)."""
+        if tr.fn != "generate_series":
+            raise PlanError(f"unknown table function {tr.fn}")
+        if len(tr.args) not in (2, 3):
+            raise PlanError("GENERATE_SERIES takes 2 or 3 arguments")
+        if len(tr.columns) > 1:
+            raise PlanError("GENERATE_SERIES produces one column")
+
+        def const_int(a, what):
+            e = self.plan_expr(a, Resolver(Schema([])), ctes)
+            neg = False
+            if isinstance(e, lp.UnaryExpr) and e.op is lp.UnOp.NEG:
+                neg, e = True, e.expr
+            if not isinstance(e, lp.Literal) or e.value.is_null or \
+                    not e.dtype.is_integer:
+                raise PlanError(
+                    f"GENERATE_SERIES {what} must be an integer constant"
+                )
+            v = int(e.value.value)
+            return -v if neg else v
+
+        start = const_int(tr.args[0], "start")
+        stop = const_int(tr.args[1], "stop")
+        step = const_int(tr.args[2], "step") if len(tr.args) == 3 else 1
+        if step == 0:
+            raise PlanError("GENERATE_SERIES step must not be zero")
+        col = tr.columns[0] if tr.columns else "generate_series"
+        schema = prefix_schema(
+            Schema([Field(col, DataType.int64(), False)]), tr.alias
+        )
+        return lp.GenerateSeries(start, stop, step, schema)
 
     # ---- expressions ---------------------------------------------------
     def plan_expr(

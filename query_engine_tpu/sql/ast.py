@@ -446,6 +446,16 @@ class SubqueryRef(TableReference):
 
 
 @dataclass(frozen=True)
+class TableFnRef(TableReference):
+    """Table function in FROM: GENERATE_SERIES(start, stop[, step])
+    [AS alias[(col)]] — produces a single int64 column."""
+    fn: str
+    args: tuple  # of Expr
+    alias: str = ""
+    columns: tuple = ()
+
+
+@dataclass(frozen=True)
 class ValuesRef(TableReference):
     """(VALUES (...), (...)) AS alias(col, ...) — a literal inline table
     (also the body of a standalone VALUES statement, PG column1.. names)."""

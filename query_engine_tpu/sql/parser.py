@@ -499,6 +499,24 @@ class Parser:
             alias = self.expect_alias()
             return ast.SubqueryRef(query, alias)
         name = self.expect_ident()
+        if name.upper() == "GENERATE_SERIES" and self.cur.is_op("("):
+            self.advance()
+            args = [self.parse_expr()]
+            while self.match_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            self.match_kw("AS")
+            alias, cols = name.lower(), ()
+            if self.cur.kind == "IDENT" and \
+                    self.cur.value.upper() not in _NON_ALIAS_WORDS:
+                alias = self.advance().value
+                if self.match_op("("):
+                    names = [self.expect_ident()]
+                    while self.match_op(","):
+                        names.append(self.expect_ident())
+                    self.expect_op(")")
+                    cols = tuple(names)
+            return ast.TableFnRef("generate_series", tuple(args), alias, cols)
         alias = None
         if self.match_kw("AS"):
             alias = self.expect_alias()
