@@ -295,12 +295,19 @@ class QueryExecutor:
             return self._exec_values(plan)
         if isinstance(plan, pp.PGenerateSeries):
             start, stop, step = plan.start, plan.stop, plan.step
-            if step > 0:
-                n = 0 if start > stop else (stop - start) // step + 1
+            if plan.values is not None:  # month-stepped temporal series
+                n = len(plan.values)
+                cap = padded_capacity(n)
+                host = np.zeros(cap, dtype=np.int64)
+                host[:n] = plan.values
+                data = jnp.asarray(host)
             else:
-                n = 0 if start < stop else (start - stop) // (-step) + 1
-            cap = padded_capacity(n)
-            data = start + step * jnp.arange(cap, dtype=jnp.int64)
+                if step > 0:
+                    n = 0 if start > stop else (stop - start) // step + 1
+                else:
+                    n = 0 if start < stop else (start - stop) // (-step) + 1
+                cap = padded_capacity(n)
+                data = start + step * jnp.arange(cap, dtype=jnp.int64)
             col = Column(data, jnp.ones(cap, dtype=bool),
                          plan.out_schema.field(0).data_type, None)
             return ColumnBatch(plan.out_schema, [col], n)

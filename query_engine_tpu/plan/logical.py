@@ -1069,12 +1069,15 @@ class Values(LogicalPlan):
 
 @dataclass
 class GenerateSeries(LogicalPlan):
-    """GENERATE_SERIES(start, stop[, step]): int64 arithmetic series —
-    lowers to a device iota, the cheapest possible TPU relation."""
+    """GENERATE_SERIES(start, stop[, step]): arithmetic series over int64,
+    DATE32 (days) or TIMESTAMP (micros) — lowers to a device iota, the
+    cheapest possible TPU relation. Month-stepped temporal series (the one
+    non-uniform stride) carry precomputed `values` instead."""
     start: int
     stop: int
     step: int
     rel_schema: Schema
+    values: Optional[list] = None  # host-computed irregular series
 
     def schema(self) -> Schema:
         return self.rel_schema

@@ -103,7 +103,7 @@ class Lowering:
             )
         if isinstance(plan, lp.GenerateSeries):
             return pp.PGenerateSeries(
-                plan.start, plan.stop, plan.step, plan.schema()
+                plan.start, plan.stop, plan.step, plan.schema(), plan.values
             )
         if isinstance(plan, lp.IndexScan):
             raise PlanError("IndexScan lowering requires Session index manager")

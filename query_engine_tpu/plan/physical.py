@@ -293,6 +293,7 @@ class PGenerateSeries(PhysicalPlan):
     stop: int
     step: int
     out_schema: Schema
+    values: Optional[list] = None  # month-stepped temporal series
 
     def schema(self) -> Schema:
         return self.out_schema

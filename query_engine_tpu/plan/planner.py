@@ -580,15 +580,25 @@ class Planner:
         return lp.Values(rows, schema)
 
     def _plan_table_fn(self, tr: ast.TableFnRef, ctes) -> lp.LogicalPlan:
-        """GENERATE_SERIES(start, stop[, step]) — constant int arguments
-        (PG semantics: empty when step moves away from stop; step 0
-        errors)."""
+        """GENERATE_SERIES(start, stop[, step]) — constant arguments over
+        int64, or DATE/TIMESTAMP bounds with an INTERVAL step (PG
+        semantics: empty when step moves away from stop; step 0 errors;
+        month addition clamps to month length: Jan 31 + 1 mon = Feb 28)."""
         if tr.fn != "generate_series":
             raise PlanError(f"unknown table function {tr.fn}")
         if len(tr.args) not in (2, 3):
             raise PlanError("GENERATE_SERIES takes 2 or 3 arguments")
         if len(tr.columns) > 1:
             raise PlanError("GENERATE_SERIES produces one column")
+        col = tr.columns[0] if tr.columns else "generate_series"
+
+        def mkschema(dt):
+            return prefix_schema(Schema([Field(col, dt, False)]), tr.alias)
+
+        # temporal form: DATE/TIMESTAMP bounds + INTERVAL step
+        if (isinstance(tr.args[0], ast.Cast)
+                and tr.args[0].data_type.is_temporal):
+            return self._plan_temporal_series(tr, mkschema)
 
         def const_int(a, what):
             e = self.plan_expr(a, Resolver(Schema([])), ctes)
@@ -608,11 +618,95 @@ class Planner:
         step = const_int(tr.args[2], "step") if len(tr.args) == 3 else 1
         if step == 0:
             raise PlanError("GENERATE_SERIES step must not be zero")
-        col = tr.columns[0] if tr.columns else "generate_series"
-        schema = prefix_schema(
-            Schema([Field(col, DataType.int64(), False)]), tr.alias
+        return lp.GenerateSeries(start, stop, step, mkschema(DataType.int64()))
+
+    def _plan_temporal_series(self, tr: ast.TableFnRef, mkschema):
+        import datetime
+
+        from query_engine_tpu.core.types import TypeKind
+
+        def temporal_const(a, what):
+            if not (isinstance(a, ast.Cast) and a.data_type.is_temporal
+                    and isinstance(a.expr, ast.StringLit)):
+                raise PlanError(
+                    f"GENERATE_SERIES {what} must be a DATE/TIMESTAMP "
+                    "constant"
+                )
+            kind = a.data_type.kind
+            try:
+                if kind is TypeKind.DATE32:
+                    d = datetime.date.fromisoformat(a.expr.value)
+                    return kind, (d - datetime.date(1970, 1, 1)).days
+                dt = datetime.datetime.fromisoformat(a.expr.value)
+                us = int(
+                    (dt - datetime.datetime(1970, 1, 1)).total_seconds()
+                    * 1e6
+                )
+                return kind, us
+            except ValueError:
+                raise PlanError(f"malformed temporal literal {a.expr.value!r}")
+
+        k0, start = temporal_const(tr.args[0], "start")
+        k1, stop = temporal_const(tr.args[1], "stop")
+        if k0 is not k1:
+            raise PlanError("GENERATE_SERIES bounds must share a type")
+        if len(tr.args) != 3 or not isinstance(tr.args[2], ast.IntervalLit):
+            raise PlanError(
+                "temporal GENERATE_SERIES requires an INTERVAL step"
+            )
+        iv = tr.args[2]
+        months, days, micros = iv.months, iv.days, iv.micros
+        if months == 0 and days == 0 and micros == 0:
+            raise PlanError("GENERATE_SERIES step must not be zero")
+        is_date = k0 is TypeKind.DATE32
+        dt_out = DataType.date32() if is_date else DataType.timestamp()
+        if months == 0:
+            if is_date:
+                if micros:
+                    raise PlanError(
+                        "sub-day INTERVAL step over a DATE series"
+                    )
+                step = days
+            else:
+                step = micros + days * 86_400_000_000
+            return lp.GenerateSeries(start, stop, step, mkschema(dt_out))
+        # month strides are non-uniform: generate on the host (clamped
+        # month addition), carry the values
+        epoch_d = datetime.date(1970, 1, 1)
+        epoch_ts = datetime.datetime(1970, 1, 1)
+        base = (epoch_d + datetime.timedelta(days=start) if is_date
+                else epoch_ts + datetime.timedelta(microseconds=start))
+
+        def add_months(d, n):
+            y, m = divmod((d.year * 12 + d.month - 1) + n, 12)
+            m += 1
+            import calendar
+
+            day = min(d.day, calendar.monthrange(y, m)[1])
+            return d.replace(year=y, month=m, day=day)
+
+        def encode(d):
+            if is_date:
+                return (d - epoch_d).days
+            return int((d - epoch_ts).total_seconds() * 1e6)
+
+        probe = add_months(base, months) + datetime.timedelta(
+            days=days, microseconds=micros
         )
-        return lp.GenerateSeries(start, stop, step, schema)
+        forward = encode(probe) > start
+        vals, i = [], 0
+        while len(vals) < (1 << 24):
+            cur = add_months(base, months * i) + datetime.timedelta(
+                days=days * i, microseconds=micros * i
+            )
+            v = encode(cur)
+            if (v > stop) if forward else (v < stop):
+                break
+            vals.append(v)
+            i += 1
+        else:
+            raise PlanError("GENERATE_SERIES longer than 2^24 rows")
+        return lp.GenerateSeries(start, stop, 0, mkschema(dt_out), vals)
 
     # ---- expressions ---------------------------------------------------
     def plan_expr(
