@@ -278,6 +278,9 @@ class WindowSpec:
     partition_by: Tuple[Expr, ...] = ()
     order_by: Tuple["OrderByExpr", ...] = ()
     frame: Optional[WindowFrame] = None
+    # `OVER name` reference into the WINDOW clause; the parser patches the
+    # real spec in after the (later) WINDOW clause is read
+    ref: Optional[str] = None
 
 
 @dataclass(frozen=True)

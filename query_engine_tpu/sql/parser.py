@@ -38,7 +38,7 @@ _WINDOW_KWS = {
 }
 # words that may follow a table name but must never be captured as an
 # implicit alias (they lex as IDENT, not KEYWORD)
-_NON_ALIAS_WORDS = {"NATURAL", "FETCH", "LATERAL", "TABLESAMPLE"}
+_NON_ALIAS_WORDS = {"NATURAL", "FETCH", "LATERAL", "TABLESAMPLE", "WINDOW"}
 
 _SCALAR_KWS = {
     "UPPER", "LOWER", "LENGTH", "CONCAT", "SUBSTRING", "TRIM", "REPLACE",
@@ -386,6 +386,17 @@ class Parser:
                     sel.group_by.append(self.parse_expr())
         if self.match_kw("HAVING"):
             sel.having = self.parse_expr()
+        named_windows = {}
+        if self._match_word("WINDOW"):
+            while True:
+                nm = self.expect_ident()
+                self.expect_kw("AS")
+                if not self.cur.is_op("("):
+                    raise ParseError("expected ( after WINDOW name AS")
+                spec = self.parse_window_spec()
+                named_windows[nm.lower()] = spec
+                if not self.match_op(","):
+                    break
         if self.cur.is_kw("ORDER"):
             self.advance()
             self.expect_kw("BY")
@@ -411,7 +422,46 @@ class Parser:
                     "only FETCH ... ROWS ONLY is supported (no WITH TIES)"
                 )
             sel.limit = n
+        self._resolve_window_refs(sel, named_windows)
         return sel
+
+    def _resolve_window_refs(self, sel: ast.SelectStatement,
+                             windows: dict) -> None:
+        """Patch every `OVER name` WindowSpec with its WINDOW-clause
+        definition (frozen dataclasses are patched in place — the clause
+        appears after the projection, so references parse first)."""
+        import dataclasses
+
+        seen = set()
+
+        def walk(x):
+            if x is None or id(x) in seen:
+                return
+            if isinstance(x, ast.WindowSpec):
+                seen.add(id(x))
+                if x.ref is None:
+                    return
+                spec = windows.get(x.ref.lower())
+                if spec is None:
+                    raise ParseError(f'window "{x.ref}" is not defined')
+                for f in ("partition_by", "order_by", "frame"):
+                    object.__setattr__(x, f, getattr(spec, f))
+                object.__setattr__(x, "ref", None)
+                return
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                seen.add(id(x))
+                for f in dataclasses.fields(x):
+                    walk(getattr(x, f.name))
+            elif isinstance(x, (list, tuple)):
+                for v in x:
+                    walk(v)
+
+        for it in sel.projection:
+            walk(it)
+        for ob in sel.order_by:
+            walk(ob)
+        if sel.having is not None:
+            walk(sel.having)
 
     def _match_word(self, *names: str) -> bool:
         """Match-and-consume a non-reserved word that may lex as IDENT or
@@ -1208,6 +1258,10 @@ class Parser:
         return ast.WindowFunction(func, tuple(args), over)
 
     def parse_window_spec(self) -> ast.WindowSpec:
+        if self.cur.kind == "IDENT":
+            # OVER name — resolved against the WINDOW clause at the end of
+            # the SELECT (the clause appears after the projection in SQL)
+            return ast.WindowSpec(ref=self.advance().value)
         self.expect_op("(")
         partition_by: List[ast.Expr] = []
         order_by: List[ast.OrderByExpr] = []
