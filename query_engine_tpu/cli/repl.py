@@ -75,7 +75,9 @@ class Repl:
             schema = self.session.table_schema(name)
             return f"Loaded '{name}' ({len(schema)} columns)"
         if cmd == ".tables":
-            names = self.session.tables()
+            names = self.session.tables() + [
+                f"{v} (view)" for v in self.session.views()
+            ]
             return "\n".join(names) if names else "(no tables)"
         if cmd in (".describe", ".schema"):
             if not args:

@@ -114,8 +114,14 @@ class Session:
     def tables(self) -> List[str]:
         return sorted(self.sources)
 
+    def views(self) -> List[str]:
+        return sorted(self.planner.views)
+
     def table_schema(self, name: str) -> Schema:
-        return self.sources[name.lower()].schema()
+        key = name.lower()
+        if key not in self.sources and key in self.planner.views:
+            return self.planner.views[key].schema()
+        return self.sources[key].schema()
 
     # ---- SQL entry -----------------------------------------------------
     def sql(self, query: str, params: Optional[list] = None) -> ColumnBatch:
@@ -204,6 +210,12 @@ class Session:
             return result
         if isinstance(stmt, ast.CreateTable):
             return self._exec_create_table(stmt)
+        if isinstance(stmt, ast.CreateView):
+            return self._exec_create_view(stmt)
+        if isinstance(stmt, ast.DropView):
+            return self._exec_drop_view(stmt)
+        if isinstance(stmt, ast.DropTable):
+            return self._exec_drop_table(stmt)
         if isinstance(stmt, ast.Insert):
             return self._exec_insert(stmt)
         if isinstance(stmt, ast.Update):
@@ -334,6 +346,58 @@ class Session:
         self.planner.register_table(name, schema)
         self._invalidate_cache()
         return _status_batch("CREATE TABLE")
+
+    def _exec_create_view(self, stmt: ast.CreateView) -> ColumnBatch:
+        """CREATE [OR REPLACE] VIEW v [(cols)] AS select — bound at
+        creation (PG semantics): the body plans NOW against the current
+        schemas and every later reference shares the plan object, so a
+        view used twice in one query materializes once (shared-CTE
+        machinery)."""
+        name = stmt.name.lower()
+        if name in self.sources:
+            raise ExecutionError(f"'{stmt.name}' is a table")
+        if name in self.planner.views and not stmt.or_replace:
+            raise ExecutionError(f"view '{stmt.name}' already exists")
+        plan = self.optimizer.optimize(
+            self.planner.create_logical_plan(stmt.query)
+        )
+        if stmt.columns:
+            sch = plan.schema()
+            if len(stmt.columns) != len(sch):
+                raise ExecutionError(
+                    f"view '{stmt.name}' column list has {len(stmt.columns)} "
+                    f"names for {len(sch)} columns"
+                )
+            plan = lp.Projection(plan, [
+                lp.AliasExpr(
+                    lp.ColumnRef(i, f.name, f.data_type, f.nullable), c
+                )
+                for i, (f, c) in enumerate(zip(plan.schema(), stmt.columns))
+            ])
+        self.planner.register_view(name, plan)
+        self._invalidate_cache()
+        return _status_batch("CREATE VIEW")
+
+    def _exec_drop_view(self, stmt: ast.DropView) -> ColumnBatch:
+        name = stmt.name.lower()
+        if name not in self.planner.views:
+            if stmt.if_exists:
+                return _status_batch("DROP VIEW")
+            raise ExecutionError(f"view '{stmt.name}' does not exist")
+        self.planner.deregister_view(name)
+        self._invalidate_cache()
+        return _status_batch("DROP VIEW")
+
+    def _exec_drop_table(self, stmt: ast.DropTable) -> ColumnBatch:
+        name = stmt.name.lower()
+        if name not in self.sources:
+            if stmt.if_exists:
+                return _status_batch("DROP TABLE")
+            raise ExecutionError(f"table '{stmt.name}' does not exist")
+        del self.sources[name]
+        self.planner.deregister_table(name)
+        self._invalidate_cache()
+        return _status_batch("DROP TABLE")
 
     def _require_memory_table(self, name: str) -> MemoryDataSource:
         src = self.sources.get(name.lower())

@@ -363,7 +363,13 @@ class PgConnection:
     def _handle_show(self, sql: str) -> None:
         arg = sql.split(None, 1)[1].strip().rstrip(";").lower()
         if arg == "tables":
-            batch = ColumnBatch.from_pydict({"table_name": self.session.tables()})
+            tables = self.session.tables()
+            views = self.session.views()
+            batch = ColumnBatch.from_pydict({
+                "table_name": tables + views,
+                "table_type": (["BASE TABLE"] * len(tables)
+                               + ["VIEW"] * len(views)),
+            })
             self._send_result(batch, f"SELECT {batch.num_rows}")
             return
         values = {

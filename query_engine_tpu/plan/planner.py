@@ -104,6 +104,10 @@ class Planner:
 
     def __init__(self, udfs: Optional[UdfRegistry] = None):
         self.tables: Dict[str, Schema] = {}
+        # view name -> planned LogicalPlan (bound at CREATE VIEW, like PG);
+        # every reference shares the object, so a view used twice in one
+        # query rides the shared-CTE single materialization
+        self.views: Dict[str, "lp.LogicalPlan"] = {}
         self.udfs = udfs or UdfRegistry()
 
     def register_table(self, name: str, schema: Schema) -> None:
@@ -111,6 +115,12 @@ class Planner:
 
     def deregister_table(self, name: str) -> None:
         self.tables.pop(name.lower(), None)
+
+    def register_view(self, name: str, plan: "lp.LogicalPlan") -> None:
+        self.views[name.lower()] = plan
+
+    def deregister_view(self, name: str) -> None:
+        self.views.pop(name.lower(), None)
 
     # ---- entry ---------------------------------------------------------
     def create_logical_plan(self, stmt: ast.Statement) -> lp.LogicalPlan:
@@ -529,6 +539,16 @@ class Planner:
                 prefix,
             )
             return lp.SubqueryScan(cte_plan, prefix, schema)
+        if key in self.views:
+            vplan = self.views[key]
+            schema = prefix_schema(
+                Schema(
+                    [Field(unqualified(f.name), f.data_type, f.nullable)
+                     for f in vplan.schema()]
+                ),
+                prefix,
+            )
+            return lp.SubqueryScan(vplan, prefix, schema)
         if key not in self.tables:
             raise PlanError(f"table '{tr.name}' not found")
         schema = prefix_schema(self.tables[key], prefix)

@@ -569,6 +569,26 @@ class CreateTable(Statement):
     if_not_exists: bool = False
 
 
+@dataclass
+class CreateView(Statement):
+    name: str
+    query: "Statement"  # Select or WithSelect
+    columns: Tuple[str, ...] = ()
+    or_replace: bool = False
+
+
+@dataclass
+class DropView(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DropTable(Statement):
+    name: str
+    if_exists: bool = False
+
+
 @dataclass(frozen=True)
 class Assignment:
     column: str

@@ -622,6 +622,28 @@ class Parser:
     # ---- DDL -----------------------------------------------------------
     def parse_create(self) -> ast.Statement:
         self.expect_kw("CREATE")
+        or_replace = False
+        if self.match_kw("OR"):
+            if not self._match_word("REPLACE"):
+                raise ParseError("expected REPLACE after CREATE OR")
+            or_replace = True
+        if self._match_word("VIEW"):
+            name = self.expect_ident()
+            cols: tuple = ()
+            if self.match_op("("):
+                names = [self.expect_ident()]
+                while self.match_op(","):
+                    names.append(self.expect_ident())
+                self.expect_op(")")
+                cols = tuple(names)
+            self.expect_kw("AS")
+            if self.cur.is_kw("WITH"):
+                body: ast.Statement = self.parse_with_select()
+            else:
+                body = ast.Select(self.parse_select())
+            return ast.CreateView(name, body, cols, or_replace)
+        if or_replace:
+            raise ParseError("OR REPLACE only valid for CREATE VIEW")
         unique = self.match_kw("UNIQUE")
         if self.match_kw("INDEX"):
             name = self.expect_ident()
@@ -688,7 +710,19 @@ class Parser:
                 if_exists = True
             name = self.expect_ident()
             return ast.DropIndex(name, if_exists)
-        raise ParseError("only DROP INDEX is supported")
+        if self._match_word("VIEW"):
+            if_exists = False
+            if self.match_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropView(self.expect_ident(), if_exists)
+        if self.match_kw("TABLE"):
+            if_exists = False
+            if self.match_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropTable(self.expect_ident(), if_exists)
+        raise ParseError("expected INDEX, TABLE, or VIEW after DROP")
 
     # ---- DML -----------------------------------------------------------
     def parse_insert(self) -> ast.Insert:
