@@ -690,7 +690,12 @@ class QueryExecutor:
         o_custkey AND o_comment NOT LIKE ...`). A post-join filter would
         wrongly drop those rows, so: run the inner match, filter the pairs
         by the residual, recompute the unmatched sets from the surviving
-        pairs, and concatenate the NULL-padded blocks."""
+        pairs, and concatenate the NULL-padded blocks.
+
+        Traceable residuals run as two fused cached programs (emit +
+        residual + survivor counting, then compact + pad + gather) with
+        one 3-int sync between them — the step path below is the fallback
+        and the oracle."""
         import dataclasses
 
         jt = plan.join_type
@@ -698,10 +703,16 @@ class QueryExecutor:
         inner = dataclasses.replace(
             plan, join_type=lp.JoinType.INNER, residual=None
         )
+        state = self._join_count_pass(inner, left, right)
         (lr, counts, rank_start, right_by_rank, _lm, _rm,
-         total_t, _el, _er) = self._join_count_pass(inner, left, right)
+         total_t, _el, _er) = state
         total = int(total_t)
         out_cap = padded_capacity(total)
+        fused = self._outer_residual_fused(
+            plan, left, right, state, total, out_cap
+        )
+        if fused is not None:
+            return fused
         li, ri, valid = K.join_emit_inner(
             counts, rank_start, right_by_rank, lr, total, out_cap
         )
@@ -745,6 +756,153 @@ class QueryExecutor:
             ].max(keep_i)[:nr]
             blocks.append(pad_block(rsurv, nr, out_cap, False))
         return ColumnBatch.concat([b for b in blocks if b is not None])
+
+    def _outer_residual_fused(self, plan, left, right, state, total,
+                              out_cap) -> Optional[ColumnBatch]:
+        """Fused outer-residual join: program A emits the inner pairs,
+        evaluates the residual on the joined planes, and counts surviving
+        pairs + per-side unmatched rows; the host syncs three ints; program
+        B compacts the kept pairs, appends the NULL-padded outer blocks,
+        and gathers the output columns. Returns None (fall back to the
+        step path) when the residual cannot live inside a traced program."""
+        from query_engine_tpu.engine.pipeline import (
+            _expr_key, _Unsupported, _expr_traceable,
+        )
+
+        if not _expr_traceable(plan.residual) or _expr_has_host_dependency(
+            plan.residual
+        ):
+            return None
+        try:
+            rkey = _expr_key(plan.residual)
+        except _Unsupported:
+            return None
+        jt = plan.join_type
+        has_l = jt in (lp.JoinType.LEFT, lp.JoinType.FULL)
+        has_r = jt in (lp.JoinType.RIGHT, lp.JoinType.FULL)
+        lcap, rcap = left.capacity, right.capacity
+        shape = (
+            jt.value, rkey, out_cap, lcap, rcap,
+            tuple(str(c.data.dtype) for c in left.columns),
+            tuple(str(c.data.dtype) for c in right.columns),
+            tuple(id(c.dictionary) for c in left.columns),
+            tuple(id(c.dictionary) for c in right.columns),
+        )
+        evaluator = self.evaluator
+        jschema = plan.out_schema
+        dts = [c.dtype for c in left.columns] + [c.dtype for c in right.columns]
+        dics = ([c.dictionary for c in left.columns]
+                + [c.dictionary for c in right.columns])
+        residual = plan.residual
+
+        keyA = ("ojresA",) + shape
+        fa = self._fused_cache.get(keyA)
+        if fa is None:
+
+            @jax.jit
+            def fa(ld, lv, rd, rv, lr, counts, rank_start, right_by_rank,
+                   total_t, nl, nr):
+                li, ri, valid = K.join_emit_inner(
+                    counts, rank_start, right_by_rank, lr, total_t, out_cap
+                )
+                gl_d, gl_v = K.gather_columns(ld, lv, li, valid)
+                gr_d, gr_v = K.gather_columns(rd, rv, ri, valid)
+                jb = _shim_batch(
+                    jschema, list(gl_d) + list(gr_d),
+                    list(gl_v) + list(gr_v), dts, dics,
+                )
+                keep = evaluator.eval_predicate_mask(residual, jb)
+                keep = keep & valid & (
+                    jnp.arange(out_cap, dtype=jnp.int64) < total_t
+                )
+                kept = jnp.sum(keep.astype(jnp.int64))
+                keep_i = keep.astype(jnp.int32)
+                surv_l = (
+                    jnp.zeros(lcap + 1, jnp.int32)
+                    .at[jnp.where(keep, li, lcap)].max(keep_i)[:lcap] > 0
+                )
+                surv_r = (
+                    jnp.zeros(rcap + 1, jnp.int32)
+                    .at[jnp.where(keep, ri, rcap)].max(keep_i)[:rcap] > 0
+                )
+                live_l = jnp.arange(lcap) < nl
+                live_r = jnp.arange(rcap) < nr
+                nxl = jnp.sum((live_l & ~surv_l).astype(jnp.int64))
+                nxr = jnp.sum((live_r & ~surv_r).astype(jnp.int64))
+                return li, ri, keep, surv_l, surv_r, kept, nxl, nxr
+
+            self._fused_cache[keyA] = fa
+
+        ld = [jnp.asarray(c.data) for c in left.columns]
+        lv = [jnp.asarray(c.validity) for c in left.columns]
+        rd = [jnp.asarray(c.data) for c in right.columns]
+        rv = [jnp.asarray(c.validity) for c in right.columns]
+        (lr, counts, rank_start, right_by_rank, _lm, _rm,
+         total_t, _el, _er) = state
+        try:
+            li, ri, keep, surv_l, surv_r, kept_t, nxl_t, nxr_t = fa(
+                ld, lv, rd, rv, lr, counts, rank_start, right_by_rank,
+                np.int64(total), np.int64(left.num_rows),
+                np.int64(right.num_rows),
+            )
+        except ExecutionError:
+            return None
+        kept = int(kept_t)
+        nxl = int(nxl_t) if has_l else 0
+        nxr = int(nxr_t) if has_r else 0
+        out_rows = kept + nxl + nxr
+        fcap = padded_capacity(out_rows)
+
+        keyB = ("ojresB",) + shape + (fcap, has_l, has_r)
+        fb = self._fused_cache.get(keyB)
+        if fb is None:
+
+            @jax.jit
+            def fb(ld, lv, rd, rv, li, ri, keep, surv_l, surv_r, kept_t,
+                   nxl_t, nxr_t, nl, nr):
+                cidx = K.compaction_indices(keep, out_cap, fcap)
+                pos = jnp.arange(fcap, dtype=jnp.int64)
+                in_m = pos < kept_t
+                li_f = li[cidx]
+                ri_f = ri[cidx]
+                lval = in_m
+                rval = in_m
+                if has_l:
+                    ul = K.compaction_indices(
+                        ~surv_l, nl, fcap
+                    )
+                    in_l = (pos >= kept_t) & (pos < kept_t + nxl_t)
+                    sel = jnp.clip(pos - kept_t, 0, fcap - 1)
+                    li_f = jnp.where(in_l, ul[sel], li_f)
+                    lval = lval | in_l
+                if has_r:
+                    start = kept_t + nxl_t
+                    ur = K.compaction_indices(
+                        ~surv_r, nr, fcap
+                    )
+                    in_r = (pos >= start) & (pos < start + nxr_t)
+                    sel = jnp.clip(pos - start, 0, fcap - 1)
+                    ri_f = jnp.where(in_r, ur[sel], ri_f)
+                    rval = rval | in_r
+                gl_d, gl_v = K.gather_columns(ld, lv, li_f, lval)
+                gr_d, gr_v = K.gather_columns(rd, rv, ri_f, rval)
+                return tuple(gl_d), tuple(gl_v), tuple(gr_d), tuple(gr_v)
+
+            self._fused_cache[keyB] = fb
+
+        gl_d, gl_v, gr_d, gr_v = fb(
+            ld, lv, rd, rv, li, ri, keep, surv_l, surv_r,
+            np.int64(kept), np.int64(nxl), np.int64(nxr),
+            np.int64(left.num_rows), np.int64(right.num_rows),
+        )
+        cols = [
+            Column(d, v, c.dtype, c.dictionary)
+            for d, v, c in zip(
+                list(gl_d) + list(gr_d), list(gl_v) + list(gr_v),
+                list(left.columns) + list(right.columns),
+            )
+        ]
+        return ColumnBatch(plan.out_schema, cols, out_rows)
 
     def _assemble_join(
         self, plan, left, right, li, ri, lvalid, rvalid, num_rows
