@@ -58,6 +58,16 @@ def handle_catalog_query(session, sql: str) -> Optional[ColumnBatch]:
             }
         )
 
+    if "pg_catalog.pg_views" in q or re.search(r"\bfrom pg_views\b", q):
+        names = session.views()
+        return ColumnBatch.from_pydict(
+            {
+                "schemaname": ["public"] * len(names),
+                "viewname": names,
+                "viewowner": ["qe"] * len(names),
+            }
+        )
+
     if "pg_catalog.pg_type" in q or re.search(r"\bfrom pg_type\b", q):
         kinds = sorted(_PG_TYPE_NAMES.values())
         oids = [type_oid(DataType(k)) for k in _PG_TYPE_NAMES]
@@ -78,12 +88,14 @@ def handle_catalog_query(session, sql: str) -> Optional[ColumnBatch]:
 
     if "information_schema.tables" in q:
         names = session.tables()
+        views = session.views()
         return ColumnBatch.from_pydict(
             {
-                "table_catalog": ["qe"] * len(names),
-                "table_schema": ["public"] * len(names),
-                "table_name": names,
-                "table_type": ["BASE TABLE"] * len(names),
+                "table_catalog": ["qe"] * (len(names) + len(views)),
+                "table_schema": ["public"] * (len(names) + len(views)),
+                "table_name": names + views,
+                "table_type": (["BASE TABLE"] * len(names)
+                               + ["VIEW"] * len(views)),
             }
         )
 
@@ -93,7 +105,7 @@ def handle_catalog_query(session, sql: str) -> Optional[ColumnBatch]:
             "ordinal_position": [], "data_type": [], "is_nullable": [],
         }
         m = re.search(r"table_name\s*=\s*'([^']+)'", q)
-        names = [m.group(1)] if m else session.tables()
+        names = [m.group(1)] if m else session.tables() + session.views()
         for name in names:
             try:
                 schema = session.table_schema(name)
