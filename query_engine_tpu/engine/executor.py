@@ -293,6 +293,8 @@ class QueryExecutor:
             return ColumnBatch.empty(plan.out_schema)
         if isinstance(plan, pp.PValues):
             return self._exec_values(plan)
+        if isinstance(plan, pp.PUnnest):
+            return self._exec_unnest(plan)
         if isinstance(plan, pp.PGenerateSeries):
             start, stop, step = plan.start, plan.stop, plan.step
             if plan.values is not None:  # month-stepped temporal series
@@ -312,6 +314,45 @@ class QueryExecutor:
                          plan.out_schema.field(0).data_type, None)
             return ColumnBatch(plan.out_schema, [col], n)
         raise ExecutionError(f"cannot execute {type(plan).__name__}")
+
+    def _exec_unnest(self, plan: pp.PUnnest) -> ColumnBatch:
+        """Lateral list explosion (host): LIST columns are terminal
+        dictionary-of-Python-lists values, so lengths/flatten run on the
+        host, then one take per input column re-aligns the base rows."""
+        batch = self.execute(plan.input)
+        v = self.evaluator.eval(plan.list_expr, batch)
+        n = batch.num_rows
+        if v.dictionary is None:
+            raise ExecutionError("UNNEST requires a LIST value")
+        codes = np.asarray(v.data)[:n]
+        valid = np.asarray(v.validity)[:n]
+        vals = v.dictionary.values
+        lists = []
+        for c, ok in zip(codes, valid):
+            x = vals[int(c)] if ok and 0 <= int(c) < len(vals) else None
+            if x is None:
+                lists.append([])
+            elif isinstance(x, (list, tuple)):
+                lists.append(list(x))
+            else:
+                lists.append([x])
+        lengths = np.asarray([len(x) for x in lists], dtype=np.int64)
+        ridx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        elems = [e for x in lists for e in x]
+        total = len(elems)
+        fld = plan.out_schema.field(len(plan.out_schema) - 1)
+        elem_batch = ColumnBatch.from_pydict(
+            {"v": elems}, Schema([Field("v", fld.data_type, True)])
+        )
+        cols = []
+        if batch.num_columns:
+            base = batch.take_host(ridx)
+            cols = list(base.columns)
+            if base.capacity != elem_batch.capacity:
+                raise ExecutionError("UNNEST capacity mismatch")
+        return ColumnBatch(
+            plan.out_schema, cols + [elem_batch.columns[0]], total
+        )
 
     # ---- scan ----------------------------------------------------------
     def _exec_scan(self, plan: pp.PScan) -> ColumnBatch:

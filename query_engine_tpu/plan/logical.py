@@ -1068,6 +1068,25 @@ class Values(LogicalPlan):
 
 
 @dataclass
+class Unnest(LogicalPlan):
+    """Lateral list-element explosion: one output row per element of
+    `list_expr` evaluated on each input row (PG UNNEST in FROM; NULL and
+    empty lists contribute zero rows)."""
+    input: LogicalPlan
+    list_expr: LogicalExpr
+    rel_schema: Schema
+
+    def schema(self) -> Schema:
+        return self.rel_schema
+
+    def children(self):
+        return [self.input]
+
+    def _label(self) -> str:
+        return f"Unnest: {self.list_expr.name()}"
+
+
+@dataclass
 class GenerateSeries(LogicalPlan):
     """GENERATE_SERIES(start, stop[, step]): arithmetic series over int64,
     DATE32 (days) or TIMESTAMP (micros) — lowers to a device iota, the

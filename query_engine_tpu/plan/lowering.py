@@ -101,6 +101,11 @@ class Lowering:
                 [[self._lower_expr(e) for e in row] for row in plan.rows],
                 plan.schema(),
             )
+        if isinstance(plan, lp.Unnest):
+            return pp.PUnnest(
+                self.lower(plan.input), self._lower_expr(plan.list_expr),
+                plan.schema(),
+            )
         if isinstance(plan, lp.GenerateSeries):
             return pp.PGenerateSeries(
                 plan.start, plan.stop, plan.step, plan.schema(), plan.values

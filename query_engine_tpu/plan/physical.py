@@ -288,6 +288,22 @@ class PValues(PhysicalPlan):
 
 
 @dataclass
+class PUnnest(PhysicalPlan):
+    input: PhysicalPlan
+    list_expr: lp.LogicalExpr
+    out_schema: Schema
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def children(self):
+        return [self.input]
+
+    def _label(self):
+        return f"Unnest: {self.list_expr.name()}"
+
+
+@dataclass
 class PGenerateSeries(PhysicalPlan):
     start: int
     stop: int

@@ -430,8 +430,22 @@ class Planner:
     ) -> lp.LogicalPlan:
         if sel.from_ is None:
             return lp.EmptyRelation(Schema([]), produce_one_row=True)
-        plan = self._plan_table_ref(sel.from_, ctes)
+        if isinstance(sel.from_, ast.UnnestRef):
+            # UNNEST over a literal/subquery-free expr with no base table
+            plan = self._plan_unnest(
+                lp.EmptyRelation(Schema([]), produce_one_row=True),
+                sel.from_, ctes,
+            )
+        else:
+            plan = self._plan_table_ref(sel.from_, ctes)
         for join in sel.joins:
+            if isinstance(join.right, ast.UnnestRef):
+                if join.join_type is not ast.JoinType.CROSS:
+                    raise PlanError(
+                        "UNNEST joins laterally: use a comma or CROSS JOIN"
+                    )
+                plan = self._plan_unnest(plan, join.right, ctes)
+                continue
             right = self._plan_table_ref(join.right, ctes)
             jt = lp.JoinType[join.join_type.name]
             using = join.using
@@ -727,6 +741,27 @@ class Planner:
         else:
             raise PlanError("GENERATE_SERIES longer than 2^24 rows")
         return lp.GenerateSeries(start, stop, 0, mkschema(dt_out), vals)
+
+    def _plan_unnest(self, plan: lp.LogicalPlan, tr: ast.UnnestRef,
+                     ctes) -> lp.LogicalPlan:
+        """FROM ..., UNNEST(expr) AS u(x): implicit lateral — expr is
+        planned against the preceding FROM items' schema and each row
+        explodes into one output row per list element."""
+        scope = Resolver(plan.schema())
+        e = self.plan_expr(tr.expr, scope, ctes)
+        from query_engine_tpu.core.types import TypeKind
+
+        if e.dtype.kind is not TypeKind.LIST:
+            raise PlanError(
+                f"UNNEST requires a LIST value, got {e.dtype}"
+            )
+        inner = e.dtype.params[0] if e.dtype.params else DataType.utf8()
+        col = tr.column or "unnest"
+        out = Schema(
+            list(plan.schema().fields)
+            + [Field(f"{tr.alias}.{col}", inner, True)]
+        )
+        return lp.Unnest(plan, e, out)
 
     # ---- expressions ---------------------------------------------------
     def plan_expr(

@@ -459,6 +459,17 @@ class TableFnRef(TableReference):
 
 
 @dataclass(frozen=True)
+class UnnestRef(TableReference):
+    """UNNEST(list_expr) [AS alias[(col)]] — lateral element explosion of
+    a LIST value (one output row per element, in order; NULL/empty lists
+    contribute no rows). Joins the preceding FROM items implicitly
+    laterally (the expr may reference their columns)."""
+    expr: Expr
+    alias: str = "unnest"
+    column: str = ""
+
+
+@dataclass(frozen=True)
 class ValuesRef(TableReference):
     """(VALUES (...), (...)) AS alias(col, ...) — a literal inline table
     (also the body of a standalone VALUES statement, PG column1.. names)."""

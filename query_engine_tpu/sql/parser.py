@@ -549,6 +549,19 @@ class Parser:
             alias = self.expect_alias()
             return ast.SubqueryRef(query, alias)
         name = self.expect_ident()
+        if name.upper() == "UNNEST" and self.cur.is_op("("):
+            self.advance()
+            expr = self.parse_expr()
+            self.expect_op(")")
+            self.match_kw("AS")
+            alias, col = "unnest", ""
+            if self.cur.kind == "IDENT" and \
+                    self.cur.value.upper() not in _NON_ALIAS_WORDS:
+                alias = self.advance().value
+                if self.match_op("("):
+                    col = self.expect_ident()
+                    self.expect_op(")")
+            return ast.UnnestRef(expr, alias, col)
         if name.upper() == "GENERATE_SERIES" and self.cur.is_op("("):
             self.advance()
             args = [self.parse_expr()]
