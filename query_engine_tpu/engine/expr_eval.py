@@ -958,6 +958,30 @@ class Evaluator:
         if f in (F.REGEXP_REPLACE, F.REGEXP_LIKE, F.REGEXP_SUBSTR,
                  F.REGEXP_COUNT):
             return self._eval_regexp_fn(e, f, args)
+        if f is F.STRING_TO_ARRAY:
+            delim = self._literal_str(args[1], "STRING_TO_ARRAY")
+            return _dict_map_host(
+                args[0],
+                lambda s: s.split(delim) if s else [],
+                DataType.list_(DataType.utf8()),
+            )
+        if f is F.ARRAY_TO_STRING:
+            delim = self._literal_str(args[1], "ARRAY_TO_STRING")
+
+            def join_elems(lst):
+                if not isinstance(lst, (list, tuple)):
+                    return "" if lst is None else str(lst)
+                return delim.join(
+                    str(x) for x in lst if x is not None  # PG skips NULLs
+                )
+
+            return _dict_map_host(args[0], join_elems, DataType.utf8())
+        if f is F.ARRAY_LENGTH:
+            return _dict_lookup_host(
+                args[0],
+                lambda lst: len(lst) if isinstance(lst, (list, tuple)) else 1,
+                np.int64, DataType.int64(),
+            )
         return None
 
     def _eval_regexp_fn(self, e, f, args) -> Val:

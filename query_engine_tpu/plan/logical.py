@@ -461,6 +461,10 @@ class ScalarFn(enum.Enum):
     REGEXP_LIKE = "REGEXP_LIKE"
     REGEXP_SUBSTR = "REGEXP_SUBSTR"
     REGEXP_COUNT = "REGEXP_COUNT"
+    # array batch (LIST values; host per-dictionary-value)
+    STRING_TO_ARRAY = "STRING_TO_ARRAY"
+    ARRAY_TO_STRING = "ARRAY_TO_STRING"
+    ARRAY_LENGTH = "ARRAY_LENGTH"
 
 
 _STRING_FNS = {ScalarFn.UPPER, ScalarFn.LOWER, ScalarFn.CONCAT,
@@ -486,7 +490,12 @@ class ScalarFnExpr(LogicalExpr):
         f = self.func
         if f in _STRING_FNS:
             self.dtype = DataType.utf8()
-        elif f in (ScalarFn.LENGTH, ScalarFn.STRPOS, ScalarFn.REGEXP_COUNT):
+        elif f is ScalarFn.STRING_TO_ARRAY:
+            self.dtype = DataType.list_(DataType.utf8())
+        elif f is ScalarFn.ARRAY_TO_STRING:
+            self.dtype = DataType.utf8()
+        elif f in (ScalarFn.LENGTH, ScalarFn.STRPOS, ScalarFn.REGEXP_COUNT,
+                   ScalarFn.ARRAY_LENGTH):
             self.dtype = DataType.int64()
         elif f in (ScalarFn.STARTS_WITH, ScalarFn.REGEXP_LIKE):
             self.dtype = DataType.boolean()

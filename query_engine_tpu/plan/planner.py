@@ -1420,6 +1420,32 @@ class Planner:
             return lp.QuantifiedCmpExpr(inner, m[e.op], e.is_any, sub)
         if isinstance(e, (ast.NumberLit, ast.StringLit, ast.BoolLit, ast.NullLit)):
             return self.plan_expr(e, agg_scope, ctes)
+
+        def rec(x):
+            return self._plan_expr_agg(
+                x, agg_scope, pre_scope, group_lexprs, agg_map,
+                num_groups, agg_exprs, ctes,
+            )
+
+        if isinstance(e, ast.ScalarFunctionCall):
+            # scalar functions OVER aggregate results: ROUND(AVG(x), 2),
+            # ARRAY_TO_STRING(ARRAY_AGG(x), ',') — rewrite the arguments
+            if e.func is ast.ScalarFunction.PI:
+                return self.plan_expr(e, agg_scope, ctes)
+            if e.func is ast.ScalarFunction.MOD:
+                return lp.BinaryExpr(
+                    rec(e.args[0]), lp.BinOp.MOD, rec(e.args[1])
+                )
+            return lp.ScalarFnExpr(
+                lp.ScalarFn[e.func.name], [rec(a) for a in e.args]
+            )
+        if isinstance(e, ast.Case) and e.operand is None:
+            return lp.CaseExpr(
+                [(rec(w), rec(t)) for w, t in e.branches],
+                rec(e.else_expr) if e.else_expr is not None else None,
+            )
+        if isinstance(e, ast.IsNull):
+            return lp.IsNullExpr(rec(e.expr), e.negated)
         # plain columns: must be group keys (checked above) — or resolvable
         # in the aggregate output schema directly
         return self.plan_expr(e, agg_scope, ctes)

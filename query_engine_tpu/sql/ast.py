@@ -378,6 +378,10 @@ class ScalarFunction(enum.Enum):
     REGEXP_LIKE = "REGEXP_LIKE"
     REGEXP_SUBSTR = "REGEXP_SUBSTR"
     REGEXP_COUNT = "REGEXP_COUNT"
+    # array batch (LIST values are terminal host objects)
+    STRING_TO_ARRAY = "STRING_TO_ARRAY"
+    ARRAY_TO_STRING = "ARRAY_TO_STRING"
+    ARRAY_LENGTH = "ARRAY_LENGTH"
 
 
 @dataclass(frozen=True)

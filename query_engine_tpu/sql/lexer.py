@@ -40,7 +40,7 @@ KEYWORDS = {
     "GREATEST", "LEAST", "LPAD", "RPAD", "REVERSE", "INITCAP", "SPLIT_PART",
     "REPEAT", "LTRIM", "RTRIM", "STRPOS", "STARTS_WITH",
     "SIMILAR", "REGEXP_REPLACE", "REGEXP_LIKE", "REGEXP_SUBSTR",
-    "REGEXP_COUNT",
+    "REGEXP_COUNT", "STRING_TO_ARRAY", "ARRAY_TO_STRING", "ARRAY_LENGTH",
     "CREATE", "DROP", "INDEX", "UNIQUE", "USING", "IF", "TABLE",
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",

@@ -50,6 +50,7 @@ _SCALAR_KWS = {
     "INITCAP", "SPLIT_PART", "REPEAT", "LTRIM", "RTRIM", "STRPOS",
     "STARTS_WITH",
     "REGEXP_REPLACE", "REGEXP_LIKE", "REGEXP_SUBSTR", "REGEXP_COUNT",
+    "STRING_TO_ARRAY", "ARRAY_TO_STRING", "ARRAY_LENGTH",
 }
 _INTERVAL_UNITS = {
     "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
