@@ -418,6 +418,19 @@ class Session:
             schema.index_of(c)  # validate
 
         rows: Dict[str, list] = {f.name: [] for f in schema}
+        if stmt.query is not None:
+            # INSERT INTO t [(cols)] SELECT ... — run the query through the
+            # ordinary engine and align its columns positionally
+            result = self._execute_query(stmt.query)
+            if len(result.schema) != len(col_names):
+                raise ExecutionError(
+                    f"INSERT SELECT returns {len(result.schema)} columns "
+                    f"for {len(col_names)} target columns"
+                )
+            for out_row in result.to_pylist():
+                given = dict(zip(col_names, out_row))
+                for f in schema:
+                    rows[f.name].append(given.get(f.name))
         for vrow in stmt.values:
             if len(vrow) != len(col_names):
                 raise ExecutionError(

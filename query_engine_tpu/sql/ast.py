@@ -637,6 +637,8 @@ class Insert(Statement):
     values: List[List[Expr]]
     on_conflict: Optional[OnConflictClause] = None
     returning: Optional[List[SelectItem]] = None
+    # INSERT INTO t [(cols)] SELECT ... — values is empty then
+    query: Optional["Statement"] = None
 
 
 @dataclass

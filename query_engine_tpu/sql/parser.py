@@ -749,10 +749,16 @@ class Parser:
             while self.match_op(","):
                 columns.append(self.expect_ident())
             self.expect_op(")")
-        self.expect_kw("VALUES")
-        values = [self._parse_value_row()]
-        while self.match_op(","):
-            values.append(self._parse_value_row())
+        query = None
+        if self.cur.is_kw("SELECT", "WITH"):
+            query = (self.parse_with_select() if self.cur.is_kw("WITH")
+                     else ast.Select(self.parse_select()))
+            values: List[List[ast.Expr]] = []
+        else:
+            self.expect_kw("VALUES")
+            values = [self._parse_value_row()]
+            while self.match_op(","):
+                values.append(self._parse_value_row())
         on_conflict = None
         if self.match_kw("ON"):
             self.expect_kw("CONFLICT")
@@ -773,7 +779,8 @@ class Parser:
                 action = ast.DoUpdate(tuple(assigns))
             on_conflict = ast.OnConflictClause(tuple(ccols), action)
         returning = self._parse_returning()
-        return ast.Insert(table, columns, values, on_conflict, returning)
+        return ast.Insert(table, columns, values, on_conflict, returning,
+                          query)
 
     def _parse_value_row(self) -> List[ast.Expr]:
         self.expect_op("(")
