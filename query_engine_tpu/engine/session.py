@@ -210,6 +210,8 @@ class Session:
             return result
         if isinstance(stmt, ast.CreateTable):
             return self._exec_create_table(stmt)
+        if isinstance(stmt, ast.CreateTableAs):
+            return self._exec_create_table_as(stmt)
         if isinstance(stmt, ast.CreateView):
             return self._exec_create_view(stmt)
         if isinstance(stmt, ast.DropView):
@@ -346,6 +348,27 @@ class Session:
         self.planner.register_table(name, schema)
         self._invalidate_cache()
         return _status_batch("CREATE TABLE")
+
+    def _exec_create_table_as(self, stmt: ast.CreateTableAs) -> ColumnBatch:
+        """CREATE TABLE t AS select — materialize the result as a new
+        memory table (unqualified column names, PG CTAS)."""
+        name = stmt.name.lower()
+        if name in self.sources or name in self.planner.views:
+            if stmt.if_not_exists:
+                return _status_batch("CREATE TABLE AS")
+            raise ExecutionError(f"'{stmt.name}' already exists")
+        result = self._execute_query(stmt.query)
+        schema = Schema([
+            Field(f.name.rsplit(".", 1)[-1], f.data_type, f.nullable)
+            for f in result.schema
+        ])
+        batch = ColumnBatch(schema, result.columns, result.num_rows)
+        src = MemoryDataSource(schema=schema, name=name)
+        src.append(batch)
+        self.sources[name] = src
+        self.planner.register_table(name, schema)
+        self._invalidate_cache()
+        return _status_batch(f"SELECT {result.num_rows}")
 
     def _exec_create_view(self, stmt: ast.CreateView) -> ColumnBatch:
         """CREATE [OR REPLACE] VIEW v [(cols)] AS select — bound at

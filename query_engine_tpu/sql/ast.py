@@ -585,6 +585,13 @@ class CreateTable(Statement):
 
 
 @dataclass
+class CreateTableAs(Statement):
+    name: str
+    query: "Statement"  # Select or WithSelect
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateView(Statement):
     name: str
     query: "Statement"  # Select or WithSelect

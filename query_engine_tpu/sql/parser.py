@@ -688,6 +688,11 @@ class Parser:
                 self.expect_kw("EXISTS")
                 if_not_exists = True
             name = self.expect_ident()
+            if self.match_kw("AS"):
+                # CREATE TABLE t AS select (CTAS)
+                body = (self.parse_with_select() if self.cur.is_kw("WITH")
+                        else ast.Select(self.parse_select()))
+                return ast.CreateTableAs(name, body, if_not_exists)
             self.expect_op("(")
             columns = [self.parse_column_def()]
             while self.match_op(","):
