@@ -218,6 +218,11 @@ class Session:
             return self._exec_drop_view(stmt)
         if isinstance(stmt, ast.DropTable):
             return self._exec_drop_table(stmt)
+        if isinstance(stmt, ast.Truncate):
+            src = self._require_memory_table(stmt.name)
+            src.replace(ColumnBatch.empty(src.schema()))
+            self._invalidate_cache()
+            return _status_batch("TRUNCATE TABLE")
         if isinstance(stmt, ast.Insert):
             return self._exec_insert(stmt)
         if isinstance(stmt, ast.Update):

@@ -611,6 +611,11 @@ class DropTable(Statement):
     if_exists: bool = False
 
 
+@dataclass
+class Truncate(Statement):
+    name: str
+
+
 @dataclass(frozen=True)
 class Assignment:
     column: str

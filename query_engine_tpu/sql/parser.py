@@ -232,6 +232,10 @@ class Parser:
             return self.parse_create()
         if t.is_kw("DROP"):
             return self.parse_drop()
+        if t.kind == "IDENT" and t.value.upper() == "TRUNCATE":
+            self.advance()
+            self.match_kw("TABLE")
+            return ast.Truncate(self.expect_ident())
         if t.is_kw("INSERT"):
             return self.parse_insert()
         if t.is_kw("UPDATE"):

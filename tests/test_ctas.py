@@ -47,3 +47,12 @@ def test_ctas_duplicate(sess):
     assert sess.sql("SELECT a FROM t2").to_pylist() == [(1,)]
     with pytest.raises(ExecutionError):
         sess.sql("CREATE TABLE t2 AS SELECT 3 AS a")
+
+
+def test_truncate(sess):
+    sess.sql("CREATE TABLE tt (a INT)")
+    sess.sql("INSERT INTO tt VALUES (1), (2)")
+    sess.sql("TRUNCATE TABLE tt")
+    assert sess.sql("SELECT COUNT(*) FROM tt").to_pylist() == [(0,)]
+    sess.sql("INSERT INTO tt VALUES (9)")  # still usable after truncate
+    assert sess.sql("SELECT a FROM tt").to_pylist() == [(9,)]
