@@ -223,6 +223,8 @@ class Session:
             src.replace(ColumnBatch.empty(src.schema()))
             self._invalidate_cache()
             return _status_batch("TRUNCATE TABLE")
+        if isinstance(stmt, ast.AlterTable):
+            return self._exec_alter_table(stmt)
         if isinstance(stmt, ast.Insert):
             return self._exec_insert(stmt)
         if isinstance(stmt, ast.Update):
@@ -353,6 +355,75 @@ class Session:
         self.planner.register_table(name, schema)
         self._invalidate_cache()
         return _status_batch("CREATE TABLE")
+
+    def _exec_alter_table(self, stmt: ast.AlterTable) -> ColumnBatch:
+        """ALTER TABLE: ADD COLUMN (all-NULL fill), DROP COLUMN (dependent
+        indexes dropped), RENAME COLUMN, RENAME TO."""
+        from query_engine_tpu.columnar.batch import Column
+        from query_engine_tpu.columnar.dictionary import Dictionary
+
+        src = self._require_memory_table(stmt.table)
+        batch = src.scan()
+        schema = batch.schema
+        table_key = stmt.table.lower()
+        if stmt.action == "add":
+            cd = stmt.column
+            if schema.try_index_of(cd.name) is not None:
+                raise ExecutionError(f"column '{cd.name}' already exists")
+            if not cd.nullable and batch.num_rows:
+                raise ExecutionError(
+                    "ADD COLUMN NOT NULL on a non-empty table needs a "
+                    "default (unsupported)"
+                )
+            dt = cd.data_type
+            col = Column(
+                np.zeros(batch.capacity, dtype=dt.device_dtype),
+                np.zeros(batch.capacity, dtype=bool),
+                dt,
+                Dictionary.empty() if dt.is_dictionary else None,
+            )
+            src.replace(ColumnBatch(
+                Schema(list(schema.fields) + [Field(cd.name, dt, True)]),
+                list(batch.columns) + [col], batch.num_rows,
+            ))
+        elif stmt.action == "drop":
+            i = schema.index_of(stmt.name)
+            if len(schema.fields) == 1:
+                raise ExecutionError("cannot drop the only column")
+            for idx in list(src.indexes.table_indexes(src.name)):
+                if stmt.name in src.indexes.metadata(idx).columns:
+                    src.indexes.drop_index(idx)
+            src.replace(ColumnBatch(
+                Schema([f for j, f in enumerate(schema) if j != i]),
+                [c for j, c in enumerate(batch.columns) if j != i],
+                batch.num_rows,
+            ))
+        elif stmt.action == "rename_column":
+            i = schema.index_of(stmt.name)
+            if schema.try_index_of(stmt.new_name) is not None:
+                raise ExecutionError(
+                    f"column '{stmt.new_name}' already exists"
+                )
+            fields = list(schema.fields)
+            f = fields[i]
+            fields[i] = Field(stmt.new_name, f.data_type, f.nullable)
+            src.replace(ColumnBatch(
+                Schema(fields), list(batch.columns), batch.num_rows
+            ))
+        elif stmt.action == "rename_table":
+            new = stmt.name.lower()
+            if new in self.sources or new in self.planner.views:
+                raise ExecutionError(f"'{stmt.name}' already exists")
+            del self.sources[table_key]
+            self.planner.deregister_table(table_key)
+            src.name = new
+            self.sources[new] = src
+            table_key = new
+        else:
+            raise ExecutionError(f"unknown ALTER action {stmt.action}")
+        self.planner.register_table(table_key, src.schema())
+        self._invalidate_cache()
+        return _status_batch("ALTER TABLE")
 
     def _exec_create_table_as(self, stmt: ast.CreateTableAs) -> ColumnBatch:
         """CREATE TABLE t AS select — materialize the result as a new

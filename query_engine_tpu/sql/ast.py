@@ -616,6 +616,17 @@ class Truncate(Statement):
     name: str
 
 
+@dataclass
+class AlterTable(Statement):
+    """ALTER TABLE t ADD [COLUMN] c TYPE | DROP [COLUMN] c |
+    RENAME [COLUMN] a TO b | RENAME TO t2."""
+    table: str
+    action: str  # add | drop | rename_column | rename_table
+    column: Optional[ColumnDef] = None  # for add
+    name: str = ""        # drop/rename source column, or new table name
+    new_name: str = ""    # rename_column target
+
+
 @dataclass(frozen=True)
 class Assignment:
     column: str

@@ -236,6 +236,8 @@ class Parser:
             self.advance()
             self.match_kw("TABLE")
             return ast.Truncate(self.expect_ident())
+        if t.kind == "IDENT" and t.value.upper() == "ALTER":
+            return self.parse_alter()
         if t.is_kw("INSERT"):
             return self.parse_insert()
         if t.is_kw("UPDATE"):
@@ -723,6 +725,31 @@ class Parser:
             else:
                 break
         return ast.ColumnDef(name, dtype, nullable)
+
+    def parse_alter(self) -> ast.Statement:
+        self.advance()  # ALTER
+        self.expect_kw("TABLE")
+        table = self.expect_ident()
+        if self._match_word("ADD"):
+            self._match_word("COLUMN")
+            return ast.AlterTable(table, "add",
+                                  column=self.parse_column_def())
+        if self.match_kw("DROP"):
+            self._match_word("COLUMN")
+            return ast.AlterTable(table, "drop", name=self.expect_ident())
+        if self._match_word("RENAME"):
+            if self._match_word("TO"):
+                return ast.AlterTable(table, "rename_table",
+                                      name=self.expect_ident())
+            self._match_word("COLUMN")
+            old = self.expect_ident()
+            if not self._match_word("TO"):
+                raise ParseError("expected TO in ALTER TABLE RENAME")
+            return ast.AlterTable(table, "rename_column", name=old,
+                                  new_name=self.expect_ident())
+        raise ParseError(
+            "expected ADD, DROP, or RENAME after ALTER TABLE <name>"
+        )
 
     def parse_drop(self) -> ast.Statement:
         self.expect_kw("DROP")
