@@ -599,7 +599,54 @@ class Session:
         }
         return ColumnBatch.from_pydict(cols, batch.schema)
 
+    def _dml_from_rows(self, table: str, from_ref, selection, value_exprs):
+        """FROM/USING join for multi-table DML: run `SELECT __rid, values
+        FROM target-with-rowids AS <table>, <from_ref> [WHERE ...]` through
+        the ordinary engine and keep the FIRST match per target row (PG:
+        which match wins is unspecified when several join)."""
+        src = self._require_memory_table(table)
+        batch = src.scan()
+        from query_engine_tpu.core.types import DataType
+        from query_engine_tpu.columnar.batch import Column
+
+        aug_schema = Schema(
+            [Field("__rid", DataType.int64(), False)]
+            + list(batch.schema.fields)
+        )
+        rid_col = Column(
+            np.arange(batch.capacity, dtype=np.int64),
+            np.ones(batch.capacity, dtype=bool), DataType.int64(), None,
+        )
+        tmp = "__dml_target"
+        self.sources[tmp] = MemoryDataSource(
+            batch=ColumnBatch(
+                aug_schema, [rid_col] + list(batch.columns), batch.num_rows
+            ),
+            name=tmp,
+        )
+        self.planner.register_table(tmp, aug_schema)
+        try:
+            sel = ast.SelectStatement()
+            sel.projection = [ast.ExprItem(ast.Column("__rid"), "__rid")] + [
+                ast.ExprItem(e, f"__v{i}")
+                for i, e in enumerate(value_exprs)
+            ]
+            sel.from_ = ast.TableName(tmp, table)
+            sel.joins = [ast.Join(ast.JoinType.CROSS, from_ref)]
+            sel.selection = selection
+            out = self._execute_query(ast.Select(sel))
+        finally:
+            del self.sources[tmp]
+            self.planner.deregister_table(tmp)
+        first: Dict[int, tuple] = {}
+        for r in out.to_pylist():
+            if r[0] not in first:
+                first[r[0]] = r[1:]
+        return src, batch, first
+
     def _exec_update(self, stmt: ast.Update) -> ColumnBatch:
+        if stmt.from_table is not None:
+            return self._exec_update_from(stmt)
         src = self._require_memory_table(stmt.table)
         batch = src.scan()
         mask = self._dml_mask(stmt.table, stmt.selection, batch)
@@ -623,7 +670,46 @@ class Session:
             return self._returning(upd, batch.schema, stmt.returning)
         return _status_batch(f"UPDATE {len(touched)}")
 
+    def _exec_update_from(self, stmt: ast.Update) -> ColumnBatch:
+        src, batch, first = self._dml_from_rows(
+            stmt.table, stmt.from_table, stmt.selection,
+            [a.value for a in stmt.assignments],
+        )
+        cols = [a.column for a in stmt.assignments]
+        for c in cols:
+            batch.schema.index_of(c)  # validate target columns
+        data = batch.to_pydict()
+        for rid, vals in first.items():
+            for c, v in zip(cols, vals):
+                data[c][rid] = v
+        src.replace(ColumnBatch.from_pydict(data, batch.schema))
+        self._invalidate_cache()
+        touched = sorted(first)
+        if stmt.returning is not None:
+            upd = src.scan().take_host(np.asarray(touched, dtype=np.int64))
+            return self._returning(upd, batch.schema, stmt.returning)
+        return _status_batch(f"UPDATE {len(touched)}")
+
+    def _exec_delete_using(self, stmt: ast.Delete) -> ColumnBatch:
+        src, batch, first = self._dml_from_rows(
+            stmt.table, stmt.using, stmt.selection, []
+        )
+        matched = set(first)
+        keep = [i for i in range(batch.num_rows) if i not in matched]
+        deleted_batch = batch.take_host(
+            np.asarray(sorted(matched), dtype=np.int64)
+        )
+        src.replace(batch.take_host(np.asarray(keep, dtype=np.int64)))
+        self._invalidate_cache()
+        if stmt.returning is not None:
+            return self._returning(
+                deleted_batch, batch.schema, stmt.returning
+            )
+        return _status_batch(f"DELETE {len(matched)}")
+
     def _exec_delete(self, stmt: ast.Delete) -> ColumnBatch:
+        if stmt.using is not None:
+            return self._exec_delete_using(stmt)
         src = self._require_memory_table(stmt.table)
         batch = src.scan()
         mask = self._dml_mask(stmt.table, stmt.selection, batch)

@@ -670,6 +670,8 @@ class Update(Statement):
     assignments: List[Assignment]
     selection: Optional[Expr] = None
     returning: Optional[List[SelectItem]] = None
+    # UPDATE t SET ... FROM u [WHERE ...] — PG multi-table update
+    from_table: Optional[TableReference] = None
 
 
 @dataclass
@@ -677,3 +679,5 @@ class Delete(Statement):
     table: str
     selection: Optional[Expr] = None
     returning: Optional[List[SelectItem]] = None
+    # DELETE FROM t USING u [WHERE ...] — PG multi-table delete
+    using: Optional[TableReference] = None

@@ -846,17 +846,23 @@ class Parser:
         assigns = [self._parse_assignment()]
         while self.match_op(","):
             assigns.append(self._parse_assignment())
+        from_table = None
+        if self.match_kw("FROM"):
+            from_table = self.parse_table_reference()
         selection = self.parse_expr() if self.match_kw("WHERE") else None
         returning = self._parse_returning()
-        return ast.Update(table, assigns, selection, returning)
+        return ast.Update(table, assigns, selection, returning, from_table)
 
     def parse_delete(self) -> ast.Delete:
         self.expect_kw("DELETE")
         self.expect_kw("FROM")
         table = self.expect_ident()
+        using = None
+        if self.match_kw("USING"):
+            using = self.parse_table_reference()
         selection = self.parse_expr() if self.match_kw("WHERE") else None
         returning = self._parse_returning()
-        return ast.Delete(table, selection, returning)
+        return ast.Delete(table, selection, returning, using)
 
     # ---- expressions ---------------------------------------------------
     def parse_expr(self) -> ast.Expr:
