@@ -351,6 +351,7 @@ class Session:
             [Field(c.name, c.data_type, c.nullable) for c in stmt.columns]
         )
         src = MemoryDataSource(schema=schema, name=name)
+        src.serials = {c.name: 1 for c in stmt.columns if c.serial}
         self.sources[name] = src
         self.planner.register_table(name, schema)
         self._invalidate_cache()
@@ -538,6 +539,15 @@ class Session:
             given = dict(zip(col_names, [_literal_value(e) for e in vrow]))
             for f in schema:
                 rows[f.name].append(given.get(f.name))
+        for col, nxt in getattr(src, "serials", {}).items():
+            vals = rows.get(col, [])
+            for i, v in enumerate(vals):
+                if v is None:
+                    vals[i] = nxt
+                    nxt += 1
+                else:
+                    nxt = max(nxt, int(v) + 1)
+            src.serials[col] = nxt
         batch = ColumnBatch.from_pydict(rows, schema)
 
         inserted = batch

@@ -575,6 +575,7 @@ class ColumnDef:
     name: str
     data_type: DataType
     nullable: bool = True
+    serial: bool = False  # SERIAL/BIGSERIAL: auto-increment on INSERT
 
 
 @dataclass

@@ -709,8 +709,17 @@ class Parser:
 
     def parse_column_def(self) -> ast.ColumnDef:
         name = self.expect_ident()
-        dtype = self.parse_data_type()
-        nullable = True
+        serial = (
+            self.cur.is_kw("SERIAL")
+            or (self.cur.kind == "IDENT"
+                and self.cur.value.upper() == "BIGSERIAL")
+        )
+        if serial and self.cur.kind == "IDENT":
+            self.advance()  # BIGSERIAL lexes as IDENT; SERIAL via type path
+            dtype = DataType.int64()
+        else:
+            dtype = self.parse_data_type()
+        nullable = not serial
         while True:
             if self.match_kw("NOT"):
                 self.expect_kw("NULL")
@@ -724,7 +733,7 @@ class Parser:
                 self.advance()
             else:
                 break
-        return ast.ColumnDef(name, dtype, nullable)
+        return ast.ColumnDef(name, dtype, nullable, serial)
 
     def parse_alter(self) -> ast.Statement:
         self.advance()  # ALTER

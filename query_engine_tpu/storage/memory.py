@@ -27,6 +27,8 @@ class MemoryDataSource:
         self._batch = batch if batch is not None else ColumnBatch.empty(schema)
         self.name = name
         self.indexes = IndexManager()
+        # SERIAL column -> next auto-increment value (session DML fills)
+        self.serials: dict = {}
 
     # ---- DataSource ----------------------------------------------------
     def scan(self) -> ColumnBatch:

@@ -62,3 +62,23 @@ def test_rename_table(sess):
 def test_duplicate_add_rejected(sess):
     with pytest.raises(ExecutionError):
         sess.sql("ALTER TABLE t ADD COLUMN a INT")
+
+
+# ---- SERIAL auto-increment ------------------------------------------------
+
+def test_serial_fills_and_advances():
+    s = Session()
+    s.sql("CREATE TABLE sq (id SERIAL, nm TEXT)")
+    s.sql("INSERT INTO sq (nm) VALUES ('a'), ('b')")
+    assert s.sql("SELECT id FROM sq ORDER BY id").to_pydict()["id"] == [1, 2]
+    s.sql("INSERT INTO sq VALUES (10, 'x')")  # explicit value advances
+    s.sql("INSERT INTO sq (nm) VALUES ('c')")
+    assert s.sql("SELECT id FROM sq ORDER BY id").to_pydict()["id"] == \
+        [1, 2, 10, 11]
+
+
+def test_bigserial_with_returning():
+    s = Session()
+    s.sql("CREATE TABLE bq (id BIGSERIAL, v INT)")
+    out = s.sql("INSERT INTO bq (v) VALUES (7) RETURNING id, v").to_pylist()
+    assert out == [(1, 7)]
