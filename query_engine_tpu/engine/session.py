@@ -80,6 +80,13 @@ class Session:
             from query_engine_tpu.cache.config import CacheConfig
 
             self._cache = QueryCache(CacheConfig())
+        # transaction state: snapshot taken at BEGIN (None = autocommit),
+        # savepoint stack, and PG's aborted-until-ROLLBACK flag. The
+        # reference accepts BEGIN/COMMIT/ROLLBACK but ignores them
+        # (backend.rs:807-832); here they are real.
+        self._txn = None
+        self._txn_failed = False
+        self._savepoints: List[tuple] = []
 
     # ---- registration --------------------------------------------------
     def register_csv(self, name: str, path: str, schema: Optional[Schema] = None):
@@ -199,6 +206,150 @@ class Session:
         return f"-- {type(stmt).__name__}"
 
     def execute_statement(self, stmt: ast.Statement, sql_text: str = "") -> ColumnBatch:
+        if isinstance(stmt, ast.Transaction):
+            return self._exec_transaction(stmt)
+        if self._txn_failed:
+            raise ExecutionError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block")
+        if self._txn is None:
+            return self._execute_statement_inner(stmt, sql_text)
+        try:
+            return self._execute_statement_inner(stmt, sql_text)
+        except Exception:
+            # PG semantics: any error inside an explicit transaction aborts
+            # it; only ROLLBACK [TO SAVEPOINT] / COMMIT are accepted after.
+            self._txn_failed = True
+            raise
+
+    # ---- transactions ----------------------------------------------------
+    # Snapshot-based: BEGIN captures the registries plus every memory
+    # table's (immutable) batch reference; DML replaces batches rather
+    # than mutating them, so a snapshot is O(tables), not O(rows), and
+    # ROLLBACK is a pointer swap + index rebuild for tables that changed.
+    def in_transaction(self) -> bool:
+        return self._txn is not None
+
+    def transaction_failed(self) -> bool:
+        return self._txn_failed
+
+    def begin(self) -> None:
+        if self._txn is not None:
+            return  # PG: WARNING + no-op on nested BEGIN
+        self._txn = self._snapshot()
+        self._txn_failed = False
+        self._savepoints = []
+
+    def commit(self) -> str:
+        """Returns the PG command tag: COMMIT, or ROLLBACK if the
+        transaction had failed (PG commits an aborted txn as a rollback)."""
+        if self._txn is None:
+            return "COMMIT"
+        failed = self._txn_failed
+        if failed:
+            self._restore(self._txn)
+        self._txn = None
+        self._txn_failed = False
+        self._savepoints = []
+        return "ROLLBACK" if failed else "COMMIT"
+
+    def rollback(self) -> None:
+        if self._txn is None:
+            return  # PG: WARNING + no-op outside a transaction
+        self._restore(self._txn)
+        self._txn = None
+        self._txn_failed = False
+        self._savepoints = []
+
+    def savepoint(self, name: str) -> None:
+        if self._txn is None:
+            raise ExecutionError("SAVEPOINT can only be used in transaction blocks")
+        self._savepoints.append((name.lower(), self._snapshot()))
+
+    def rollback_to(self, name: str) -> None:
+        if self._txn is None:
+            raise ExecutionError("ROLLBACK TO can only be used in transaction blocks")
+        i = self._find_savepoint(name)
+        sp_name, snap = self._savepoints[i]
+        self._restore(snap)
+        # PG keeps the savepoint itself alive after ROLLBACK TO
+        del self._savepoints[i + 1:]
+        self._txn_failed = False
+
+    def release(self, name: str) -> None:
+        if self._txn is None:
+            raise ExecutionError("RELEASE can only be used in transaction blocks")
+        i = self._find_savepoint(name)
+        del self._savepoints[i:]
+
+    def _find_savepoint(self, name: str) -> int:
+        key = name.lower()
+        for i in range(len(self._savepoints) - 1, -1, -1):
+            if self._savepoints[i][0] == key:
+                return i
+        raise ExecutionError(f"savepoint \"{name}\" does not exist")
+
+    def _exec_transaction(self, stmt: ast.Transaction) -> ColumnBatch:
+        if self._txn_failed and stmt.kind not in (
+                "commit", "rollback", "rollback_to"):
+            raise ExecutionError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block")
+        if stmt.kind == "begin":
+            self.begin()
+            return _status_batch("BEGIN")
+        if stmt.kind == "commit":
+            return _status_batch(self.commit())
+        if stmt.kind == "rollback":
+            self.rollback()
+            return _status_batch("ROLLBACK")
+        if stmt.kind == "rollback_to":
+            self.rollback_to(stmt.name)
+            return _status_batch("ROLLBACK")
+        if stmt.kind == "savepoint":
+            self.savepoint(stmt.name)
+            return _status_batch("SAVEPOINT")
+        if stmt.kind == "release":
+            self.release(stmt.name)
+            return _status_batch("RELEASE")
+        raise ExecutionError(f"unknown transaction statement {stmt.kind!r}")
+
+    def _snapshot(self) -> dict:
+        mem = {}
+        for name, src in self.sources.items():
+            if isinstance(src, MemoryDataSource):
+                mem[name] = (
+                    src, src._batch, dict(src.serials), src.name,
+                    dict(src.indexes._meta),
+                )
+        return {
+            "sources": dict(self.sources),
+            "tables": dict(self.planner.tables),
+            "views": dict(self.planner.views),
+            "mem": mem,
+        }
+
+    def _restore(self, snap: dict) -> None:
+        self.sources = dict(snap["sources"])
+        self.planner.tables = dict(snap["tables"])
+        self.planner.views = dict(snap["views"])
+        for _key, (src, batch, serials, name, idx_meta) in snap["mem"].items():
+            changed = src._batch is not batch
+            src._batch = batch
+            src.serials = dict(serials)
+            src.name = name
+            for idx in list(src.indexes._indexes):
+                if idx not in idx_meta:
+                    src.indexes.drop_index(idx)  # created inside the txn
+            for idx, meta in idx_meta.items():
+                if not src.indexes.has_index(idx):  # dropped inside the txn
+                    src.create_index(idx, meta.columns, meta.index_type,
+                                     meta.unique)
+            if changed:
+                src.rebuild_indexes()
+        self._invalidate_cache()
+
+    def _execute_statement_inner(self, stmt: ast.Statement, sql_text: str = "") -> ColumnBatch:
         if isinstance(stmt, (ast.Select, ast.WithSelect)):
             if self._cache is not None and sql_text:
                 hit = self._cache.get_sql(sql_text)

@@ -79,6 +79,12 @@ class PgConnection:
         self._in_error = False  # extended-protocol error: skip until Sync
 
     # ---- IO helpers ----------------------------------------------------
+    def _txn_status(self) -> bytes:
+        """ReadyForQuery status byte: I idle, T in transaction, E failed."""
+        if self.session.transaction_failed():
+            return b"E"
+        return b"T" if self.session.in_transaction() else b"I"
+
     def send(self, data: bytes) -> None:
         self.writer.write(data)
 
@@ -251,7 +257,7 @@ class PgConnection:
             self.send(P.close_complete())
         elif tag == b"S":
             self._in_error = False
-            self.send(P.ready_for_query())
+            self.send(P.ready_for_query(self._txn_status()))
         elif tag == b"H":
             pass  # Flush
         elif tag == b"p":
@@ -265,7 +271,7 @@ class PgConnection:
         statements = split_statements(sql)
         if not statements:
             self.send(P.empty_query_response())
-            self.send(P.ready_for_query())
+            self.send(P.ready_for_query(self._txn_status()))
             await self.flush()
             return
         for stmt in statements:
@@ -277,16 +283,19 @@ class PgConnection:
             except Exception as e:  # noqa: BLE001 protocol boundary
                 self.send(P.error_response(str(e), "XX000"))
                 break
-        self.send(P.ready_for_query())
+        self.send(P.ready_for_query(self._txn_status()))
         await self.flush()
 
     async def _execute_one(self, sql: str) -> None:
         word = (sql.split(None, 1) + [""])[0].upper()
 
-        # transaction no-ops (backend.rs:807-832)
-        if word in ("BEGIN", "COMMIT", "ROLLBACK", "START", "END",
-                    "SET", "RESET", "DISCARD"):
-            self.send(P.command_complete(word if word != "START" else "BEGIN"))
+        # session-variable no-ops (backend.rs:807-832). BEGIN/COMMIT/
+        # ROLLBACK/SAVEPOINT fall through to the engine, which gives them
+        # real snapshot semantics (the reference no-ops them); the Session
+        # is shared across connections, so the transaction is server-scoped
+        # like the shared table map.
+        if word in ("SET", "RESET", "DISCARD"):
+            self.send(P.command_complete(word))
             return
         if word == "SHOW":
             self._handle_show(sql)

@@ -618,6 +618,18 @@ class Truncate(Statement):
 
 
 @dataclass
+class Transaction(Statement):
+    """Transaction control: BEGIN / COMMIT / ROLLBACK [TO SAVEPOINT s] /
+    SAVEPOINT s / RELEASE [SAVEPOINT] s.
+
+    The reference accepts these over pgwire but treats them as no-ops
+    (backend.rs:807-832); here they carry real snapshot semantics
+    (engine/session.py)."""
+    kind: str   # begin | commit | rollback | rollback_to | savepoint | release
+    name: str = ""
+
+
+@dataclass
 class AlterTable(Statement):
     """ALTER TABLE t ADD [COLUMN] c TYPE | DROP [COLUMN] c |
     RENAME [COLUMN] a TO b | RENAME TO t2."""

@@ -244,7 +244,45 @@ class Parser:
             return self.parse_update()
         if t.is_kw("DELETE"):
             return self.parse_delete()
+        word = t.value.upper() if t.kind in ("IDENT", "KEYWORD") else ""
+        if word in ("BEGIN", "START", "COMMIT", "END", "ROLLBACK",
+                    "SAVEPOINT", "RELEASE"):
+            return self.parse_transaction(word)
         raise ParseError(f"unexpected token {t.value!r} at start of statement")
+
+    def parse_transaction(self, word: str) -> ast.Transaction:
+        """BEGIN [WORK|TRANSACTION] | START TRANSACTION | COMMIT | END |
+        ROLLBACK [TO [SAVEPOINT] s] | SAVEPOINT s | RELEASE [SAVEPOINT] s."""
+        self.advance()
+
+        def eat_noise():
+            if self.cur.kind in ("IDENT", "KEYWORD") and \
+                    self.cur.value.upper() in ("WORK", "TRANSACTION"):
+                self.advance()
+
+        if word in ("BEGIN", "START"):
+            eat_noise()
+            return ast.Transaction("begin")
+        if word in ("COMMIT", "END"):
+            eat_noise()
+            return ast.Transaction("commit")
+        if word == "SAVEPOINT":
+            return ast.Transaction("savepoint", self.expect_ident())
+        if word == "RELEASE":
+            if self.cur.kind in ("IDENT", "KEYWORD") and \
+                    self.cur.value.upper() == "SAVEPOINT":
+                self.advance()
+            return ast.Transaction("release", self.expect_ident())
+        # ROLLBACK
+        eat_noise()
+        if self.cur.kind in ("IDENT", "KEYWORD") and \
+                self.cur.value.upper() == "TO":
+            self.advance()
+            if self.cur.kind in ("IDENT", "KEYWORD") and \
+                    self.cur.value.upper() == "SAVEPOINT":
+                self.advance()
+            return ast.Transaction("rollback_to", self.expect_ident())
+        return ast.Transaction("rollback")
 
     # ---- SELECT --------------------------------------------------------
     def parse_select(self) -> ast.SelectStatement:

@@ -137,6 +137,7 @@ class PgTestClient:
             elif tag == b"E":
                 error = self._parse_error(body)
             elif tag == b"Z":
+                self.last_txn_status = body[:1]  # b"I" | b"T" | b"E"
                 break
             elif tag in (b"N", b"S", b"I", b"G", b"H", b"d", b"c"):
                 continue

@@ -89,9 +89,29 @@ def test_join_and_null_encoding(client):
     assert rows[-1] == ("Frank", None)
 
 
-def test_multi_statement_and_tx_noops(client):
+def test_multi_statement_and_tx_tags(client):
     _, _, tags = client.query("BEGIN; SELECT 1; COMMIT")
     assert tags == ["BEGIN", "SELECT 1", "COMMIT"]
+
+
+def test_transaction_rollback_over_the_wire(client):
+    client.query("CREATE TABLE txw (a INT)")
+    try:
+        client.query("BEGIN")
+        assert client.last_txn_status == b"T"
+        client.query("INSERT INTO txw VALUES (1)")
+        _, rows, _ = client.query("SELECT COUNT(*) FROM txw")
+        assert rows == [("1",)]
+        # a failed statement flips ReadyForQuery to E until ROLLBACK
+        with pytest.raises(RuntimeError):
+            client.query("SELECT * FROM no_such_table")
+        assert client.last_txn_status == b"E"
+        client.query("ROLLBACK")
+        assert client.last_txn_status == b"I"
+        _, rows, _ = client.query("SELECT COUNT(*) FROM txw")
+        assert rows == [("0",)]
+    finally:
+        client.query("DROP TABLE txw")
 
 
 def test_show_tables_and_describe(client):
