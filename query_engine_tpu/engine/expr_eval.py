@@ -18,6 +18,7 @@ AND/OR follow Kleene logic; predicates treat NULL as false at filter time.
 
 from __future__ import annotations
 
+import json as _json
 import re
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -106,6 +107,72 @@ def _dict_map_host(v: Val, fn, out_dtype: DataType = None) -> Val:
     remap_j = jnp.asarray(remap if len(remap) else np.zeros(1, np.int32))
     codes = remap_j[jnp.clip(v.data, 0, max(len(d) - 1, 0))]
     return Val(codes, v.validity, out_dtype or v.dtype, new_dict)
+
+
+def _dict_map_host_nullable(v: Val, fn, out_dtype: DataType = None) -> Val:
+    """Like _dict_map_host, but fn may return None -> the row goes NULL
+    (JSON extraction of a missing field, malformed document, ...)."""
+    d = v.dictionary or Dictionary.empty()
+    outs = [fn(x) for x in d.values]
+    null = np.asarray([o is None for o in outs], dtype=bool)
+    new_dict, codes = Dictionary.from_values(
+        ["" if o is None else o for o in outs])
+    remap_j = jnp.asarray(codes if len(codes) else np.zeros(1, np.int32))
+    null_j = jnp.asarray(null if len(null) else np.zeros(1, bool))
+    old = jnp.clip(v.data, 0, max(len(d) - 1, 0))
+    return Val(remap_j[old], v.validity & ~null_j[old],
+               out_dtype or v.dtype, new_dict)
+
+
+def _static_json_key(node):
+    """Literal (or negated numeric literal) key of a JSON operator."""
+    if isinstance(node, lp.Literal):
+        return node.value.value
+    if isinstance(node, lp.UnaryExpr) and node.op is lp.UnOp.NEG and \
+            isinstance(node.expr, lp.Literal) and \
+            isinstance(node.expr.value.value, (int, float)):
+        return -node.expr.value.value
+    return None
+
+
+_JSON_MISSING = object()
+
+
+def _json_step(doc, key):
+    if isinstance(doc, dict):
+        return doc.get(str(key), _JSON_MISSING)
+    if isinstance(doc, list):
+        try:
+            i = int(key)
+        except (TypeError, ValueError):
+            return _JSON_MISSING
+        if -len(doc) <= i < len(doc):
+            return doc[i]  # negative indexes wrap from the end (PG)
+        return _JSON_MISSING
+    return _JSON_MISSING
+
+
+def _json_extract(s: str, keys, as_text: bool):
+    """PG -> / ->> / #> / #>> semantics over one document. Malformed json
+    yields NULL (PG raises; NULL keeps the vectorized path total — the same
+    documented deviation as div-by-zero)."""
+    try:
+        doc = _json.loads(s)
+    except Exception:  # noqa: BLE001
+        return None
+    for k in keys:
+        doc = _json_step(doc, k)
+        if doc is _JSON_MISSING:
+            return None
+    if as_text:
+        if doc is None:
+            return None  # json null ->> SQL NULL
+        if isinstance(doc, str):
+            return doc  # unquoted
+        if isinstance(doc, bool):
+            return "true" if doc else "false"
+        return _json.dumps(doc)
+    return _json.dumps(doc)
 
 
 def _dict_lookup_host(v: Val, fn, np_dtype, out_dtype: DataType) -> Val:
@@ -447,6 +514,8 @@ class Evaluator:
             return self._eval_like(l, r, op)
         if op is lp.BinOp.CONCAT:
             return self._eval_concat([l, r], batch)
+        if op in lp._JSON_OPS:
+            return self._eval_json_get(e, l, op)
 
         valid = l.validity & r.validity
         # temporal column vs string literal: parse the literal as a date/
@@ -567,6 +636,30 @@ class Evaluator:
         if k is TypeKind.DATE64:
             return Val(days * 86_400_000 + tod // 1000, tv.validity, tv.dtype)
         return Val(days * _US_DAY + tod, tv.validity, tv.dtype)
+
+    def _eval_json_get(self, e: "lp.BinaryExpr", l: Val, op) -> Val:
+        """-> / ->> / #> / #>> : per-dictionary-value extraction (one
+        json.loads per DISTINCT document, one gather per row). The key must
+        be a literal so the extraction table is static — this also makes
+        the operator traceable inside compiled pipelines (the table is
+        built at trace time, only the code remap gather is traced)."""
+        key = _static_json_key(e.right)
+        if key is None:
+            raise ExecutionError(
+                f"the right side of {op.value} must be a non-null string or "
+                "integer literal")
+        if l.dictionary is None:
+            raise ExecutionError(
+                f"operator {op.value} requires a json (string) left operand")
+        if op in (lp.BinOp.JSON_PATH, lp.BinOp.JSON_PATH_TEXT):
+            keys = [p.strip().strip('"')
+                    for p in str(key).strip().lstrip("{").rstrip("}").split(",")
+                    if p.strip() != ""]
+        else:
+            keys = [key]
+        as_text = op in (lp.BinOp.JSON_GET_TEXT, lp.BinOp.JSON_PATH_TEXT)
+        return _dict_map_host_nullable(
+            l, lambda s: _json_extract(s, keys, as_text), DataType.utf8())
 
     def _eval_ts_match(self, l: Val, r: Val, batch: ColumnBatch) -> Val:
         if l.dictionary is None or r.dictionary is None:

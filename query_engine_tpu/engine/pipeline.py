@@ -414,6 +414,14 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
             x.expr.dtype.is_dictionary
         ):
             bad.append(x)  # numeric -> string stringifies the data plane
+        elif isinstance(x, lp.BinaryExpr) and x.op in lp._JSON_OPS:
+            # traceable when the key is a literal: the extraction table is
+            # built per dictionary value at trace time, only the code
+            # remap gather is traced (expr_eval._eval_json_get)
+            from query_engine_tpu.engine.expr_eval import _static_json_key
+
+            if _static_json_key(x.right) is None:
+                bad.append(x)
         elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.TS_MATCH:
             # traceable only when the query side is a literal (the match
             # table is then built per dictionary value at trace time)
@@ -458,6 +466,14 @@ def _mark_static_literals(e: lp.LogicalExpr, out: set) -> None:
             lp.ScalarFn.RPAD, lp.ScalarFn.SPLIT_PART, lp.ScalarFn.REPEAT,
         ):
             args = x.args[1:]
+        elif isinstance(x, lp.ScalarFnExpr) and x.func in (
+            lp.ScalarFn.JSON_EXTRACT_PATH, lp.ScalarFn.JSON_EXTRACT_PATH_TEXT,
+        ):
+            args = x.args[1:]
+        elif isinstance(x, lp.BinaryExpr) and x.op in lp._JSON_OPS:
+            # the key is baked into the per-dictionary extraction table at
+            # trace time — it must not become a traced scalar input
+            args = [x.right]
         elif isinstance(x, lp.WindowExpr):
             if x.func is lp.WindowFn.NTILE:
                 args = x.args[:1]

@@ -143,6 +143,11 @@ class BinOp(enum.Enum):
     NOT_REGEX_IMATCH = "!~*"
     SIMILAR_TO = "SIMILAR TO"
     NOT_SIMILAR_TO = "NOT SIMILAR TO"
+    # JSON extraction (PG semantics; evaluated per dictionary value)
+    JSON_GET = "->"
+    JSON_GET_TEXT = "->>"
+    JSON_PATH = "#>"
+    JSON_PATH_TEXT = "#>>"
 
 
 _CMP_OPS = {BinOp.EQ, BinOp.NEQ, BinOp.LT, BinOp.LTE, BinOp.GT, BinOp.GTE}
@@ -154,6 +159,8 @@ _REGEX_OPS = {
 _PRED_OPS = _CMP_OPS | _BOOL_OPS | {
     BinOp.TS_MATCH, BinOp.LIKE, BinOp.ILIKE, BinOp.NOT_LIKE, BinOp.NOT_ILIKE
 } | _REGEX_OPS
+_JSON_OPS = {BinOp.JSON_GET, BinOp.JSON_GET_TEXT, BinOp.JSON_PATH,
+             BinOp.JSON_PATH_TEXT}
 
 
 def coerce_numeric(l: DataType, r: DataType) -> DataType:
@@ -204,6 +211,10 @@ class BinaryExpr(LogicalExpr):
     def __post_init__(self):
         if self.op in _PRED_OPS:
             self.dtype = DataType.boolean()
+        elif self.op in _JSON_OPS:
+            # -> / #> yield json, ->> / #>> text; both are string-backed
+            # (dictionary-encoded) device-side
+            self.dtype = DataType.utf8()
         elif self.op is BinOp.CONCAT:
             self.dtype = DataType.utf8()
         else:

@@ -51,6 +51,10 @@ _BINOP_MAP = {
     ast.BinaryOperator.NOT_REGEX_IMATCH: lp.BinOp.NOT_REGEX_IMATCH,
     ast.BinaryOperator.SIMILAR_TO: lp.BinOp.SIMILAR_TO,
     ast.BinaryOperator.NOT_SIMILAR_TO: lp.BinOp.NOT_SIMILAR_TO,
+    ast.BinaryOperator.JSON_GET: lp.BinOp.JSON_GET,
+    ast.BinaryOperator.JSON_GET_TEXT: lp.BinOp.JSON_GET_TEXT,
+    ast.BinaryOperator.JSON_PATH: lp.BinOp.JSON_PATH,
+    ast.BinaryOperator.JSON_PATH_TEXT: lp.BinOp.JSON_PATH_TEXT,
 }
 
 

@@ -99,6 +99,11 @@ class BinaryOperator(enum.Enum):
     # SQL standard regex (anchored, %/_ wildcards + regex metachars)
     SIMILAR_TO = "SIMILAR TO"
     NOT_SIMILAR_TO = "NOT SIMILAR TO"
+    # JSON extraction (PG): field/element as json or text, path variants
+    JSON_GET = "->"
+    JSON_GET_TEXT = "->>"
+    JSON_PATH = "#>"
+    JSON_PATH_TEXT = "#>>"
 
 
 class UnaryOperator(enum.Enum):

@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<param>\$\d+)
-  | (?P<op>@@|<>|!=|<=|>=|\|\||::|!~\*|!~|~\*|~|[+\-*/%(),.;=<>\[\]])
+  | (?P<op>@@|<>|!=|<=|>=|\|\||::|!~\*|!~|~\*|~|->>|->|\#>>|\#>|[+\-*/%(),.;=<>\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )

@@ -1081,11 +1081,29 @@ class Parser:
             return self.parse_unary()
         return self.parse_postfix()
 
+    _JSON_OPS = {
+        "->": ast.BinaryOperator.JSON_GET,
+        "->>": ast.BinaryOperator.JSON_GET_TEXT,
+        "#>": ast.BinaryOperator.JSON_PATH,
+        "#>>": ast.BinaryOperator.JSON_PATH_TEXT,
+    }
+
     def parse_postfix(self) -> ast.Expr:
         expr = self.parse_primary()
-        while self.match_op("::"):
-            expr = ast.Cast(expr, self.parse_data_type())
-        return expr
+        while True:
+            if self.match_op("::"):
+                expr = ast.Cast(expr, self.parse_data_type())
+                continue
+            if self.cur.kind == "OP" and self.cur.value in self._JSON_OPS:
+                op = self._JSON_OPS[self.advance().value]
+                # key: string/number literal (or -n for negative indexes)
+                neg = self.match_op("-")
+                rhs = self.parse_primary()
+                if neg:
+                    rhs = ast.UnaryOp(ast.UnaryOperator.MINUS, rhs)
+                expr = ast.BinaryOp(expr, op, rhs)
+                continue
+            return expr
 
     def parse_primary(self) -> ast.Expr:
         t = self.cur
