@@ -175,6 +175,30 @@ def _json_extract(s: str, keys, as_text: bool):
     return _json.dumps(doc)
 
 
+def _json_array_length(s: str):
+    try:
+        doc = _json.loads(s)
+    except Exception:  # noqa: BLE001
+        return None
+    return len(doc) if isinstance(doc, list) else None  # PG errors -> NULL
+
+
+def _json_typeof(s: str):
+    try:
+        doc = _json.loads(s)
+    except Exception:  # noqa: BLE001
+        return None
+    if doc is None:
+        return "null"
+    if isinstance(doc, bool):
+        return "boolean"
+    if isinstance(doc, (int, float)):
+        return "number"
+    if isinstance(doc, str):
+        return "string"
+    return "array" if isinstance(doc, list) else "object"
+
+
 def _dict_lookup_host(v: Val, fn, np_dtype, out_dtype: DataType) -> Val:
     """Compute a host value per dictionary entry, gather by code on device
     (e.g. LENGTH: one strlen per distinct string, one gather per row)."""
@@ -885,6 +909,40 @@ class Evaluator:
             return self._eval_extract(args)
         if f is F.DATE_TRUNC:
             return self._eval_date_trunc(args)
+        if f in (F.JSON_EXTRACT_PATH, F.JSON_EXTRACT_PATH_TEXT):
+            # function form of #> / #>> (PG json_extract_path[_text]):
+            # one json.loads per DISTINCT document, one gather per row
+            keys = [_static_json_key(a) for a in e.args[1:]]
+            if not keys or any(k is None for k in keys):
+                raise ExecutionError(
+                    f"{f.value} path elements must be string or integer "
+                    "literals")
+            if args[0].dictionary is None:
+                raise ExecutionError(
+                    f"{f.value} requires a json (string) first argument")
+            as_text = f is F.JSON_EXTRACT_PATH_TEXT
+            return _dict_map_host_nullable(
+                args[0], lambda s: _json_extract(s, keys, as_text),
+                DataType.utf8())
+        if f in (F.JSON_ARRAY_LENGTH, F.JSON_TYPEOF):
+            v = args[0]
+            if v.dictionary is None:
+                raise ExecutionError(
+                    f"{f.value} requires a json (string) argument")
+            if f is F.JSON_TYPEOF:
+                return _dict_map_host_nullable(
+                    v, _json_typeof, DataType.utf8())
+            d = v.dictionary
+            outs = [_json_array_length(x) for x in d.values]
+            table = np.asarray([0 if o is None else o for o in outs],
+                               np.int64)
+            null = np.asarray([o is None for o in outs], bool)
+            if len(table) == 0:
+                table, null = np.zeros(1, np.int64), np.zeros(1, bool)
+            idx = jnp.clip(v.data, 0, max(len(d) - 1, 0))
+            return Val(jnp.asarray(table)[idx],
+                       v.validity & ~jnp.asarray(null)[idx],
+                       DataType.int64())
         if f is F.TO_TSVECTOR:
             return _dict_map_host(
                 args[0], _tokenize_tsvector, DataType(TypeKind.TSVECTOR)

@@ -422,6 +422,17 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
 
             if _static_json_key(x.right) is None:
                 bad.append(x)
+        elif isinstance(x, lp.ScalarFnExpr) and x.func in (
+            lp.ScalarFn.JSON_EXTRACT_PATH, lp.ScalarFn.JSON_EXTRACT_PATH_TEXT,
+        ):
+            # same rule as the operators: every path element must be a
+            # literal so the extraction table is static at trace time
+            from query_engine_tpu.engine.expr_eval import _static_json_key
+
+            if len(x.args) < 2 or any(
+                _static_json_key(a) is None for a in x.args[1:]
+            ):
+                bad.append(x)
         elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.TS_MATCH:
             # traceable only when the query side is a literal (the match
             # table is then built per dictionary value at trace time)

@@ -476,6 +476,12 @@ class ScalarFn(enum.Enum):
     STRING_TO_ARRAY = "STRING_TO_ARRAY"
     ARRAY_TO_STRING = "ARRAY_TO_STRING"
     ARRAY_LENGTH = "ARRAY_LENGTH"
+    # json batch (function forms of #> / #>>; path elements are literals,
+    # so extraction tables build per dictionary value at trace time)
+    JSON_EXTRACT_PATH = "JSON_EXTRACT_PATH"
+    JSON_EXTRACT_PATH_TEXT = "JSON_EXTRACT_PATH_TEXT"
+    JSON_ARRAY_LENGTH = "JSON_ARRAY_LENGTH"
+    JSON_TYPEOF = "JSON_TYPEOF"
 
 
 _STRING_FNS = {ScalarFn.UPPER, ScalarFn.LOWER, ScalarFn.CONCAT,
@@ -526,6 +532,13 @@ class ScalarFnExpr(LogicalExpr):
                 (a.dtype for a in self.args if a.dtype.kind is not TypeKind.NULL),
                 DataType.null(),
             )
+        elif f in (ScalarFn.JSON_EXTRACT_PATH,
+                   ScalarFn.JSON_EXTRACT_PATH_TEXT,
+                   ScalarFn.JSON_TYPEOF):
+            # like -> / ->>: json and text results are both string-backed
+            self.dtype = DataType.utf8()
+        elif f is ScalarFn.JSON_ARRAY_LENGTH:
+            self.dtype = DataType.int64()
         elif f is ScalarFn.EXTRACT:
             field = ""
             if self.args and isinstance(self.args[0], Literal):

@@ -387,6 +387,11 @@ class ScalarFunction(enum.Enum):
     STRING_TO_ARRAY = "STRING_TO_ARRAY"
     ARRAY_TO_STRING = "ARRAY_TO_STRING"
     ARRAY_LENGTH = "ARRAY_LENGTH"
+    # json batch (path elements must be literals; function forms of #>/#>>)
+    JSON_EXTRACT_PATH = "JSON_EXTRACT_PATH"
+    JSON_EXTRACT_PATH_TEXT = "JSON_EXTRACT_PATH_TEXT"
+    JSON_ARRAY_LENGTH = "JSON_ARRAY_LENGTH"
+    JSON_TYPEOF = "JSON_TYPEOF"
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,9 @@ KEYWORDS = {
     "REPEAT", "LTRIM", "RTRIM", "STRPOS", "STARTS_WITH",
     "SIMILAR", "REGEXP_REPLACE", "REGEXP_LIKE", "REGEXP_SUBSTR",
     "REGEXP_COUNT", "STRING_TO_ARRAY", "ARRAY_TO_STRING", "ARRAY_LENGTH",
+    "JSON_EXTRACT_PATH", "JSON_EXTRACT_PATH_TEXT", "JSONB_EXTRACT_PATH",
+    "JSONB_EXTRACT_PATH_TEXT", "JSON_ARRAY_LENGTH", "JSON_TYPEOF",
+    "JSONB_ARRAY_LENGTH", "JSONB_TYPEOF",
     "CREATE", "DROP", "INDEX", "UNIQUE", "USING", "IF", "TABLE",
     "INSERT", "INTO", "VALUES", "UPDATE", "SET", "DELETE", "RETURNING",
     "TRUE", "FALSE", "BTREE", "HASH", "CONFLICT", "DO", "NOTHING",

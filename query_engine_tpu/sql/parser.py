@@ -51,6 +51,9 @@ _SCALAR_KWS = {
     "STARTS_WITH",
     "REGEXP_REPLACE", "REGEXP_LIKE", "REGEXP_SUBSTR", "REGEXP_COUNT",
     "STRING_TO_ARRAY", "ARRAY_TO_STRING", "ARRAY_LENGTH",
+    "JSON_EXTRACT_PATH", "JSON_EXTRACT_PATH_TEXT", "JSONB_EXTRACT_PATH",
+    "JSONB_EXTRACT_PATH_TEXT", "JSON_ARRAY_LENGTH", "JSON_TYPEOF",
+    "JSONB_ARRAY_LENGTH", "JSONB_TYPEOF",
 }
 _INTERVAL_UNITS = {
     "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
@@ -569,6 +572,13 @@ class Parser:
         return ast.ExprItem(expr, alias)
 
     def parse_table_reference(self) -> ast.TableReference:
+        # LATERAL is accepted and a no-op marker: UNNEST/GENERATE_SERIES
+        # FROM items are already implicitly lateral (they may reference
+        # earlier FROM items), matching PG's "LATERAL is implied for
+        # table functions". Correlated LATERAL subqueries surface a
+        # normal unknown-column planning error.
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "LATERAL":
+            self.advance()
         if self.match_op("("):
             if self.cur.is_kw("VALUES"):
                 self.advance()
@@ -1384,7 +1394,10 @@ class Parser:
         return ast.Aggregate(func, expr, False, (frac, desc))
 
     def parse_scalar_function(self) -> ast.Expr:
-        func = ast.ScalarFunction[self.advance().value]
+        name = self.advance().value
+        if name.startswith("JSONB_"):  # jsonb_* are aliases of json_* here
+            name = "JSON_" + name[len("JSONB_"):]
+        func = ast.ScalarFunction[name]
         self.expect_op("(")
         if func is ast.ScalarFunction.EXTRACT:
             # EXTRACT(field FROM expr) — PG special syntax
