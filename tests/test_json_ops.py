@@ -122,6 +122,21 @@ def test_lateral_unnest(sess):
     assert out == [("a",), ("b",), ("c",)]
 
 
+def test_json_traces_in_compiled_pipeline(sess):
+    """Literal-key JSON extraction must engage the compiled pipeline (the
+    extraction table is built at trace time; only the code-remap gather is
+    traced) — no fallback to the eager executor."""
+    st0 = dict(sess.executor.pipeline.stats)
+    out = sess.sql(
+        "SELECT id, doc ->> 'name' AS s, JSON_TYPEOF(doc -> 'a') AS ty "
+        "FROM t WHERE doc ->> 'name' = 'x'"
+    ).to_pydict()
+    assert out["s"] == ["x"] and out["ty"] == ["object"]
+    st1 = sess.executor.pipeline.stats
+    assert st1["fallbacks"] == st0["fallbacks"]
+    assert (st1["compiles"] + st1["hits"]) > (st0["compiles"] + st0["hits"])
+
+
 def test_non_literal_key_errors(sess):
     from query_engine_tpu.core.errors import QueryError
 
