@@ -1,30 +1,55 @@
-"""Engine benchmark — prints ONE JSON line on stdout.
+"""Engine benchmark — prints progressively enriched JSON lines on stdout;
+the LAST line is the round's record (the driver parses the last line).
 
 Measures the BASELINE.json operator set (filter, hash aggregate, hash join
 build+probe+emit, sort) as one fused jitted pipeline on synthetic tables,
 on whatever device JAX picks (the real TPU chip under the driver; CPU when
 JAX_PLATFORMS=cpu).
 
+Reliability contract (round-3 lesson: rc=124 recorded NO number at all):
+  * a global wall-clock budget (QE_BENCH_BUDGET_S, default 900 s) gates
+    every optional stage; stages skipped on budget grounds are marked
+    "skipped_budget" in the JSON instead of silently missing;
+  * the headline JSON line is emitted (and flushed) as soon as the first
+    real measurement exists, then RE-emitted enriched after each stage —
+    a kill at any point still leaves a parseable last line;
+  * compiles go through the persistent compilation cache
+    (query_engine_tpu.__init__ sets jax_compilation_cache_dir), and
+    per-stage compile seconds are recorded in the JSON under "compile_s".
+
 Headline metric: pipeline rows/sec/chip. vs_baseline compares against the
 reference's only published join throughput — 813.01 QPS on the 6x4-row
 employees/departments join (README.md:693), i.e. 813 * 24 = 19,512 joined
 rows/sec (and that join is a Cartesian stub; see BASELINE.md caveat).
 
-Per-operator numbers (filter / aggregate variants / join / sort) are
-measured too and land IN the emitted JSON under "per_op", each with rows/s,
-achieved GB/s, and the fraction of the v5e HBM roofline (819 GB/s,
-BASELINE.json's >=70% target metric). Byte counts use the min-traffic
-convention: inputs read once + outputs written once; an op that moves data
-multiple times (sort passes) shows a correspondingly lower fraction.
+Per-operator numbers (filter / aggregate variants / join / sort) land in
+the JSON under "per_op", each with raw + dispatch-amortized rows/s,
+achieved GB/s vs the v5e HBM roofline (819 GB/s), and sol_frac — the
+fraction of the op's primitive-derived speed-of-light. The amortization
+harness self-certifies against work elision: the implied fixed dispatch
+cost (t(k) - k*per_iter) must land in a plausible tunnel-dispatch window,
+else the op is flagged "nonlinear".
 
-Env knobs: QE_BENCH_ROWS (default 2^24 = 16.7M), QE_BENCH_ITERS (default 3),
-QE_BENCH_OPS=0 to skip the per-operator pass.
+TPC-H: per-query ms at QE_BENCH_TPCH_ROWS lineitem rows (default 2^21)
+lands under "tpch_ms" so query-level perf is regression-tracked, not just
+per-op (budget-gated; skipped queries are marked).
+
+Env knobs: QE_BENCH_ROWS (default 2^24 = 16.7M), QE_BENCH_ITERS (default
+3), QE_BENCH_OPS=0 to skip per-operator, QE_BENCH_TPCH=0 to skip TPC-H,
+QE_BENCH_BUDGET_S wall-clock budget.
 """
 
 import json
 import os
 import sys
 import time
+
+T_START = time.time()
+BUDGET_S = float(os.environ.get("QE_BENCH_BUDGET_S", "900"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
 
 
 def _ensure_device_or_cpu():
@@ -54,6 +79,7 @@ def _ensure_device_or_cpu():
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.setdefault("QE_BENCH_ROWS", str(1 << 21))
         os.environ.setdefault("QE_BENCH_OPS", "0")
+        os.environ.setdefault("QE_BENCH_TPCH", "0")
 
 
 if __name__ == "__main__":
@@ -61,7 +87,7 @@ if __name__ == "__main__":
 
 import numpy as np  # noqa: E402
 
-import query_engine_tpu  # noqa: F401,E402  (enables x64)
+import query_engine_tpu  # noqa: F401,E402  (enables x64 + compile cache)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -76,6 +102,22 @@ from query_engine_tpu.utils.profiling import (  # noqa: E402
 
 
 N_GROUPS = 1024  # aggregate cardinality (dept-style grouping)
+
+# The progressively-enriched record. emit() prints the whole thing as one
+# line; the driver takes the LAST line, so each emit supersedes the prior.
+REPORT = {
+    "metric": "fused_filter_agg_join_sort_pipeline",
+    "value": 0.0,
+    "unit": "rows/sec/chip",
+    "vs_baseline": 0.0,
+    "sol_hw": "tpu_v5e",  # sol_ms/sol_frac use v5e primitive ceilings;
+    # meaningless when the bench runs on CPU
+    "compile_s": {},
+}
+
+
+def emit():
+    print(json.dumps(REPORT), flush=True)
 
 
 def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
@@ -182,6 +224,7 @@ def main():
                   file=sys.stderr)
             time.sleep(20)
     compile_s = time.time() - t0
+    REPORT["compile_s"]["fused_pipeline"] = round(compile_s, 1)
     print(f"compile: {compile_s:.1f}s device={jax.devices()[0]}",
           file=sys.stderr)
 
@@ -193,39 +236,54 @@ def main():
     best = min(times)
     rows_per_sec = n_rows / best
 
-    per_op = {}
-    if os.environ.get("QE_BENCH_OPS", "1") != "0":
-        per_op = _per_op(cap, bcap, args, iters)
+    # pipeline reads each input plane once: age 4+1, salary 8+1, dept 4+1,
+    # grp 4, dim-side negligible -> 23 B/row min traffic
+    REPORT.update({
+        "value": round(rows_per_sec, 1),
+        "device": str(jax.devices()[0]),
+        "vs_baseline": round(rows_per_sec / REFERENCE_JOIN_ROWS_PER_SEC, 2),
+        "hbm_roofline_frac": round(rows_per_sec * 23 / HBM_BYTES_PER_SEC, 4),
+        "fused_pipeline_rows_per_sec": round(rows_per_sec, 1),
+    })
+    emit()  # first parseable record is on disk from here on
 
     try:
+        t0 = time.time()
         engine = _engine_bench(iters)
+        REPORT["compile_s"]["engine_sql"] = engine.pop("compile_s")
     except Exception as e:  # noqa: BLE001
         engine = {"error": repr(e)[:200]}
         print(f"engine_sql_pipeline: MEASUREMENT FAILED ({e!r})",
               file=sys.stderr)
-
-    # pipeline reads each input plane once: age 4+1, salary 8+1, dept 4+1,
-    # grp 4, dim-side negligible -> 23 B/row min traffic
+    REPORT["engine_sql"] = engine
     # Headline = the faster of the hand-fused kernel pipeline and the full
     # SQL engine path on the same workload (the engine overtook the hand
     # pipeline in round 2 — the product's own number is the honest one).
-    headline, metric = rows_per_sec, "fused_filter_agg_join_sort_pipeline"
-    if isinstance(engine, dict) and engine.get("rows_per_sec", 0) > headline:
-        headline = engine["rows_per_sec"]
-        metric = "engine_sql_filter_join_agg_sort"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(headline, 1),
-        "unit": "rows/sec/chip",
-        "device": str(jax.devices()[0]),
-        "vs_baseline": round(headline / REFERENCE_JOIN_ROWS_PER_SEC, 2),
-        "hbm_roofline_frac": round(headline * 23 / HBM_BYTES_PER_SEC, 4),
-        "fused_pipeline_rows_per_sec": round(rows_per_sec, 1),
-        "engine_sql": engine,
-        "sol_hw": "tpu_v5e",  # sol_ms/sol_frac use v5e primitive ceilings;
-        # meaningless when the bench runs on CPU
-        "per_op": per_op,
-    }))
+    if isinstance(engine, dict) and \
+            engine.get("rows_per_sec", 0) > REPORT["value"]:
+        REPORT["metric"] = "engine_sql_filter_join_agg_sort"
+        REPORT["value"] = engine["rows_per_sec"]
+        REPORT["vs_baseline"] = round(
+            engine["rows_per_sec"] / REFERENCE_JOIN_ROWS_PER_SEC, 2
+        )
+    emit()
+
+    if os.environ.get("QE_BENCH_OPS", "1") != "0":
+        t0 = time.time()
+        REPORT["per_op"] = _per_op(cap, bcap, args, iters)
+        REPORT["compile_s"]["per_op_total_s"] = round(time.time() - t0, 1)
+        emit()
+
+    if os.environ.get("QE_BENCH_TPCH", "1") != "0":
+        try:
+            REPORT["tpch_ms"] = _tpch_bench()
+        except Exception as e:  # noqa: BLE001
+            REPORT["tpch_ms"] = {"error": repr(e)[:200]}
+            print(f"tpch: MEASUREMENT FAILED ({e!r})", file=sys.stderr)
+        emit()
+
+    REPORT["wall_s"] = round(time.time() - T_START, 1)
+    emit()
 
 
 def _engine_bench(iters):
@@ -255,7 +313,9 @@ def _engine_bench(iters):
     q = ("SELECT f.dept, COUNT(*) AS c, SUM(f.salary + d.bonus) AS s "
          "FROM f JOIN d ON f.dept = d.dept_id "
          "WHERE f.age > 25 GROUP BY f.dept ORDER BY s DESC LIMIT 10")
+    t0 = time.time()
     s.sql(q)  # warm/compile
+    compile_s = time.time() - t0
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -263,14 +323,55 @@ def _engine_bench(iters):
         ts.append(time.perf_counter() - t0)
     print(
         f"engine_sql_pipeline: {n / min(ts):,.0f} rows/s "
-        f"({min(ts)*1e3:.1f} ms/query, {n} rows)",
+        f"({min(ts)*1e3:.1f} ms/query, {n} rows, "
+        f"warm+compile {compile_s:.1f}s)",
         file=sys.stderr,
     )
     return {
         "rows_per_sec": round(n / min(ts), 1),
         "ms_per_query": round(min(ts) * 1e3, 2),
         "rows": n,
+        "compile_s": round(compile_s, 1),
     }
+
+
+def _tpch_bench():
+    """Per-query TPC-H ms at QE_BENCH_TPCH_ROWS lineitem rows through the
+    full SQL engine — the query-level perf record VERDICT r3 item 10 asks
+    for. Budget-gated per query; skipped queries are marked explicitly."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    import tpch_mini
+
+    n_li = int(os.environ.get("QE_BENCH_TPCH_ROWS", 1 << 21))
+    if remaining() < 120:
+        print(f"tpch: skipped entirely (remaining {remaining():.0f}s)",
+              file=sys.stderr)
+        return {"skipped_budget": True}
+    t0 = time.time()
+    s, _tables = tpch_mini.build(n_li)
+    out = {"lineitem_rows": n_li, "build_s": round(time.time() - t0, 1)}
+    reps = max(1, int(os.environ.get("QE_BENCH_TPCH_ITERS", "2")))
+    for name, q in tpch_mini.QUERIES.items():
+        if remaining() < 25:
+            out[name] = "skipped_budget"
+            continue
+        try:
+            s.sql(q)  # warm/compile
+            ts = []
+            for _ in range(reps):
+                t1 = time.perf_counter()
+                s.sql(q)
+                ts.append(time.perf_counter() - t1)
+            out[name] = round(min(ts) * 1e3, 1)
+            print(f"tpch {name}: {out[name]:.1f} ms", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": repr(e)[:120]}
+            print(f"tpch {name}: FAILED ({e!r})", file=sys.stderr)
+    q_ms = [v for k, v in out.items()
+            if k.startswith("Q") and isinstance(v, (int, float))]
+    out["total_warm_ms"] = round(sum(q_ms), 1) if q_ms else None
+    return out
 
 
 # measured v5e primitive ceilings, solo runs through the tunnel
@@ -313,7 +414,14 @@ def _per_op(cap, bcap, args, iters):
     CSE nor reorder them), plus achieved bandwidth vs the HBM roofline AND
     the fraction of the op's primitive-derived speed-of-light (sol_frac) —
     the honest per-op metric on hardware where gathers/scatters are
-    element-serial (BASELINE.json metric line; VERDICT round-2 item 2)."""
+    element-serial (BASELINE.json metric line; VERDICT round-2 item 2).
+
+    Self-certification against work elision: per_iter and t(k) imply a
+    fixed per-dispatch cost fixed_ms = t(k) - k*per_iter; a genuine
+    measurement has fixed_ms in the tunnel-dispatch window. An op whose
+    fixed_ms falls outside [-5, 500] ms is flagged "nonlinear": either
+    the loop body was partially elided (per_iter underestimates) or the
+    op's cost is not iteration-linear."""
     (age, age_v, salary, salary_v, dept, dept_v, grp,
      bdept, bdept_v, bval, bval_v, n_rows, n_build) = args
     results = {}
@@ -325,7 +433,13 @@ def _per_op(cap, bcap, args, iters):
 
         A failure in one op (transient tunnel hiccup) records an "error"
         entry instead of killing the run — the driver must always get the
-        final JSON line."""
+        final JSON line. Ops past the wall-clock budget are marked
+        skipped_budget."""
+        if remaining() < 45:
+            results[name] = {"skipped_budget": True}
+            print(f"{name}: skipped (budget, {remaining():.0f}s left)",
+                  file=sys.stderr)
+            return
         try:
             _timed(name, bytes_per_row, sol_terms, op, *a, rows=rows,
                    note=note)
@@ -335,6 +449,7 @@ def _per_op(cap, bcap, args, iters):
 
     def _timed(name, bytes_per_row, sol_terms, op, *a, rows=None, note=None):
         rows_n = int(n_rows if rows is None else rows)
+        t_op0 = time.time()
 
         def digest(out):
             d = jnp.int64(0)
@@ -356,7 +471,14 @@ def _per_op(cap, bcap, args, iters):
         def run(f):
             return float(np.asarray(f(*a)))
 
-        run(one)  # compile
+        compile_s = [0.0]
+
+        def compile_run(f):
+            t0 = time.time()
+            run(f)
+            compile_s[0] += time.time() - t0
+
+        compile_run(one)
         ts = []
         for _ in range(min(iters, 2)):
             t0 = time.perf_counter()
@@ -365,7 +487,7 @@ def _per_op(cap, bcap, args, iters):
         raw_ms = min(ts) * 1e3
 
         def best_of(f, reps):
-            run(f)  # compile
+            compile_run(f)
             out = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -374,6 +496,7 @@ def _per_op(cap, bcap, args, iters):
             return min(out)
 
         tunnel_ms = float(os.environ.get("QE_BENCH_DISPATCH_MS", "26"))
+        fixed_ms = None
         if raw_ms > 300:
             # expensive op: dispatch is already <10% of the raw time and a
             # meaningful loop would run for many seconds — subtracting the
@@ -398,13 +521,15 @@ def _per_op(cap, bcap, args, iters):
             # (dispatch+transfer dominates raw), leaving the 2k delta
             # inside tunnel jitter. Escalate k off the MEASURED per-iter
             # until the delta is >=~150 ms of real work.
-            if (t_hi - t_lo) < 0.08 and k_lo < 2048:
+            if (t_hi - t_lo) < 0.08 and k_lo < 2048 and remaining() > 60:
                 per_iter = max((t_hi - t_lo) / (2 * k_lo), 2e-5)
                 k_lo = int(min(4096, max(2 * k_lo, 0.15 / per_iter)))
                 t_lo, t_hi = two_point(k_lo)
             amort_ms = max((t_hi - t_lo) * 1e3 / (2 * k_lo),
                            t_hi * 1e3 / (3 * k_lo) * 0.05)
             method = f"two_point_k{k_lo}"
+            # linearity self-check: implied per-dispatch fixed cost
+            fixed_ms = t_lo * 1e3 - k_lo * amort_ms
 
         rps = rows_n / (amort_ms / 1e3)
         gbps = rps * bytes_per_row / 1e9
@@ -423,13 +548,19 @@ def _per_op(cap, bcap, args, iters):
                 for k, m in sol_terms
             ),
             "amort_method": method,
+            "compile_s": round(compile_s[0], 1),
         }
+        if fixed_ms is not None:
+            results[name]["fixed_ms"] = round(fixed_ms, 1)
+            if not (-5.0 <= fixed_ms <= 500.0):
+                results[name]["nonlinear"] = True
         if note:
             results[name]["note"] = note
         print(
             f"{name}: {rps:,.0f} rows/s amortized ({amort_ms:.2f} ms, raw "
             f"{raw_ms:.1f} ms)  {gbps:.1f} GB/s  sol {sol:.1f} ms -> "
-            f"{100 * sol / max(amort_ms, 1e-9):.0f}% of speed-of-light",
+            f"{100 * sol / max(amort_ms, 1e-9):.0f}% of speed-of-light  "
+            f"[compile {compile_s[0]:.0f}s, {time.time()-t_op0:.0f}s total]",
             file=sys.stderr,
         )
 
@@ -522,11 +653,21 @@ def _per_op(cap, bcap, args, iters):
         n_rows, n_build,
     )
 
+    timed(
+        "sort", 13, [("sort_packed", 1.0), ("hbm", 13)],
+        lambda salt, s, sv, n: K.sort_permutation(
+            [s + salt], [sv], [False], [False], n
+        ),
+        salary, salary_v, n_rows,
+    )
+
     # open-addressing hash join head-to-head (ops/hash_join.py) — a
     # DELIBERATELY KEPT NEGATIVE RESULT, not a serving path: random gathers
     # are element-serial on TPU, so open addressing measures ~90x slower
     # than the sort-rank join at 8Mx1M (docs/TPU_DESIGN.md #10). Kept in
-    # the JSON so the design decision stays reproducible.
+    # the JSON so the design decision stays reproducible. LAST in the
+    # measurement order: it is the least load-bearing number, so it is the
+    # one a tight budget drops.
     from query_engine_tpu.ops.hash_join import hash_join_unique, table_size_for
 
     hj_n = min(cap, 1 << 19)
@@ -541,13 +682,6 @@ def _per_op(cap, bcap, args, iters):
         note="negative result kept for the record (TPU_DESIGN #10): "
              "open addressing loses ~90x to the sort-rank join on TPU; "
              "no engine path routes here",
-    )
-    timed(
-        "sort", 13, [("sort_packed", 1.0), ("hbm", 13)],
-        lambda salt, s, sv, n: K.sort_permutation(
-            [s + salt], [sv], [False], [False], n
-        ),
-        salary, salary_v, n_rows,
     )
     return results
 
