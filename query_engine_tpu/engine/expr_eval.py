@@ -124,6 +124,16 @@ def _dict_map_host_nullable(v: Val, fn, out_dtype: DataType = None) -> Val:
                out_dtype or v.dtype, new_dict)
 
 
+def _all_null_val(capacity: int, dtype: DataType) -> Val:
+    """All-NULL column of the given dtype (strict fns over NULL input)."""
+    if dtype.is_dictionary or dtype.kind is TypeKind.UTF8:
+        d, _ = Dictionary.from_values([""])
+        return Val(jnp.zeros(capacity, jnp.int32),
+                   jnp.zeros(capacity, bool), DataType.utf8(), d)
+    return Val(jnp.zeros(capacity, jnp.int64),
+               jnp.zeros(capacity, bool), dtype)
+
+
 def _static_json_key(node):
     """Literal (or negated numeric literal) key of a JSON operator."""
     if isinstance(node, lp.Literal):
@@ -911,12 +921,15 @@ class Evaluator:
             return self._eval_date_trunc(args)
         if f in (F.JSON_EXTRACT_PATH, F.JSON_EXTRACT_PATH_TEXT):
             # function form of #> / #>> (PG json_extract_path[_text]):
-            # one json.loads per DISTINCT document, one gather per row
+            # one json.loads per DISTINCT document, one gather per row.
+            # Zero path elements = identity over the reparsed document (PG).
             keys = [_static_json_key(a) for a in e.args[1:]]
-            if not keys or any(k is None for k in keys):
+            if any(k is None for k in keys):
                 raise ExecutionError(
                     f"{f.value} path elements must be string or integer "
                     "literals")
+            if args[0].dtype.kind is TypeKind.NULL:
+                return _all_null_val(args[0].capacity, DataType.utf8())
             if args[0].dictionary is None:
                 raise ExecutionError(
                     f"{f.value} requires a json (string) first argument")
@@ -926,6 +939,12 @@ class Evaluator:
                 DataType.utf8())
         if f in (F.JSON_ARRAY_LENGTH, F.JSON_TYPEOF):
             v = args[0]
+            if v.dtype.kind is TypeKind.NULL:
+                # strict functions: NULL input -> NULL output (PG)
+                return _all_null_val(
+                    v.capacity,
+                    DataType.int64() if f is F.JSON_ARRAY_LENGTH
+                    else DataType.utf8())
             if v.dictionary is None:
                 raise ExecutionError(
                     f"{f.value} requires a json (string) argument")

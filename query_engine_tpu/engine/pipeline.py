@@ -427,11 +427,10 @@ def _expr_traceable(e: lp.LogicalExpr) -> bool:
         ):
             # same rule as the operators: every path element must be a
             # literal so the extraction table is static at trace time
+            # (zero path elements is fine: identity over the document)
             from query_engine_tpu.engine.expr_eval import _static_json_key
 
-            if len(x.args) < 2 or any(
-                _static_json_key(a) is None for a in x.args[1:]
-            ):
+            if any(_static_json_key(a) is None for a in x.args[1:]):
                 bad.append(x)
         elif isinstance(x, lp.BinaryExpr) and x.op is lp.BinOp.TS_MATCH:
             # traceable only when the query side is a literal (the match
@@ -1162,10 +1161,6 @@ class CompiledPipeline:
                 raise _Unsupported("join key exprs")
         if plan.residual is not None and not _expr_traceable(plan.residual):
             raise _Unsupported("join residual")
-        if plan.residual is not None and plan.join_type is not lp.JoinType.INNER:
-            # outer rows whose every pair fails the residual must re-emit
-            # NULL-padded; needs the eager recompute-unmatched path
-            raise _Unsupported("outer join residual")
         lprov = self._unique_prov_multi(
             plan.left, [le for le, _ in plan.key_pairs], ctx
         )
@@ -1418,6 +1413,14 @@ class CompiledPipeline:
         side, dup = resolution
         jt = plan.join_type
         cap_l, cap_r = lt.capacity, rt.capacity
+        # outer join with a residual ON condition: matched-ness means "has
+        # an equi pair SURVIVING the residual" — evaluated on the emitted
+        # inner pairs, with NULL-padded outer blocks recomputed from the
+        # survivors (PG ON semantics; TPC-H Q13's LEFT JOIN ... AND NOT
+        # LIKE). The eager oracle is executor._exec_outer_join_residual.
+        residual_outer = (
+            plan.residual is not None and jt is not lp.JoinType.INNER
+        )
 
         if side == "E":
             # emit-capacity sync: the companion count program already told
@@ -1435,6 +1438,14 @@ class CompiledPipeline:
                 out_cap += cap_r
             if side == "L" and jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
                 out_cap += cap_l
+            if residual_outer:
+                # probe-side pads need their own slots: a probe row whose
+                # equi pairs ALL fail the residual occupies its (dead)
+                # inner slots AND one pad row
+                if side == "R" and jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+                    out_cap += cap_l
+                if side == "L" and jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
+                    out_cap += cap_r
 
         from query_engine_tpu.engine.expr_eval import unify_dicts
 
@@ -1468,12 +1479,18 @@ class CompiledPipeline:
                 )
                 out_rows = total
                 if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
+                    # with a residual, rows whose every equi pair fails it
+                    # also pad — the count pass cannot evaluate the residual
+                    # (no pair columns in sorted space), so bound by ALL
+                    # live rows instead of just the equi-unmatched
                     out_rows = out_rows + (
-                        jnp.sum(lt.sel.astype(jnp.int64)) - ml
+                        jnp.sum(lt.sel.astype(jnp.int64))
+                        - (0 if residual_outer else ml)
                     )
                 if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
                     out_rows = out_rows + (
-                        jnp.sum(rt.sel.astype(jnp.int64)) - mr
+                        jnp.sum(rt.sel.astype(jnp.int64))
+                        - (0 if residual_outer else mr)
                     )
                 raise _CountReady(plan, out_rows, extras=space)
             total, _, _, _, _, lm_c, rm_c = K.join_counts(
@@ -1482,11 +1499,13 @@ class CompiledPipeline:
             out_rows = total
             if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
                 out_rows = out_rows + jnp.sum(
-                    (~lm_c & lt.sel).astype(jnp.int64)
+                    ((jnp.ones_like(lm_c) if residual_outer else ~lm_c)
+                     & lt.sel).astype(jnp.int64)
                 )
             if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
                 out_rows = out_rows + jnp.sum(
-                    (~rm_c & rt.sel).astype(jnp.int64)
+                    ((jnp.ones_like(rm_c) if residual_outer else ~rm_c)
+                     & rt.sel).astype(jnp.int64)
                 )
             raise _CountReady(plan, out_rows)
 
@@ -1535,8 +1554,20 @@ class CompiledPipeline:
                 mask = ex.evaluator.eval_predicate_mask(
                     plan.residual, _ShimBatch(out)
                 )
-                out = _TTable(out.schema, out.cols, out.sel & mask, cap_r,
-                              False, out.bounds)
+                if jt is lp.JoinType.RIGHT:
+                    # outer: a failing residual un-matches the pair — the
+                    # right row stays, gathered LEFT planes go NULL
+                    nlc = len(lt.cols)
+                    cols2 = [
+                        Column(c.data, c.validity & mask, c.dtype,
+                               c.dictionary)
+                        for c in out.cols[:nlc]
+                    ] + list(out.cols[nlc:])
+                    out = _TTable(out.schema, cols2, out.sel, cap_r,
+                                  False, out.bounds)
+                else:
+                    out = _TTable(out.schema, out.cols, out.sel & mask,
+                                  cap_r, False, out.bounds)
             return out
 
         if fk_r:
@@ -1574,8 +1605,20 @@ class CompiledPipeline:
                 mask = ex.evaluator.eval_predicate_mask(
                     plan.residual, _ShimBatch(out)
                 )
-                out = _TTable(out.schema, out.cols, out.sel & mask, cap_l,
-                              False, out.bounds)
+                if jt is lp.JoinType.LEFT:
+                    # outer: a failing residual un-matches the pair — the
+                    # left row stays, gathered RIGHT planes go NULL
+                    nlc = len(lt.cols)
+                    cols2 = list(out.cols[:nlc]) + [
+                        Column(c.data, c.validity & mask, c.dtype,
+                               c.dictionary)
+                        for c in out.cols[nlc:]
+                    ]
+                    out = _TTable(out.schema, cols2, out.sel, cap_l,
+                                  False, out.bounds)
+                else:
+                    out = _TTable(out.schema, out.cols, out.sel & mask,
+                                  cap_l, False, out.bounds)
             return out
 
         if n_ranks is None:
@@ -1601,7 +1644,66 @@ class CompiledPipeline:
         )
         lvalid = valid
         rvalid = valid
+        keep = valid
+        if residual_outer:
+            # evaluate the residual on the emitted inner pairs BEFORE the
+            # outer padding: gather only the columns the residual touches
+            # (the full gather happens once, below, after pad indices are
+            # merged in), then recompute matched-ness from the SURVIVORS
+            refs = set()
+            lp.walk_exprs(
+                plan.residual,
+                lambda x: refs.add(x.index)
+                if isinstance(x, lp.ColumnRef) else None,
+            )
+            nlc = len(lt.cols)
+            bl, br = _gather_bounds(lt), _gather_bounds(rt)
+            l_sel = [i for i in sorted(refs) if i < nlc]
+            r_sel = [i - nlc for i in sorted(refs) if i >= nlc]
+            mini_cols = {}
+            if l_sel:
+                gd, gv = K.gather_columns_packed(
+                    [lt.cols[i].data for i in l_sel],
+                    [lt.cols[i].validity for i in l_sel],
+                    [bl[i] for i in l_sel], li, valid,
+                )
+                for i, d, v in zip(l_sel, gd, gv):
+                    mini_cols[i] = Column(
+                        d, v, lt.cols[i].dtype, lt.cols[i].dictionary
+                    )
+            if r_sel:
+                gd, gv = K.gather_columns_packed(
+                    [rt.cols[i].data for i in r_sel],
+                    [rt.cols[i].validity for i in r_sel],
+                    [br[i] for i in r_sel], ri, valid,
+                )
+                for i, d, v in zip(r_sel, gd, gv):
+                    mini_cols[i + nlc] = Column(
+                        d, v, rt.cols[i].dtype, rt.cols[i].dictionary
+                    )
+            all_cols = [
+                mini_cols.get(i, Column(
+                    jnp.zeros(out_cap, jnp.int32),
+                    jnp.zeros(out_cap, bool), f.data_type, None,
+                ))
+                for i, f in enumerate(plan.out_schema)
+            ]
+            mini = _TTable(plan.out_schema, all_cols, valid, out_cap, True,
+                           [None] * len(all_cols))
+            keep = valid & ex.evaluator.eval_predicate_mask(
+                plan.residual, _ShimBatch(mini)
+            )
+            ki = keep.astype(jnp.int32)
+            lmatched = (
+                jnp.zeros(cap_l + 1, jnp.int32)
+                .at[jnp.where(keep, li, cap_l)].max(ki)[:cap_l] > 0
+            )
+            rmatched = (
+                jnp.zeros(cap_r + 1, jnp.int32)
+                .at[jnp.where(keep, ri, cap_r)].max(ki)[:cap_r] > 0
+            )
         pos = jnp.arange(out_cap, dtype=jnp.int64)
+        pad_mask = jnp.zeros(out_cap, dtype=bool)
         extra_l = jnp.int64(0)
         extra_r = jnp.int64(0)
         if jt in (lp.JoinType.LEFT, lp.JoinType.FULL):
@@ -1613,6 +1715,7 @@ class CompiledPipeline:
             li = jnp.where(in_l, ul_idx[sel_i], li)
             lvalid = lvalid | in_l
             valid = valid | in_l
+            pad_mask = pad_mask | in_l
         if jt in (lp.JoinType.RIGHT, lp.JoinType.FULL):
             um_r = ~rmatched & rt.sel
             extra_r = jnp.sum(um_r.astype(jnp.int64))
@@ -1623,6 +1726,7 @@ class CompiledPipeline:
             ri = jnp.where(in_r, ur_idx[sel_i], ri)
             rvalid = rvalid | in_r
             valid = valid | in_r
+            pad_mask = pad_mask | in_r
 
         out_rows = total + extra_l + extra_r
         ld = [c.data for c in lt.cols]
@@ -1640,11 +1744,13 @@ class CompiledPipeline:
             for d, v, c in zip(gl_d + gr_d, gl_v + gr_v,
                                list(lt.cols) + list(rt.cols))
         ]
-        sel = pos < out_rows
+        # residual_outer: surviving inner pairs + the pad blocks; otherwise
+        # every emitted row up to out_rows is live
+        sel = (keep | pad_mask) if residual_outer else (pos < out_rows)
         # gathered columns keep their source value covers
         out = _TTable(plan.out_schema, cols, sel, out_cap, True,
                       lt.bounds + rt.bounds)
-        if plan.residual is not None:
+        if plan.residual is not None and not residual_outer:
             mask = ex.evaluator.eval_predicate_mask(
                 plan.residual, _ShimBatch(out)
             )

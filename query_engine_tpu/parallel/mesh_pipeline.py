@@ -125,7 +125,10 @@ class MeshPipeline:
         self._factor_memory: Dict = {}  # body -> last working factor
         self._fallback_bodies = set()
         self.stats = {"compiles": 0, "hits": 0, "fallbacks": 0,
-                      "exchanges": 0, "overflow_retries": 0, "queries": 0}
+                      "exchanges": 0, "overflow_retries": 0, "queries": 0,
+                      "eager_leaves": 0, "eager_rows": 0}
+        # per-query demotion census of the LAST mesh-lowered query
+        self.last_census = None
 
     # ---- entry -----------------------------------------------------------
     def try_execute(self, pplan: pp.PhysicalPlan) -> Optional[ColumnBatch]:
@@ -153,12 +156,27 @@ class MeshPipeline:
             self.stats["fallbacks"] += 1
             return None
 
-        leaves = [self.cp._materialize_leaf(nd) for nd in leaf_nodes]
+        leaves = [self._materialize_eager(nd) for nd in leaf_nodes]
         if any(b.num_columns == 0 for b in leaves):
             return None
         for b in leaves:
             ensure_bounds(b)
         batch_by_node = dict(zip(map(id, leaf_nodes), leaves))
+
+        # eager-leaf census: a leaf that is not a plain table scan is a
+        # DEMOTED subtree — computed single-device, then fed into the
+        # shard_map program. "Zero fallbacks" alone can hide a heavy join
+        # running on one chip; this makes the demotions first-class stats.
+        eager_idx = [i for i, nd in enumerate(leaf_nodes)
+                     if not isinstance(nd, pp.PScan)]
+        self.last_census = {
+            "eager_leaves": len(eager_idx),
+            "eager_rows": int(sum(leaves[i].num_rows for i in eager_idx)),
+            "eager_kinds": [type(leaf_nodes[i]).__name__ for i in eager_idx],
+            "leaves": len(leaf_nodes),
+            "n_compute": n_compute,
+            "n_exchange": n_exchange,
+        }
 
         # join resolution: bounded sides get a static emit capacity; a join
         # with unbounded key duplication goes through a MESH count->emit
@@ -290,9 +308,49 @@ class MeshPipeline:
             factor = min(factor * 2.0, float(self.n))
         self._factor_memory[body] = factor
 
+        if eager_idx:
+            self.stats["eager_leaves"] = (
+                self.stats.get("eager_leaves", 0) + len(eager_idx)
+            )
+            self.stats["eager_rows"] = (
+                self.stats.get("eager_rows", 0)
+                + self.last_census["eager_rows"]
+            )
         return self._assemble(entry, out, limit)
 
     # ---- host-side helpers ----------------------------------------------
+    def _materialize_eager(self, nd) -> ColumnBatch:
+        """Materialize a leaf subtree. Plain scans read the stored batch;
+        DEMOTED subtrees first retry the mesh on the subtree itself (its
+        own root was the unsupported node, but its INPUT may lower — e.g.
+        a shared CTE whose aggregate should run sharded), falling back to
+        the single-device executor."""
+        if isinstance(nd, pp.PScan):
+            return self.cp._materialize_leaf(nd)
+        if isinstance(nd, pp.PSubquery) and nd.shared:
+            # keep the executor's once-per-query CTE memo (PG semantics +
+            # bit-identical floats across references), but compute the
+            # memoized batch itself through the mesh when it lowers
+            memo = self.executor._cte_memo
+            child = memo.get(id(nd.input))
+            if child is None:
+                child = self.try_execute(nd.input)
+                if child is not None:
+                    self.stats["eager_mesh_recursed"] = (
+                        self.stats.get("eager_mesh_recursed", 0) + 1
+                    )
+                else:
+                    child = self.executor.execute(nd.input)
+                memo[id(nd.input)] = child
+            return ColumnBatch(nd.out_schema, child.columns, child.num_rows)
+        out = self.try_execute(nd)
+        if out is not None:
+            self.stats["eager_mesh_recursed"] = (
+                self.stats.get("eager_mesh_recursed", 0) + 1
+            )
+            return out
+        return self.cp._materialize_leaf(nd)
+
     def _shard_leaf(self, b: ColumnBatch) -> ShardedTable:
         # cache rides on the first column object (shared with the source
         # table, so it persists across query materializations). Keyed by
@@ -644,8 +702,9 @@ class MeshPipeline:
                 raise _Unsupported("join key exprs")
         if plan.residual is not None and not _expr_traceable(plan.residual):
             raise _Unsupported("join residual")
-        if plan.residual is not None and plan.join_type is not lp.JoinType.INNER:
-            raise _Unsupported("outer join residual")
+        # outer joins with residual ON lower too: the exchange co-locates
+        # all rows of a key, so the tracer's residual-aware padding is
+        # shard-locally correct (TPC-H Q13's LEFT JOIN ... AND NOT LIKE)
         lprov = self.cp._unique_prov_multi(
             plan.left, [le for le, _ in plan.key_pairs], ctx
         )

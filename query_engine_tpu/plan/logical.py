@@ -558,7 +558,14 @@ class ScalarFnExpr(LogicalExpr):
             self.dtype = DataType(TypeKind.TSQUERY)
         else:
             self.dtype = DataType.float64()
-        self.nullable = any(a.nullable for a in self.args) or f is ScalarFn.NULLIF
+        # JSON extraction/inspection introduces NULLs from non-nullable
+        # inputs (missing fields, malformed docs, non-array lengths)
+        self.nullable = (
+            any(a.nullable for a in self.args)
+            or f in (ScalarFn.NULLIF, ScalarFn.JSON_EXTRACT_PATH,
+                     ScalarFn.JSON_EXTRACT_PATH_TEXT,
+                     ScalarFn.JSON_ARRAY_LENGTH, ScalarFn.JSON_TYPEOF)
+        )
 
     def name(self) -> str:
         return f"{self.func.value}({', '.join(a.name() for a in self.args)})"

@@ -10,6 +10,9 @@ import random
 import numpy as np
 import pytest
 
+# full-battery differential: the fast profile (-m 'not slow') skips it
+pytestmark = pytest.mark.slow
+
 import query_engine_tpu  # noqa: F401
 from query_engine_tpu.engine.session import Session
 

@@ -14,6 +14,9 @@ import random
 
 import pytest
 
+# full-battery differential: the fast profile (-m 'not slow') skips it
+pytestmark = pytest.mark.slow
+
 import jax
 
 import query_engine_tpu  # noqa: F401

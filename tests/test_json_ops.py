@@ -142,3 +142,23 @@ def test_non_literal_key_errors(sess):
 
     with pytest.raises(QueryError):
         sess.sql("SELECT doc -> name FROM t")
+
+
+def test_json_extract_path_empty_path_identity(sess):
+    # PG: json_extract_path(doc) with no path elements returns the document
+    # (normalized through a reparse; malformed docs go NULL here)
+    out = sess.sql("SELECT JSON_EXTRACT_PATH(doc) AS j FROM t").to_pydict()
+    assert out["j"][0] is not None and '"name": "x"' in out["j"][0]
+    assert out["j"][3] is None  # malformed
+    assert out["j"][4] is None  # NULL doc
+
+
+def test_json_fns_null_literal_input(sess):
+    # strict functions: NULL input -> NULL output (PG), not an error
+    out = sess.sql(
+        "SELECT JSON_TYPEOF(NULL) AS t, JSON_ARRAY_LENGTH(NULL) AS l, "
+        "JSON_EXTRACT_PATH(NULL, 'a') AS p FROM t"
+    ).to_pydict()
+    assert out["t"] == [None] * 5
+    assert out["l"] == [None] * 5
+    assert out["p"] == [None] * 5

@@ -42,8 +42,13 @@ def make_session(seed: int) -> Session:
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("q", QUERIES, ids=lambda q: q[:48])
 def test_fused_matches_steps(monkeypatch, seed, q):
-    fused = make_session(seed).sql(q).to_pylist()
+    # executor-level differential: two-program fused vs step oracle (the
+    # compiled pipeline is disabled so the eager paths are what runs)
+    fused_sess = make_session(seed)
+    fused_sess.executor._compiled = False
+    fused = fused_sess.sql(q).to_pylist()
     steps_sess = make_session(seed)
+    steps_sess.executor._compiled = False
     monkeypatch.setattr(
         QueryExecutor, "_outer_residual_fused",
         lambda self, *a, **k: None,
@@ -53,8 +58,31 @@ def test_fused_matches_steps(monkeypatch, seed, q):
     assert fused == steps  # ORDER BY makes the full rows comparable
 
 
-def test_fused_path_engages():
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: q[:48])
+def test_pipeline_matches_eager(seed, q):
+    # the compiled pipeline now lowers outer-residual joins inline (one
+    # traced program, residual-aware padding); the eager executor is the
+    # oracle
+    piped = make_session(seed).sql(q).to_pylist()
+    eager_sess = make_session(seed)
+    eager_sess.executor._compiled = False
+    eager = eager_sess.sql(q).to_pylist()
+    assert piped == eager
+
+
+def test_pipeline_inlines_outer_residual():
     s = make_session(7)
+    before = s.executor.pipeline.stats["joins_inlined"]
+    s.sql(QUERIES[0])
+    assert s.executor.pipeline.stats["joins_inlined"] > before
+
+
+def test_fused_path_engages():
+    # the executor's two-program fused path remains the non-pipeline
+    # serving path (and the oracle); force it by disabling the pipeline
+    s = make_session(7)
+    s.executor._compiled = False
     s.sql(QUERIES[0])
     assert any(
         isinstance(k, tuple) and k and k[0] == "ojresA"

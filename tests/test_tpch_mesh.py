@@ -13,6 +13,9 @@ import sys
 import jax
 import pytest
 
+# full-battery differential: the fast profile (-m 'not slow') skips it
+pytestmark = pytest.mark.slow
+
 sys.path.insert(
     0,
     os.path.join(
@@ -61,6 +64,15 @@ def test_mesh_matches_single_device(sessions, q):
     # program (verified census: zero fallbacks, 1-16 all_to_all exchanges
     # per query) — not silently run single-device
     assert mp.stats["compiles"] + mp.stats["hits"] > before, q
+    # per-query demotion census: how much of the plan ran sharded vs as
+    # single-device eager leaves (printed with pytest -s; -rA shows it too)
+    c = mp.last_census or {}
+    print(
+        f"census {q}: compute={c.get('n_compute')} "
+        f"exchanges={c.get('n_exchange')} leaves={c.get('leaves')} "
+        f"eager={c.get('eager_leaves')} eager_rows={c.get('eager_rows')} "
+        f"kinds={c.get('eager_kinds')}"
+    )
     assert a.schema.names() == b.schema.names()
     ra, rb = a.to_pylist(), b.to_pylist()
     assert len(ra) == len(rb), (q, len(ra), len(rb))
