@@ -62,6 +62,8 @@ def _ensure_device_or_cpu():
     the probe."""
     if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         return
+    if os.environ.get("QE_BENCH_PRECOMPILE"):
+        return  # parent already validated the device
     import subprocess
 
     try:
@@ -169,10 +171,7 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
     return jax.jit(pipeline)
 
 
-def main():
-    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
-    iters = int(os.environ.get("QE_BENCH_ITERS", 3))
-    bcap = max(cap >> 4, 128)
+def _build_args(cap, bcap):
     rng = np.random.default_rng(42)
     n_rows = cap - 17
     n_build = bcap - 3
@@ -180,7 +179,7 @@ def main():
 
     # TPU deployment profile: 32-bit lanes for keys/filters (native width on
     # v5e), 64-bit only where aggregation parity needs it (salary sums)
-    args = (
+    return (
         jnp.asarray(rng.integers(18, 65, cap), jnp.int32),
         jnp.ones(cap, bool),
         jnp.asarray(rng.integers(50_000, 150_000, cap), jnp.int64),
@@ -196,59 +195,18 @@ def main():
         np.int64(n_build),
     )
 
-    use_mxu = jax.devices()[0].platform != "cpu"
-    pipeline = build_pipeline(cap, bcap, use_mxu)
 
-    def run_once():
-        out = pipeline(*args)
-        # force full completion: materialize a scalar that depends on every
-        # heavy op (block_until_ready alone can return early on remote/
-        # tunneled platforms)
-        return float(np.asarray(out[4])) + float(np.asarray(out[3])) + float(
-            np.asarray(out[5])[0]
-        )
+def main():
+    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
+    iters = int(os.environ.get("QE_BENCH_ITERS", 3))
+    bcap = max(cap >> 4, 128)
+    REPORT["in_progress"] = True
+    REPORT["device"] = str(jax.devices()[0])
+    emit()  # T0 record: a kill at ANY later point leaves parseable JSON
 
-    t0 = time.time()
-    # the remote TPU tunnel occasionally surfaces a transient
-    # FAILED_PRECONDITION on the first dispatch after another process was
-    # killed mid-compile; retry the warmup a couple of times before giving
-    # up so a one-off hiccup doesn't zero out the whole bench run
-    for attempt in range(3):
-        try:
-            run_once()
-            break
-        except Exception as e:  # noqa: BLE001 — jax runtime error classes vary
-            if attempt == 2:
-                raise
-            print(f"warmup attempt {attempt} failed ({e!r}); retrying",
-                  file=sys.stderr)
-            time.sleep(20)
-    compile_s = time.time() - t0
-    REPORT["compile_s"]["fused_pipeline"] = round(compile_s, 1)
-    print(f"compile: {compile_s:.1f}s device={jax.devices()[0]}",
-          file=sys.stderr)
-
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    rows_per_sec = n_rows / best
-
-    # pipeline reads each input plane once: age 4+1, salary 8+1, dept 4+1,
-    # grp 4, dim-side negligible -> 23 B/row min traffic
-    REPORT.update({
-        "value": round(rows_per_sec, 1),
-        "device": str(jax.devices()[0]),
-        "vs_baseline": round(rows_per_sec / REFERENCE_JOIN_ROWS_PER_SEC, 2),
-        "hbm_roofline_frac": round(rows_per_sec * 23 / HBM_BYTES_PER_SEC, 4),
-        "fused_pipeline_rows_per_sec": round(rows_per_sec, 1),
-    })
-    emit()  # first parseable record is on disk from here on
-
+    # 1) the full SQL engine path FIRST (its compiles are the smallest of
+    #    the heavy stages, and it is the headline metric since round 2)
     try:
-        t0 = time.time()
         engine = _engine_bench(iters)
         REPORT["compile_s"]["engine_sql"] = engine.pop("compile_s")
     except Exception as e:  # noqa: BLE001
@@ -256,16 +214,76 @@ def main():
         print(f"engine_sql_pipeline: MEASUREMENT FAILED ({e!r})",
               file=sys.stderr)
     REPORT["engine_sql"] = engine
-    # Headline = the faster of the hand-fused kernel pipeline and the full
-    # SQL engine path on the same workload (the engine overtook the hand
-    # pipeline in round 2 — the product's own number is the honest one).
-    if isinstance(engine, dict) and \
-            engine.get("rows_per_sec", 0) > REPORT["value"]:
+    if isinstance(engine, dict) and engine.get("rows_per_sec"):
         REPORT["metric"] = "engine_sql_filter_join_agg_sort"
         REPORT["value"] = engine["rows_per_sec"]
         REPORT["vs_baseline"] = round(
             engine["rows_per_sec"] / REFERENCE_JOIN_ROWS_PER_SEC, 2
         )
+        REPORT.pop("in_progress", None)
+    emit()
+
+    # 2) hand-fused kernel pipeline. Its single XLA program is the largest
+    #    compile of the run (368-453s cold through the tunnel compile
+    #    service), so compile it in a SUBPROCESS with a hard timeout — the
+    #    persistent compilation cache makes the in-process warmup instant
+    #    afterwards, and a timeout records a skip instead of eating the
+    #    whole budget (round-3 failure mode).
+    args = _build_args(cap, bcap)
+    fused_timeout = min(
+        max(remaining() - 240.0, 60.0),
+        float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
+    )
+    rc, pre_s = _precompile("fused", fused_timeout)
+    REPORT["compile_s"]["fused_precompile"] = (
+        round(pre_s, 1) if rc == 0 else f"timeout>{fused_timeout:.0f}s"
+        if rc is None else f"rc={rc}"
+    )
+    if rc == 0:
+        use_mxu = jax.devices()[0].platform != "cpu"
+        pipeline = build_pipeline(cap, bcap, use_mxu)
+
+        def run_once():
+            out = pipeline(*args)
+            # force full completion: materialize a scalar that depends on
+            # every heavy op (block_until_ready alone can return early on
+            # remote/tunneled platforms)
+            return float(np.asarray(out[4])) + float(
+                np.asarray(out[3])) + float(np.asarray(out[5])[0])
+
+        t0 = time.time()
+        run_once()  # warm (hits the persistent cache the subprocess filled)
+        REPORT["compile_s"]["fused_pipeline"] = round(time.time() - t0, 1)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_once()
+            times.append(time.perf_counter() - t0)
+        rows_per_sec = float(int(args[-2])) / min(times)
+        # pipeline reads each input plane once: age 4+1, salary 8+1,
+        # dept 4+1, grp 4, dim-side negligible -> 23 B/row min traffic
+        REPORT["fused_pipeline_rows_per_sec"] = round(rows_per_sec, 1)
+        REPORT["hbm_roofline_frac"] = round(
+            rows_per_sec * 23 / HBM_BYTES_PER_SEC, 4
+        )
+        # Headline = the faster of the hand-fused kernel pipeline and the
+        # full SQL engine path on the same workload (the engine overtook
+        # the hand pipeline in round 2 — the product's own number is the
+        # honest one).
+        if rows_per_sec > REPORT["value"]:
+            REPORT["metric"] = "fused_filter_agg_join_sort_pipeline"
+            REPORT["value"] = round(rows_per_sec, 1)
+            REPORT["vs_baseline"] = round(
+                rows_per_sec / REFERENCE_JOIN_ROWS_PER_SEC, 2
+            )
+        REPORT.pop("in_progress", None)
+        print(f"fused pipeline: {rows_per_sec:,.0f} rows/s "
+              f"(warm compile {REPORT['compile_s']['fused_pipeline']}s, "
+              f"subprocess precompile {pre_s:.0f}s)", file=sys.stderr)
+    else:
+        REPORT["fused_pipeline_rows_per_sec"] = "skipped_compile_timeout"
+        print(f"fused pipeline: precompile rc={rc} after {pre_s:.0f}s — "
+              "skipped", file=sys.stderr)
     emit()
 
     if os.environ.get("QE_BENCH_OPS", "1") != "0":
@@ -427,18 +445,33 @@ def _per_op(cap, bcap, args, iters):
     results = {}
     k_amort = int(os.environ.get("QE_BENCH_AMORT_ITERS", "8"))
 
-    def timed(name, bytes_per_row, sol_terms, op, *a, rows=None, note=None):
+    def timed(name, bytes_per_row, sol_terms, op, a, rows=None, note=None):
         """op(salt, *a) -> output pytree; salt is an int64 scalar in {0,1}
         that the op must fold into at least one input plane.
 
         A failure in one op (transient tunnel hiccup) records an "error"
         entry instead of killing the run — the driver must always get the
         final JSON line. Ops past the wall-clock budget are marked
-        skipped_budget."""
+        skipped_budget; ops whose PROGRAM cannot compile within the budget
+        are marked skipped_compile_timeout (the compile happens in a
+        subprocess with a hard timeout — an XLA compile cannot be
+        preempted in-process, which is what ate round 3)."""
         if remaining() < 45:
             results[name] = {"skipped_budget": True}
             print(f"{name}: skipped (budget, {remaining():.0f}s left)",
                   file=sys.stderr)
+            return
+        timeout = min(
+            max(remaining() - 40.0, 30.0),
+            float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
+        )
+        rc, pre_s = _precompile(name, timeout)
+        if rc != 0:
+            results[name] = {
+                "skipped_compile_timeout": round(pre_s, 1), "rc": rc,
+            }
+            print(f"{name}: program compile exceeded {timeout:.0f}s "
+                  f"(rc={rc}) — skipped", file=sys.stderr)
             return
         try:
             _timed(name, bytes_per_row, sol_terms, op, *a, rows=rows,
@@ -451,18 +484,12 @@ def _per_op(cap, bcap, args, iters):
         rows_n = int(n_rows if rows is None else rows)
         t_op0 = time.time()
 
-        def digest(out):
-            d = jnp.int64(0)
-            for leaf in jax.tree_util.tree_leaves(out):
-                d = d + leaf.ravel()[0].astype(jnp.int64)
-            return d & jnp.int64(1)
-
-        one = jax.jit(lambda *a: digest(op(jnp.int64(0), *a)))
+        one = _one_fn(op)
 
         def make_loop(k):
             def loop(*a):
                 return jax.lax.fori_loop(
-                    0, k, lambda i, salt: digest(op(salt, *a)),
+                    0, k, lambda i, salt: _digest(op(salt, *a)),
                     jnp.int64(0),
                 )
 
@@ -564,40 +591,59 @@ def _per_op(cap, bcap, args, iters):
             file=sys.stderr,
         )
 
-    # min-traffic bytes/row: inputs read once + outputs written once.
-    # salt is folded into a comparison/key plane so every iteration's
-    # compute differs (defeats CSE) and depends on the previous digest
-    # (defeats reordering).
-    timed(
-        "filter", 5, [("hbm", 5)],
-        lambda salt, a, av, n: K.filter_count(
+    skip_mxu = jax.devices()[0].platform == "cpu"
+    for d in _op_defs(cap, bcap, args):
+        if skip_mxu and d["name"] == "hash_aggregate_mxu_pallas":
+            continue
+        timed(**d)
+    return results
+
+
+def _op_defs(cap, bcap, args):
+    """The per-op measurement registry, shared by the measurement loop and
+    the subprocess precompile mode. Ordered most- to least-load-bearing:
+    a tight budget drops from the back. min-traffic bytes/row convention:
+    inputs read once + outputs written once. salt is folded into a
+    comparison/key plane so every iteration's compute differs (defeats
+    CSE) and depends on the previous digest (defeats reordering)."""
+    (age, age_v, salary, salary_v, dept, dept_v, grp,
+     bdept, bdept_v, bval, bval_v, n_rows, n_build) = args
+    defs = []
+
+    defs.append(dict(
+        name="filter", bytes_per_row=5, sol_terms=[("hbm", 5)],
+        op=lambda salt, a, av, n: K.filter_count(
             (a > (25 + salt).astype(a.dtype)) & av, n
         ),
-        age, age_v, n_rows,
-    )
-    # 3 chunked-i32 scatter passes: lo16/hi sum planes + count
-    timed(
-        "hash_aggregate_direct", 14, [("scatter", 3), ("hbm", 14)],
-        lambda salt, d, dv, s, sv, n: K.segment_aggregate(
+        a=(age, age_v, n_rows),
+    ))
+    # count scatter + the chunk scatters covering the value span: the
+    # engine passes table-stat bounds (pipeline.py _proj_bounds), so the
+    # bench does too — salary spans 17 bits -> 2x16-bit chunks + count
+    # = 3 scatter passes (the sol model)
+    defs.append(dict(
+        name="hash_aggregate_direct", bytes_per_row=14,
+        sol_terms=[("scatter", 3), ("hbm", 14)],
+        op=lambda salt, d, dv, s, sv, n: K.segment_aggregate(
             "sum", s + salt, sv,
             K.group_ids_direct(d, dv, n, 0, bcap)[0], n, bcap + 1,
+            value_bounds=(50_000, 150_001),
         ),
-        dept, dept_v, salary, salary_v, n_rows,
-    )
-    if jax.devices()[0].platform != "cpu":
-        # the Pallas one-hot-matmul kernel streams 16 B/row from HBM but
-        # its binding constraint is the MXU: the [SUB, G]^T @ [SUB, 128]
-        # product costs G x 128 MACs per row at G=1024 (the output tile is
-        # always 128 lanes wide; 12 carry data) — plus ~2k VPU ops/row of
-        # one-hot + chunk build that only partially overlap
-        timed(
-            "hash_aggregate_mxu_pallas", 13,
-            [("mxu", 1024 * 128), ("hbm", 16)],
-            lambda salt, s, sv, g: grouped_sum_count_i64(
-                s + salt, sv, g, 1024
-            ),
-            salary, salary_v, grp,
-        )
+        a=(dept, dept_v, salary, salary_v, n_rows),
+    ))
+    # the Pallas one-hot-matmul kernel streams 16 B/row from HBM but its
+    # binding constraint is the MXU: the [SUB, G]^T @ [SUB, 128] product
+    # costs G x 128 MACs per row at G=1024 (the output tile is always 128
+    # lanes wide; 12 carry data) — plus the VPU one-hot + chunk build that
+    # must overlap the contraction
+    defs.append(dict(
+        name="hash_aggregate_mxu_pallas", bytes_per_row=13,
+        sol_terms=[("mxu", 1024 * 128), ("hbm", 16)],
+        op=lambda salt, s, sv, g: grouped_sum_count_i64(
+            s + salt, sv, g, 1024
+        ),
+        a=(salary, salary_v, grp),
+    ))
 
     def join_op(salt, d, dv, bd, bdv, n, nb):
         # the engine's general join path: fused ranks+counts (counts from
@@ -609,12 +655,12 @@ def _per_op(cap, bcap, args, iters):
 
     # joint packed rank sort + right-by-rank sort + the rank/count row
     # scatters + segmented scans
-    timed(
-        "sort_rank_join_count", 5,
-        [("sort_packed", 1.07), ("sort_packed", 0.07), ("scatter", 2.0),
-         ("hbm", 24)],
-        join_op, dept, dept_v, bdept, bdept_v, n_rows, n_build,
-    )
+    defs.append(dict(
+        name="sort_rank_join_count", bytes_per_row=5,
+        sol_terms=[("sort_packed", 1.07), ("sort_packed", 0.07),
+                   ("scatter", 2.0), ("hbm", 24)],
+        op=join_op, a=(dept, dept_v, bdept, bdept_v, n_rows, n_build),
+    ))
 
     def count_op(salt, d, dv, bd, bdv, n, nb):
         # the emit-capacity COUNT program: sorted-space only, no
@@ -623,11 +669,11 @@ def _per_op(cap, bcap, args, iters):
             [(d + salt.astype(d.dtype), dv)], [(bd, bdv)], n, nb
         )[0]
 
-    timed(
-        "join_count_program", 5,
-        [("sort_packed", 1.07), ("hbm", 20)],
-        count_op, dept, dept_v, bdept, bdept_v, n_rows, n_build,
-    )
+    defs.append(dict(
+        name="join_count_program", bytes_per_row=5,
+        sol_terms=[("sort_packed", 1.07), ("hbm", 20)],
+        op=count_op, a=(dept, dept_v, bdept, bdept_v, n_rows, n_build),
+    ))
 
     # the join that actually serves engine queries (FK fast path: direct
     # ranks + fused rank-space gather incl. the matched bit)
@@ -646,20 +692,21 @@ def _per_op(cap, bcap, args, iters):
 
     # the probe gather hits a bcap-row (1M) table — measured ~0.5x the
     # 8M-table random-gather ceiling the "gather" primitive encodes
-    timed(
-        "hash_join_fk_gather", 13,
-        [("gather", 0.5), ("scatter", 0.07), ("hbm", 13)],
-        fk_join, dept, dept_v, bdept, bdept_v, bval, bval_v,
-        n_rows, n_build,
-    )
+    defs.append(dict(
+        name="hash_join_fk_gather", bytes_per_row=13,
+        sol_terms=[("gather", 0.5), ("scatter", 0.07), ("hbm", 13)],
+        op=fk_join,
+        a=(dept, dept_v, bdept, bdept_v, bval, bval_v, n_rows, n_build),
+    ))
 
-    timed(
-        "sort", 13, [("sort_packed", 1.0), ("hbm", 13)],
-        lambda salt, s, sv, n: K.sort_permutation(
+    defs.append(dict(
+        name="sort", bytes_per_row=13,
+        sol_terms=[("sort_packed", 1.0), ("hbm", 13)],
+        op=lambda salt, s, sv, n: K.sort_permutation(
             [s + salt], [sv], [False], [False], n
         ),
-        salary, salary_v, n_rows,
-    )
+        a=(salary, salary_v, n_rows),
+    ))
 
     # open-addressing hash join head-to-head (ops/hash_join.py) — a
     # DELIBERATELY KEPT NEGATIVE RESULT, not a serving path: random gathers
@@ -672,19 +719,79 @@ def _per_op(cap, bcap, args, iters):
 
     hj_n = min(cap, 1 << 19)
     T = table_size_for(bcap)
-    timed(
-        "hash_join_openaddr_negative_result", 5,
-        [("gather", 2.0)],
-        lambda salt, d, dv, bd, bdv: hash_join_unique(
+    defs.append(dict(
+        name="hash_join_openaddr_negative_result", bytes_per_row=5,
+        sol_terms=[("gather", 2.0)],
+        op=lambda salt, d, dv, bd, bdv: hash_join_unique(
             d[:hj_n] + salt.astype(d.dtype), dv[:hj_n], bd, bdv, T
         ),
-        dept, dept_v, bdept, bdept_v, rows=hj_n,
+        a=(dept, dept_v, bdept, bdept_v), rows=hj_n,
         note="negative result kept for the record (TPU_DESIGN #10): "
              "open addressing loses ~90x to the sort-rank join on TPU; "
              "no engine path routes here",
-    )
-    return results
+    ))
+    return defs
+
+
+def _digest(out):
+    """Fold an op's output pytree into one int64 bit — the loop-carried
+    salt. MUST be shared by the measurement and precompile paths so the
+    persistent compilation cache sees the identical program."""
+    d = jnp.int64(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        d = d + leaf.ravel()[0].astype(jnp.int64)
+    return d & jnp.int64(1)
+
+
+def _one_fn(op):
+    return jax.jit(lambda *a: _digest(op(jnp.int64(0), *a)))
+
+
+def _precompile(name, timeout_s):
+    """Compile `name`'s program ("fused" or a per-op name) in a SUBPROCESS
+    with a hard timeout, populating the persistent compilation cache so
+    the caller's own compile is instant. Returns (rc, seconds); rc None =
+    timeout. An in-process XLA compile cannot be interrupted — this is the
+    only way a wall-clock budget can actually bound one."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["QE_BENCH_PRECOMPILE"] = name
+    t0 = time.time()
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        return None, time.time() - t0
+    return rc, time.time() - t0
+
+
+def _precompile_main(name):
+    """Subprocess entry: build the named program, compile + run it once
+    (filling the persistent compilation cache), exit."""
+    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
+    bcap = max(cap >> 4, 128)
+    args = _build_args(cap, bcap)
+    if name == "fused":
+        pipeline = build_pipeline(
+            cap, bcap, jax.devices()[0].platform != "cpu"
+        )
+        out = pipeline(*args)
+        float(np.asarray(out[3]))
+        return
+    for d in _op_defs(cap, bcap, args):
+        if d["name"] == name:
+            one = _one_fn(d["op"])
+            float(np.asarray(one(*d["a"])))
+            return
+    raise SystemExit(f"unknown precompile target {name}")
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("QE_BENCH_PRECOMPILE"):
+        _precompile_main(os.environ["QE_BENCH_PRECOMPILE"])
+    else:
+        main()
