@@ -1,0 +1,221 @@
+"""Probe: MXU grouped-aggregate kernel variants vs the production bf16
+byte kernel (ops/pallas/group_agg.py) — the round-4 hunt for the missing
+2.4x to speed-of-light (VERDICT r3 item 3).
+
+Variants:
+  v0  production grouped_sum_count_i64 (8x bf16 byte chunks, flag lanes)
+  v1  two accumulators — breaks the acc = acc + dot(...) serial chain so
+      sub s+1's VPU chunk build can overlap sub s's MXU contraction
+  v2  int-path-only lanes — drops the 3 IEEE flag-lane selects (ints
+      never set them) and the count lane rides gid>=0
+  v3  s8 nibble kernel (probe_int8_mxu.grouped_sum_count_s8): 16 nibble
+      lanes, s8 x s8 -> s32 at 2x the bf16 MAC rate, no lo/hi split
+
+Run SOLO on the TPU:  python benchmarks/probe_agg_variants.py [n_rows]
+"""
+
+import functools
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+import query_engine_tpu  # noqa: F401  (x64)
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from query_engine_tpu.ops.pallas.group_agg import grouped_sum_count_i64
+
+SUB = 1024
+LANES = 128
+G = 1024
+
+
+def _kernel_v1(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
+    """Production byte kernel with TWO independent f32 accumulators."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+
+    g = lo_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    byte_shift = ((lane & 3) * 8).astype(jnp.uint32)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+    accs = [jnp.zeros((g, LANES), jnp.float32) for _ in range(2)]
+    for s in range(8):
+        sl = pl.ds(s * SUB, SUB)
+        gid = gid_ref[sl]
+        vlo = vlo_ref[sl]
+        vhi = vhi_ref[sl]
+        fl = flags_ref[sl]
+        one_hot = (gid[:, None] == giota).astype(jnp.bfloat16)
+        word = jnp.where(lane < 4, vlo[:, None], vhi[:, None])
+        byte = (word >> byte_shift) & 0xFF
+        cval = jnp.where(lane < 8, byte, jnp.uint32(0))
+        cval = jnp.where(lane == 8, jnp.uint32(1), cval)
+        for b in range(3):
+            cval = jnp.where(lane == 9 + b, (fl[:, None] >> b) & 1, cval)
+        chunks = cval.astype(jnp.int32).astype(jnp.bfloat16)
+        accs[s % 2] = accs[s % 2] + jax.lax.dot_general(
+            one_hot, chunks,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    bi = (accs[0] + accs[1]).astype(jnp.int32)
+    lo_ref[...] += bi & 0xFFFF
+    hi_ref[...] += bi >> 16
+
+
+def _kernel_v2(gid_ref, vlo_ref, vhi_ref, lo_ref, hi_ref):
+    """Int-only lanes: 8 byte chunks + count from the one-hot row itself
+    (sum of one_hot = included rows), no flag plane at all."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+
+    g = lo_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    byte_shift = ((lane & 3) * 8).astype(jnp.uint32)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+    accs = [jnp.zeros((g, LANES), jnp.float32) for _ in range(2)]
+    for s in range(8):
+        sl = pl.ds(s * SUB, SUB)
+        gid = gid_ref[sl]
+        vlo = vlo_ref[sl]
+        vhi = vhi_ref[sl]
+        one_hot = (gid[:, None] == giota).astype(jnp.bfloat16)
+        word = jnp.where(lane < 4, vlo[:, None], vhi[:, None])
+        byte = (word >> byte_shift) & 0xFF
+        cval = jnp.where(lane < 8, byte, jnp.uint32(lane == 8))
+        chunks = cval.astype(jnp.int32).astype(jnp.bfloat16)
+        accs[s % 2] = accs[s % 2] + jax.lax.dot_general(
+            one_hot, chunks,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    bi = (accs[0] + accs[1]).astype(jnp.int32)
+    lo_ref[...] += bi & 0xFFFF
+    hi_ref[...] += bi >> 16
+
+
+def _run_byte_kernel(kernel, n_in, values, ok, gid, with_flags):
+    u = jnp.where(ok, values, 0).astype(jnp.uint64)
+    vlo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    vhi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    n = n_in
+    blocks = -(-n // 8192)
+    n_pad = blocks * 8192
+    vlo = jnp.pad(vlo, (0, n_pad - n))
+    vhi = jnp.pad(vhi, (0, n_pad - n))
+    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
+    interpret = jax.devices()[0].platform == "cpu"
+    ins = [gid_m, vlo, vhi]
+    row_spec = pl.BlockSpec((8192,), lambda gb, i: (i,))
+    in_specs = [row_spec, row_spec, row_spec]
+    if with_flags:
+        flags = ok.astype(jnp.uint32)  # bit0 unused by int path; count=1
+        flags = jnp.pad(flags, (0, n_pad - n))
+        ins.append(jnp.zeros_like(vlo))  # flag plane (ints: all zero)
+        in_specs.append(row_spec)
+    with jax.enable_x64(False):
+        lo, hi = pl.pallas_call(
+            kernel,
+            grid=(1, blocks),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((G, LANES), lambda gb, i: (0, 0)),
+                pl.BlockSpec((G, LANES), lambda gb, i: (0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((G, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((G, LANES), jnp.int32),
+            ),
+            interpret=interpret,
+        )(*ins)
+    tot = hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+    shifts = jnp.uint64(8) * jnp.arange(8, dtype=jnp.uint64)
+    sums = jnp.sum(
+        tot[:, :8].astype(jnp.uint64) << shifts[None, :], axis=1
+    ).astype(jnp.int64)
+    return sums, tot[:, 8]
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def run_variant(values, ok, gid, variant):
+    n = values.shape[0]
+    if variant == "v1":
+        return _run_byte_kernel(_kernel_v1, n, values, ok, gid, True)
+    if variant == "v2":
+        # count lane needs gid>=0 masking only (ok folded into gid)
+        return _run_byte_kernel(_kernel_v2, n, values, ok, gid, False)
+    raise ValueError(variant)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 24
+    rng = np.random.default_rng(3)
+    values = jnp.asarray(rng.integers(0, 1 << 40, n), dtype=jnp.int64)
+    ok = jnp.asarray(rng.random(n) < 0.97)
+    gid = jnp.asarray(rng.integers(0, G, n), dtype=jnp.int32)
+
+    ref_s = jax.ops.segment_sum(
+        jnp.where(ok, values, 0), jnp.where(ok, gid, G), num_segments=G + 1
+    )[:G]
+    ref_c = jax.ops.segment_sum(
+        ok.astype(jnp.int64), jnp.where(ok, gid, G), num_segments=G + 1
+    )[:G]
+
+    cases = {
+        "v0_production": lambda v: grouped_sum_count_i64(v, ok, gid, G),
+        "v1_two_acc": lambda v: run_variant(v, ok, gid, "v1"),
+        "v2_no_flags": lambda v: run_variant(v, ok, gid, "v2"),
+    }
+    try:
+        from probe_int8_mxu import grouped_sum_count_s8
+        cases["v3_s8_nibble"] = lambda v: grouped_sum_count_s8(v, ok, gid, G)
+    except Exception as e:  # noqa: BLE001
+        print(f"s8 import failed: {e!r}", file=sys.stderr)
+
+    for name, f in cases.items():
+        s, c = f(values)
+        okc = bool(jnp.all(s[:G] == ref_s)) and bool(
+            jnp.all(c[:G].astype(jnp.int64) == ref_c))
+        print(f"{name}: correct={okc}")
+
+    def bench(f, label):
+        def loop(v):
+            def body(i, salt):
+                s, c = f(v + salt)
+                return (s[0] + c[0].astype(jnp.int64)) & jnp.int64(1)
+            return jax.lax.fori_loop(0, 8, body, jnp.int64(0))
+        j = jax.jit(loop)
+        float(np.asarray(j(values)))  # compile
+        t = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(j(values)))
+            t.append(time.perf_counter() - t0)
+        ms = min(t) * 1e3 / 8
+        print(f"{label}: {ms:6.2f} ms/iter amortized "
+              f"({n / (ms / 1e3) / 1e6:5.0f}M rows/s)")
+
+    for name, f in cases.items():
+        bench(f, name)
+
+
+if __name__ == "__main__":
+    main()

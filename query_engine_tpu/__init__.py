@@ -42,13 +42,20 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:  # noqa: BLE001 - backends already initialized
         pass
 
-# Persistent compilation cache: TPU (re)compiles are expensive (~minutes via
-# the remote compile service); cache them across processes.
-try:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("QE_JAX_CACHE", "/tmp/qe_jax_cache"),
+# Persistent compilation cache: TPU (re)compiles are expensive (a program
+# holding one 16.7M-row sort costs ~6 min through the remote compile
+# service; see docs/TPU_DESIGN.md #16). Cache them across processes.
+# Default location is inside the repo (gitignored) so the cache survives
+# /tmp wipes between sessions; QE_JAX_CACHE overrides.
+_cache_dir = _os.environ.get("QE_JAX_CACHE")
+if not _cache_dir:
+    _repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _cache_dir = (
+        _os.path.join(_repo, ".jax_cache")
+        if _os.access(_repo, _os.W_OK) else "/tmp/qe_jax_cache"
     )
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # noqa: BLE001 - older jax without these knobs
