@@ -190,11 +190,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"s8 import failed: {e!r}", file=sys.stderr)
 
+    dead = set()
     for name, f in cases.items():
-        s, c = f(values)
-        okc = bool(jnp.all(s[:G] == ref_s)) and bool(
-            jnp.all(c[:G].astype(jnp.int64) == ref_c))
-        print(f"{name}: correct={okc}")
+        try:
+            s, c = f(values)
+            okc = bool(jnp.all(s[:G] == ref_s)) and bool(
+                jnp.all(c[:G].astype(jnp.int64) == ref_c))
+            print(f"{name}: correct={okc}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {repr(e)[:160]}", flush=True)
+            dead.add(name)
 
     def bench(f, label):
         def loop(v):
@@ -214,7 +219,12 @@ def main():
               f"({n / (ms / 1e3) / 1e6:5.0f}M rows/s)")
 
     for name, f in cases.items():
-        bench(f, name)
+        if name in dead:
+            continue
+        try:
+            bench(f, name)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: BENCH FAILED {repr(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ def _kernel_s8(gid_ref, vlo_ref, vhi_ref, acc_ref):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     nib_shift = ((lane & 7) * 4).astype(jnp.uint32)
     acc = jnp.zeros((g, LANES), jnp.int32)
-    for s in range(8):
+    for s in range(4):
         sl = pl.ds(s * SUB, SUB)
         gid = gid_ref[sl]
         vlo = vlo_ref[sl]
@@ -73,14 +73,14 @@ def grouped_sum_count_s8(values, ok, gid, num_groups):
     vlo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     vhi = (u >> jnp.uint64(32)).astype(jnp.uint32)
     gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
-    blocks = -(-n // 8192)
-    n_pad = blocks * 8192
+    blocks = -(-n // 4096)  # 8192-row blocks blow the 16MB VMEM stack at 16 nibble lanes
+    n_pad = blocks * 4096
     vlo = jnp.pad(vlo, (0, n_pad - n))
     vhi = jnp.pad(vhi, (0, n_pad - n))
     gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
     interpret = jax.devices()[0].platform == "cpu"
     with jax.enable_x64(False):
-        row_spec = pl.BlockSpec((8192,), lambda i: (i,))
+        row_spec = pl.BlockSpec((4096,), lambda i: (i,))
         tot = pl.pallas_call(
             _kernel_s8,
             grid=(blocks,),

@@ -1514,22 +1514,85 @@ def cume_dist_sorted(seg_change, peer_change) -> jnp.ndarray:
 
 def _run_broadcast_first(vals: jnp.ndarray, start_flag: jnp.ndarray):
     """Broadcast each run's FIRST value across the run (runs delimited by
-    start_flag) — one associative scan, no gathers."""
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va)
-
-    _, out = jax.lax.associative_scan(combine, (start_flag, vals))
-    return out
+    start_flag) — encoded cummax scans, no gathers, no associative_scan
+    (whose TPU lowering is pathologically slow to COMPILE at 16M+ rows;
+    docs/TPU_DESIGN.md #16). The run-start position keys the max; the
+    payload rides in the low 32 bits, split into two half scans for
+    64-bit payloads (both scans pick the same flagged slot, so the halves
+    recombine consistently). Positions before any flag keep their value
+    (identity), matching the old scan's semantics."""
+    n = vals.shape[0]
+    dt = vals.dtype
+    if jnp.issubdtype(dt, jnp.floating):
+        u = jax.lax.bitcast_convert_type(
+            vals.astype(jnp.float64), jnp.uint64
+        )
+    else:
+        u = vals.astype(jnp.int64).astype(jnp.uint64)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+    hi = (u >> jnp.uint64(32)).astype(jnp.int64)
+    none = jnp.int64(-1)
+    m_lo = jax.lax.cummax(jnp.where(start_flag, (idx << 32) | lo, none))
+    m_hi = jax.lax.cummax(jnp.where(start_flag, (idx << 32) | hi, none))
+    out_u = (
+        ((m_hi & jnp.int64(0xFFFFFFFF)).astype(jnp.uint64) << jnp.uint64(32))
+        | (m_lo & jnp.int64(0xFFFFFFFF)).astype(jnp.uint64)
+    )
+    if jnp.issubdtype(dt, jnp.floating):
+        out = jax.lax.bitcast_convert_type(out_u, jnp.float64).astype(dt)
+    else:
+        out = out_u.astype(jnp.int64).astype(dt)
+    return jnp.where(m_lo >= 0, out, vals)
 
 
 def _segment_running_extreme(
     vals: jnp.ndarray, ok: jnp.ndarray, seg_change: jnp.ndarray, is_min: bool
 ) -> jnp.ndarray:
-    """Running min/max within segments (segmented scan via associative_scan
-    over (reset-flag, value) pairs)."""
-    if jnp.issubdtype(vals.dtype, jnp.floating):
+    """Running min/max within segments.
+
+    32-bit-image values (int32/float32/dictionary codes) ride ONE encoded
+    cummax: segment id in the high word, order-preserving value image in
+    the low word — segment ids are nondecreasing along the plane, so the
+    running max always comes from the CURRENT segment (a built-in reset).
+    MIN negates the image. 64-bit values keep the associative_scan
+    (running extremes are not positional, so the broadcast-first
+    half-splitting trick does not apply); their compile cost at very
+    large capacities is a known TPU-lowering hazard (TPU_DESIGN #16)."""
+    dt = vals.dtype
+    cap = vals.shape[0]
+    if dt in (jnp.int32, jnp.float32) and cap < (1 << 29):
+        # encode (segment id << 33) | (ok << 32) | value image: segment
+        # ids are nondecreasing along the plane so one cummax resets at
+        # every boundary for free; the ok bit makes any valid row beat
+        # the invalid ones of its segment; the 32-bit order-preserving
+        # image compares like the value. MIN complements the image.
+        if dt == jnp.float32:
+            img = _f32_orderable_bits(vals).astype(jnp.int64) - jnp.int64(
+                np.iinfo(np.int32).min
+            )
+        else:
+            img = vals.astype(jnp.int64) - jnp.int64(np.iinfo(np.int32).min)
+        if is_min:
+            img = jnp.int64(0xFFFFFFFF) - img
+        enc = jnp.where(ok, (jnp.int64(1) << 32) | img, jnp.int64(0))
+        seg = jnp.cumsum(seg_change.astype(jnp.int64)) - 1
+        m = jax.lax.cummax((seg << 33) | enc)
+        seen = ((m >> 32) & jnp.int64(1)) > 0
+        got = m & jnp.int64(0xFFFFFFFF)
+        img_out = jnp.where(is_min, jnp.int64(0xFFFFFFFF) - got, got)
+        if dt == jnp.float32:
+            # recover the f32 image, invert the sign-flip, widen exactly
+            sf = (img_out + jnp.int64(np.iinfo(np.int32).min)).astype(
+                jnp.int32
+            )
+            out = from_orderable(sf, jnp.float32).astype(jnp.float64)
+            neu = jnp.float64(np.inf if is_min else -np.inf)
+            return jnp.where(seen, out, neu)
+        out = img_out + jnp.int64(np.iinfo(np.int32).min)
+        neu = _INT_MAX if is_min else _INT_MIN
+        return jnp.where(seen, out, neu)
+    if jnp.issubdtype(dt, jnp.floating):
         x = vals.astype(jnp.float64)
         neutral = jnp.float64(np.inf if is_min else -np.inf)
     else:
