@@ -408,18 +408,25 @@ PRIM_NS_PER_ROW = {
 }
 
 MXU_MACS_PER_NS = 98_500  # ~197 bf16 TFLOPS on v5e -> 98.5e12 MAC/s
+# VPU ceiling estimate: ~4096 elementwise ALU ops/cycle at 940 MHz. Not a
+# published number — a modeling assumption for ops whose binding resource
+# is the vector unit (the factorized aggregate's one-hot/chunk builds),
+# documented in docs/TPU_DESIGN.md #13.
+VPU_OPS_PER_NS = 3_850
 
 
 def _sol_ms(terms, rows):
     """Speed-of-light for an op = sum of its primitive terms.
     terms: ("hbm", bytes_per_row) | ("mxu", macs_per_row) |
-    (measured primitive, multiplier)."""
+    ("vpu", ops_per_row) | (measured primitive, multiplier)."""
     ns = 0.0
     for kind, mult in terms:
         if kind == "hbm":
             ns += mult / (HBM_BYTES_PER_SEC / 1e9)
         elif kind == "mxu":
             ns += mult / MXU_MACS_PER_NS
+        elif kind == "vpu":
+            ns += mult / VPU_OPS_PER_NS
         else:
             ns += PRIM_NS_PER_ROW[kind] * mult
     return ns * rows / 1e6
@@ -631,14 +638,14 @@ def _op_defs(cap, bcap, args):
         ),
         a=(dept, dept_v, salary, salary_v, n_rows),
     ))
-    # the Pallas one-hot-matmul kernel streams 16 B/row from HBM but its
-    # binding constraint is the MXU: the [SUB, G]^T @ [SUB, 128] product
-    # costs G x 128 MACs per row at G=1024 (the output tile is always 128
-    # lanes wide; 12 carry data) — plus the VPU one-hot + chunk build that
-    # must overlap the contraction
+    # the factorized transposed-one-hot Pallas kernel (group_agg.py,
+    # round 4): 16384 MACs/row on the MXU ([128,128] lane-contraction per
+    # 128 rows), ~1200 VPU ops/row of one-hot + chunk-lane builds (its
+    # binding resource: 2 compares/converts x 128 for the one-hot, ~6 ops
+    # x 128 lanes for the chunk matrix, the f32 accumulate), 16 B/row HBM
     defs.append(dict(
         name="hash_aggregate_mxu_pallas", bytes_per_row=13,
-        sol_terms=[("mxu", 1024 * 128), ("hbm", 16)],
+        sol_terms=[("mxu", 16384), ("vpu", 1200), ("hbm", 16)],
         op=lambda salt, s, sv, g: grouped_sum_count_i64(
             s + salt, sv, g, 1024
         ),

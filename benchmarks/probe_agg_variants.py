@@ -111,6 +111,180 @@ def _kernel_v2(gid_ref, vlo_ref, vhi_ref, lo_ref, hi_ref):
     hi_ref[...] += bi >> 16
 
 
+N_HI = 8  # G = N_HI x 128: hi-block rides the chunk lanes (8 x 12 = 96)
+
+
+def _kernel_v4(gid_ref, vlo_ref, vhi_ref, lo_ref, hi_ref):
+    """Factorized one-hot: gid = ghi*128 + glo. one_hot_lo is [SUB, 128]
+    (16x less VMEM traffic than the [SUB, 1024] full one-hot) and the
+    ghi selection zeroes the chunk lanes instead: lane l carries value
+    chunk (l % 12) of rows whose ghi == l // 12. The MXU contraction is
+    [SUB,128]^T @ [SUB,128] -> [128,128]: 16384 MACs/row instead of
+    131072. acc[lo, ghi*12 + k] accumulates group (ghi*128+lo)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane_hi = lane // 12
+    lane_k = lane - lane_hi * 12
+    byte_shift = ((lane_k & 3) * 8).astype(jnp.uint32)
+    gl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    acc = jnp.zeros((LANES, LANES), jnp.float32)
+    for s in range(8):
+        sl = pl.ds(s * SUB, SUB)
+        gid = gid_ref[sl]
+        vlo = vlo_ref[sl]
+        vhi = vhi_ref[sl]
+        ghi = gid >> 7
+        # fold exclusion into glo (bool [:, None] reshape is unsupported
+        # by Mosaic for non-32-bit types)
+        glo = jnp.where(gid >= 0, gid & 127, -1)
+        one_hot = (glo[:, None] == gl_iota).astype(jnp.bfloat16)
+        word = jnp.where(lane_k < 4, vlo[:, None], vhi[:, None])
+        byte = (word >> byte_shift) & 0xFF
+        v = jnp.where(lane_k < 8, byte, jnp.uint32(lane_k == 8))
+        in_hi = (ghi[:, None] == lane_hi) & (lane_hi < N_HI)
+        chunks = jnp.where(in_hi, v, jnp.uint32(0)).astype(
+            jnp.int32).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            one_hot, chunks,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    bi = acc.astype(jnp.int32)
+    lo_ref[...] += bi & 0xFFFF
+    hi_ref[...] += bi >> 16
+
+
+def _run_v4(n_in, values, ok, gid):
+    u = jnp.where(ok, values, 0).astype(jnp.uint64)
+    vlo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    vhi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    n = n_in
+    blocks = -(-n // 8192)
+    n_pad = blocks * 8192
+    vlo = jnp.pad(vlo, (0, n_pad - n))
+    vhi = jnp.pad(vhi, (0, n_pad - n))
+    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
+    interpret = jax.devices()[0].platform == "cpu"
+    row_spec = pl.BlockSpec((8192,), lambda i: (i,))
+    with jax.enable_x64(False):
+        lo, hi = pl.pallas_call(
+            _kernel_v4,
+            grid=(blocks,),
+            in_specs=[row_spec, row_spec, row_spec],
+            out_specs=(
+                pl.BlockSpec((LANES, LANES), lambda i: (0, 0)),
+                pl.BlockSpec((LANES, LANES), lambda i: (0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((LANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((LANES, LANES), jnp.int32),
+            ),
+            interpret=interpret,
+        )(gid_m, vlo, vhi)
+    tot = hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+    # tot[lo, ghi*12 + k] -> group g = ghi*128 + lo
+    t = tot[:, : N_HI * 12].reshape(LANES, N_HI, 12)
+    t = jnp.moveaxis(t, 0, 1).reshape(N_HI * LANES, 12)  # [g, 12]
+    shifts = jnp.uint64(8) * jnp.arange(8, dtype=jnp.uint64)
+    sums = jnp.sum(
+        t[:, :8].astype(jnp.uint64) << shifts[None, :], axis=1
+    ).astype(jnp.int64)
+    return sums[:G], t[:G, 8]
+
+
+V5_BLOCK = 2048  # [V5_BLOCK, 1] i32 blocks: lanes pad to 128 in VMEM, so
+# bigger blocks blow the 16MB stack (2048 sub x 128 lanes x 4B = 1MB/plane)
+
+
+def _kernel_v5(gid_ref, vlo_ref, vhi_ref, lo_ref, hi_ref):
+    """v4 + [n, 1]-shaped inputs: rows arrive in the SUBLANE dimension, so
+    the one-hot build is a native lane-broadcast compare instead of the
+    lane->sublane relayout that `x[:, None]` forces on a 1D input (the
+    suspected per-element cost that kept v0-v4 at ~44-57 ms)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane_hi = lane // 12
+    lane_k = lane - lane_hi * 12
+    byte_shift = ((lane_k & 3) * 8).astype(jnp.uint32)
+    gl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    acc = jnp.zeros((LANES, LANES), jnp.float32)
+    for s in range(V5_BLOCK // SUB):
+        sl = pl.ds(s * SUB, SUB)
+        gid = gid_ref[sl, :]   # [SUB, 1] int32 — rows on sublanes
+        vlo = vlo_ref[sl, :]
+        vhi = vhi_ref[sl, :]
+        ghi = gid >> 7
+        glo = jnp.where(gid >= 0, gid & 127, -1)
+        one_hot = (glo == gl_iota).astype(jnp.bfloat16)  # [SUB, 128]
+        word = jnp.where(lane_k < 4, vlo, vhi)
+        byte = (word >> byte_shift) & 0xFF
+        v = jnp.where(lane_k < 8, byte, jnp.uint32(lane_k == 8))
+        chunks = jnp.where(
+            ghi == lane_hi, v, jnp.uint32(0)
+        ).astype(jnp.int32).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            one_hot, chunks,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    bi = acc.astype(jnp.int32)
+    lo_ref[...] += bi & 0xFFFF
+    hi_ref[...] += bi >> 16
+
+
+def _run_v5(n_in, values, ok, gid):
+    u = jnp.where(ok, values, 0).astype(jnp.uint64)
+    vlo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    vhi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    gid_m = jnp.where(ok, gid, -1).astype(jnp.int32)
+    n = n_in
+    blocks = -(-n // V5_BLOCK)
+    n_pad = blocks * V5_BLOCK
+    vlo = jnp.pad(vlo, (0, n_pad - n))[:, None]
+    vhi = jnp.pad(vhi, (0, n_pad - n))[:, None]
+    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)[:, None]
+    interpret = jax.devices()[0].platform == "cpu"
+    row_spec = pl.BlockSpec((V5_BLOCK, 1), lambda i: (i, 0))
+    with jax.enable_x64(False):
+        lo, hi = pl.pallas_call(
+            _kernel_v5,
+            grid=(blocks,),
+            in_specs=[row_spec, row_spec, row_spec],
+            out_specs=(
+                pl.BlockSpec((LANES, LANES), lambda i: (0, 0)),
+                pl.BlockSpec((LANES, LANES), lambda i: (0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((LANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((LANES, LANES), jnp.int32),
+            ),
+            interpret=interpret,
+        )(gid_m, vlo, vhi)
+    tot = hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+    t = tot[:, : N_HI * 12].reshape(LANES, N_HI, 12)
+    t = jnp.moveaxis(t, 0, 1).reshape(N_HI * LANES, 12)
+    shifts = jnp.uint64(8) * jnp.arange(8, dtype=jnp.uint64)
+    sums = jnp.sum(
+        t[:, :8].astype(jnp.uint64) << shifts[None, :], axis=1
+    ).astype(jnp.int64)
+    return sums[:G], t[:G, 8]
+
+
 def _run_byte_kernel(kernel, n_in, values, ok, gid, with_flags):
     u = jnp.where(ok, values, 0).astype(jnp.uint64)
     vlo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
@@ -162,6 +336,10 @@ def run_variant(values, ok, gid, variant):
     if variant == "v2":
         # count lane needs gid>=0 masking only (ok folded into gid)
         return _run_byte_kernel(_kernel_v2, n, values, ok, gid, False)
+    if variant == "v4":
+        return _run_v4(n, values, ok, gid)
+    if variant == "v5":
+        return _run_v5(n, values, ok, gid)
     raise ValueError(variant)
 
 
@@ -183,6 +361,8 @@ def main():
         "v0_production": lambda v: grouped_sum_count_i64(v, ok, gid, G),
         "v1_two_acc": lambda v: run_variant(v, ok, gid, "v1"),
         "v2_no_flags": lambda v: run_variant(v, ok, gid, "v2"),
+        "v4_factorized": lambda v: run_variant(v, ok, gid, "v4"),
+        "v5_sublane_inputs": lambda v: run_variant(v, ok, gid, "v5"),
     }
     try:
         from probe_int8_mxu import grouped_sum_count_s8

@@ -61,107 +61,118 @@ MAX_EXACT_ROWS = 1 << 25
 
 
 # ---------------------------------------------------------------------------
-# single-column fast path: 1-D input planes, 8 unrolled sub-matmuls per
-# grid step (the multi-column [C, n] layout pads C up to the 8-sublane
-# tile, costing measurable fetch/lowering overhead at C == 1: 81 ms vs
-# 54 ms at 8.4M rows on v5e)
-# ---------------------------------------------------------------------------
+# factorized transposed-one-hot kernel (round 4) — the production single-
+# column path. Two discoveries over the [SUB, G] full-one-hot kernels:
+#   1. Mosaic's lane->sublane relayout (any `x[:, None]` of a 1D input)
+#      costs ~1 cycle per SOURCE element; with 3-4 broadcast inputs that
+#      alone bounded the old kernels at ~50 ms / 16.7M rows.
+#   2. The full one-hot materializes [SUB, G] bf16 (2 KB/row of VMEM
+#      traffic at G=1024) and costs G x 128 MACs/row.
+# Fix: factorize gid = ghi * 128 + glo and TRANSPOSE the one-hot — groups
+# ride SUBLANES, rows ride LANES, so every operand builds from native
+# [1, 128] row-slices broadcast down sublanes (zero relayouts). Lane l of
+# the chunk matrix carries value-chunk (l % 12) of rows with ghi == l//12,
+# and one [128, 128] lane-contraction matmul per 128 rows accumulates
+# acc[glo, ghi*12 + k]: 16384 MACs/row, 10x less VMEM traffic. Measured
+# 16.7M rows / 1024 groups on v5e: 11.0 ms vs 57.3 ms (5.2x; 1.52B rows/s).
+ROWS_PER_STEP = 2048
 
 
-def _kernel_single(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
-    gb = pl.program_id(0)
-    step = pl.program_id(1)
+def _make_kernel_fact(n_hi: int, r_iters: int):
+    def _kernel(gid_ref, vlo_ref, vhi_ref, fl_ref, lo_ref, hi_ref):
+        sb = pl.program_id(0)   # group superblock (n_hi*128 groups each)
+        step = pl.program_id(1)
 
-    @pl.when(step == 0)
-    def _init():
-        lo_ref[...] = jnp.zeros_like(lo_ref)
-        hi_ref[...] = jnp.zeros_like(hi_ref)
+        @pl.when(step == 0)
+        def _init():
+            lo_ref[...] = jnp.zeros_like(lo_ref)
+            hi_ref[...] = jnp.zeros_like(hi_ref)
 
-    g = lo_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    byte_shift = ((lane & 3) * 8).astype(jnp.uint32)
-    giota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+        sub_hi = sub // COL_LANES
+        sub_k = sub - sub_hi * COL_LANES
+        shift = ((sub_k & 3) * 8).astype(jnp.uint32)
+        fshift = jnp.clip(sub_k - 9, 0, 2).astype(jnp.uint32)
+        base = sb * (n_hi * LANES)
+        acc = jnp.zeros((LANES, LANES), jnp.float32)
+        for j in range(r_iters):
+            gid = gid_ref[j:j + 1, :] - base   # [1, 128] rows on lanes
+            vlo = vlo_ref[j:j + 1, :]
+            vhi = vhi_ref[j:j + 1, :]
+            fl = fl_ref[j:j + 1, :]
+            in_sb = (gid >= 0) & (gid < n_hi * LANES)
+            ghi = gid >> 7
+            glo = jnp.where(in_sb, gid & 127, -1)
+            # excluded rows (glo = -1) match no sublane: their one-hot
+            # column is zero, so any chunk_T garbage contributes nothing
+            oh_T = (sub == glo).astype(jnp.bfloat16)       # [glo, r]
+            word = jnp.where(sub_k < 4, vlo, vhi)          # [c, r]
+            byte = (word >> shift) & 0xFF
+            v = jnp.where(sub_k < 8, byte, jnp.uint32(sub_k == 8))
+            v = jnp.where(sub_k > 8, (fl >> fshift) & 1, v)
+            chunk_T = jnp.where(
+                ghi == sub_hi, v, jnp.uint32(0)
+            ).astype(jnp.int32).astype(jnp.bfloat16)       # [c, r]
+            acc = acc + jax.lax.dot_general(
+                oh_T, chunk_T,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        bi = acc.astype(jnp.int32)
+        lo_ref[...] += bi & 0xFFFF
+        hi_ref[...] += bi >> 16
 
-    # one_hot tiles are [SUB, g]; BLOCK_ROWS rows per grid step amortize
-    # the per-step pipeline overhead (the old 1-subblock layout measured
-    # 60% slower at 16.7M rows), and the [g, LANES] sub-products stay
-    # exact in one f32 accumulator (255 * BLOCK_ROWS < 2^24)
-    acc = jnp.zeros((g, LANES), jnp.float32)
-    for s in range(8):
-        sl = pl.ds(s * SUB, SUB)
-        gid = gid_ref[sl]     # [SUB] int32, -1 for masked rows
-        vlo = vlo_ref[sl]     # [SUB] uint32: value bits 0..31
-        vhi = vhi_ref[sl]     # [SUB] uint32: value bits 32..63
-        fl = flags_ref[sl]    # [SUB] uint32: IEEE flag bits
-        local = gid - gb * g
-        one_hot = (local[:, None] == giota).astype(jnp.bfloat16)
-        # [SUB, LANES] chunk matrix built in VMEM: lanes 0-7 are the
-        # 8-bit value chunks ((vlo|vhi) >> 8*(lane&3)), lane 8 the count
-        # column, lanes 9-11 the IEEE flags — HBM inputs stay 16 B/row
-        word = jnp.where(lane < 4, vlo[:, None], vhi[:, None])
-        byte = (word >> byte_shift) & 0xFF
-        cval = jnp.where(lane < 8, byte, jnp.uint32(0))
-        cval = jnp.where(lane == 8, jnp.uint32(1), cval)
-        for b in range(3):
-            cval = jnp.where(lane == 9 + b, (fl[:, None] >> b) & 1, cval)
-        chunks = cval.astype(jnp.int32).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            one_hot, chunks,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    bi = acc.astype(jnp.int32)
-    lo_ref[...] += bi & 0xFFFF
-    hi_ref[...] += bi >> 16
+    return _kernel
 
 
-def _mxu_chunk_totals_single(gid_m: jnp.ndarray, vlo: jnp.ndarray,
-                      vhi: jnp.ndarray, flags: jnp.ndarray,
-                      num_groups: int) -> jnp.ndarray:
-    """Core dispatch: per-group per-lane exact totals [g_pad, LANES] int64.
+def _mxu_chunk_totals_fact(gid_m, vlo, vhi, flags, num_groups: int):
+    """Factorized kernel dispatch: per-group 12-lane exact totals
+    [g_pad, COL_LANES] int64 (lanes: 8 value chunks, count, 3 flag bits —
+    same column layout as the classic kernels, so _finish_col shares).
 
-    gid_m: [n] int32 (-1 = excluded row); vlo/vhi: [n] uint32 value words;
-    flags: [n] uint32 IEEE flag bits."""
+    gid_m: [n] int32 (-1 = excluded); vlo/vhi/flags: [n] uint32."""
     n = gid_m.shape[0]
     if n > MAX_EXACT_ROWS:
         half = (n + 1) // 2
         return (
-            _mxu_chunk_totals_single(gid_m[:half], vlo[:half], vhi[:half],
-                              flags[:half], num_groups)
-            + _mxu_chunk_totals_single(gid_m[half:], vlo[half:], vhi[half:],
-                                flags[half:], num_groups)
+            _mxu_chunk_totals_fact(gid_m[:half], vlo[:half], vhi[:half],
+                                   flags[:half], num_groups)
+            + _mxu_chunk_totals_fact(gid_m[half:], vlo[half:], vhi[half:],
+                                     flags[half:], num_groups)
         )
-    g_pad = max(128, -(-num_groups // 128) * 128)
-    gblock = min(GBLOCK, g_pad)
-    n_gblocks = -(-g_pad // gblock)
-    g_pad = n_gblocks * gblock
-    blocks = -(-n // 8192)
-    n_pad = blocks * 8192
-    vlo = jnp.pad(vlo, (0, n_pad - n))
-    vhi = jnp.pad(vhi, (0, n_pad - n))
-    flags = jnp.pad(flags, (0, n_pad - n))
-    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
-
+    n_hi = min(-(-max(num_groups, 1) // LANES), 128 // COL_LANES)  # <= 10
+    sb_groups = n_hi * LANES
+    n_sb = -(-max(num_groups, 1) // sb_groups)
+    blocks = -(-n // ROWS_PER_STEP)
+    n_pad = blocks * ROWS_PER_STEP
+    vlo = jnp.pad(vlo, (0, n_pad - n)).reshape(-1, LANES)
+    vhi = jnp.pad(vhi, (0, n_pad - n)).reshape(-1, LANES)
+    flags = jnp.pad(flags, (0, n_pad - n)).reshape(-1, LANES)
+    gid_m = jnp.pad(gid_m, (0, n_pad - n),
+                    constant_values=-1).reshape(-1, LANES)
+    r_iters = ROWS_PER_STEP // LANES
     interpret = jax.devices()[0].platform == "cpu"
-    # trace the kernel with x64 off: the engine's global jax_enable_x64
-    # makes index-map arithmetic default to i64, which Mosaic refuses
+    spec = pl.BlockSpec((r_iters, LANES), lambda sb, i: (i, 0))
     with jax.enable_x64(False):
-        row_spec = pl.BlockSpec((8192,), lambda gb, i: (i,))
         lo, hi = pl.pallas_call(
-            _kernel_single,
-            grid=(n_gblocks, blocks),
-            in_specs=[row_spec, row_spec, row_spec, row_spec],
+            _make_kernel_fact(n_hi, r_iters),
+            grid=(n_sb, blocks),
+            in_specs=[spec, spec, spec, spec],
             out_specs=(
-                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
-                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
+                pl.BlockSpec((LANES, LANES), lambda sb, i: (sb, 0)),
+                pl.BlockSpec((LANES, LANES), lambda sb, i: (sb, 0)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((n_sb * LANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((n_sb * LANES, LANES), jnp.int32),
             ),
-            interpret=interpret,  # CPU backend: correctness-testing path
+            interpret=interpret,
         )(gid_m, vlo, vhi, flags)
-    return hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+    tot = hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
+    # tot[sb*128 + glo, ghi*12 + k] -> group sb*sb_groups + ghi*128 + glo
+    t = tot[:, : n_hi * COL_LANES].reshape(n_sb, LANES, n_hi, COL_LANES)
+    t = jnp.moveaxis(t, 1, 2).reshape(n_sb * n_hi * LANES, COL_LANES)
+    return t
 
 
 def _make_kernel(block_rows: int):
@@ -379,9 +390,9 @@ def grouped_sums_counts_multi(items, gid, num_groups: int):
         ]
         gid_m = jnp.where(gid >= 0, gid, -1).astype(jnp.int32)
         if len(preps) == 1:
-            # single-column fast path: old lane layout (8 = count from the
-            # per-column include bit folded into gid, 9/10/11 = flag bits
-            # 0..2) — translate the shared flag plane accordingly
+            # single-column fast path: factorized transposed-one-hot
+            # kernel (lane layout: 8 = count from the include bit folded
+            # into gid, 9/10/11 = flag bits 0..2)
             vlo1, vhi1, fl, _ = preps[0]
             fl_old = (
                 ((fl >> _B_POS) & 1)
@@ -389,7 +400,7 @@ def grouped_sums_counts_multi(items, gid, num_groups: int):
                 | (((fl >> _B_NAN) & 1) << 2)
             )
             gid1 = jnp.where((fl >> _B_CNT) & 1 == 1, gid_m, -1)
-            totals = _mxu_chunk_totals_single(
+            totals = _mxu_chunk_totals_fact(
                 gid1, vlo1, vhi1, fl_old, num_groups
             )
             lanes = (8, 9, 10, 11)  # count, +inf, -inf, NaN
