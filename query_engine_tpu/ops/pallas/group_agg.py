@@ -10,10 +10,11 @@ runs on the 128x128 systolic array. Replaces the reference's row-wise
 aggregate reducers (query-executor/src/operators.rs:745-848) and the
 grouped path it leaves empty (executor.rs:157-190).
 
-Lane layout: each aggregate COLUMN occupies 12 lanes (8x 8-bit value
-chunks, a count lane, 3 IEEE flag lanes), so up to 5 columns (VMEM cap)
-share ONE matmul — a multi-aggregate GROUP BY costs about the same MXU
-pass as a single SUM (grouped_sums_counts_multi).
+Lane layout: each aggregate COLUMN occupies a 12-lane band per hi-block
+(8x 8-bit value chunks, a count lane, 3 IEEE flag lanes), so the 128
+output lanes carry up to 10 columns for small group spaces — a
+multi-aggregate GROUP BY costs about the same matmul pass as a single
+SUM (grouped_sums_counts_multi / fact_cols_per_pass).
 
 Exactness:
   * int64 values split into 8x 8-bit chunks (two's-complement recombination
@@ -30,9 +31,9 @@ Exactness:
     NaN inputs ride the flag lanes as counts, so IEEE semantics
     (inf + finite = inf, inf + -inf = nan) are exact.
 
-Grouping capacity: G > 4096 adds a group-block grid dimension (the [4096,
-128] accumulator tile is VMEM-bounded); work scales O(n * G), so callers
-should prefer this kernel up to G ~ 32k and the scatter path beyond
+Grouping capacity: group superblocks of ceil(G/128)*128 add a grid
+dimension (each re-streams the rows), so work scales O(n * G / 1280);
+callers prefer this kernel up to G ~ 32k and the scatter path beyond
 (executor._MXU_AGG_MAX_GROUPS gates the crossover).
 """
 
@@ -44,17 +45,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-# rows per grid step (multiples of 1024: T(1024) layout). Single-column
-# calls unroll 8 sub-matmuls per step (measured 1.6x over one-sub steps);
-# multi-column calls use one sub per step — the per-column chunk-build
-# temporaries otherwise blow the ~16MB VMEM stack.
-SUB = 1024
-GBLOCK = 4096  # group-block tile height (VMEM: 2x [GBLOCK,128] i32 acc)
 LANES = 128
 COL_LANES = 12     # per aggregate column: 8 chunks + count + 3 IEEE flags
-MAX_COLS = 5       # VMEM cap: per-column chunk-build temporaries
 # per-step f32 product <= 255 * block_rows < 2^24 (exact); the lo16 plane
 # overflows at 65535 * n/block_rows >= 2^31 -> n = 2^25 for 1024-row steps
 MAX_EXACT_ROWS = 1 << 25
@@ -78,7 +71,13 @@ MAX_EXACT_ROWS = 1 << 25
 ROWS_PER_STEP = 2048
 
 
-def _make_kernel_fact(n_hi: int, r_iters: int):
+def _make_kernel_fact(n_hi: int, n_cols: int, r_iters: int):
+    """Lane layout: lane l = c*(12*n_hi) + ghi*12 + k — column c's 12-lane
+    band for hi-block ghi; k<8 = value chunks, k=8..11 = flag bits 2..5
+    (+inf, include/count, -inf, NaN — _prep_* bit positions). ONE matmul
+    per 128 rows covers every column."""
+    band = COL_LANES * n_hi
+
     def _kernel(gid_ref, vlo_ref, vhi_ref, fl_ref, lo_ref, hi_ref):
         sb = pl.program_id(0)   # group superblock (n_hi*128 groups each)
         step = pl.program_id(1)
@@ -89,30 +88,34 @@ def _make_kernel_fact(n_hi: int, r_iters: int):
             hi_ref[...] = jnp.zeros_like(hi_ref)
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
-        sub_hi = sub // COL_LANES
-        sub_k = sub - sub_hi * COL_LANES
+        sub_c = sub // band
+        sub_in = sub - sub_c * band
+        sub_hi = sub_in // COL_LANES
+        sub_k = sub_in - sub_hi * COL_LANES
         shift = ((sub_k & 3) * 8).astype(jnp.uint32)
-        fshift = jnp.clip(sub_k - 9, 0, 2).astype(jnp.uint32)
+        fshift = jnp.clip(sub_k - 6, 2, 5).astype(jnp.uint32)
         base = sb * (n_hi * LANES)
         acc = jnp.zeros((LANES, LANES), jnp.float32)
         for j in range(r_iters):
             gid = gid_ref[j:j + 1, :] - base   # [1, 128] rows on lanes
-            vlo = vlo_ref[j:j + 1, :]
-            vhi = vhi_ref[j:j + 1, :]
-            fl = fl_ref[j:j + 1, :]
             in_sb = (gid >= 0) & (gid < n_hi * LANES)
             ghi = gid >> 7
             glo = jnp.where(in_sb, gid & 127, -1)
             # excluded rows (glo = -1) match no sublane: their one-hot
             # column is zero, so any chunk_T garbage contributes nothing
             oh_T = (sub == glo).astype(jnp.bfloat16)       # [glo, r]
-            word = jnp.where(sub_k < 4, vlo, vhi)          # [c, r]
-            byte = (word >> shift) & 0xFF
-            v = jnp.where(sub_k < 8, byte, jnp.uint32(sub_k == 8))
-            v = jnp.where(sub_k > 8, (fl >> fshift) & 1, v)
-            chunk_T = jnp.where(
-                ghi == sub_hi, v, jnp.uint32(0)
-            ).astype(jnp.int32).astype(jnp.bfloat16)       # [c, r]
+            cval = jnp.zeros((LANES, LANES), jnp.uint32)
+            for c in range(n_cols):
+                vlo = vlo_ref[c, j:j + 1, :]
+                vhi = vhi_ref[c, j:j + 1, :]
+                fl = fl_ref[c, j:j + 1, :]
+                word = jnp.where(sub_k < 4, vlo, vhi)      # [sub, r]
+                byte = (word >> shift) & 0xFF
+                v = jnp.where(sub_k < 8, byte, (fl >> fshift) & 1)
+                cval = cval | jnp.where(
+                    (sub_c == c) & (ghi == sub_hi), v, jnp.uint32(0)
+                )
+            chunk_T = cval.astype(jnp.int32).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
                 oh_T, chunk_T,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -125,39 +128,55 @@ def _make_kernel_fact(n_hi: int, r_iters: int):
     return _kernel
 
 
-def _mxu_chunk_totals_fact(gid_m, vlo, vhi, flags, num_groups: int):
-    """Factorized kernel dispatch: per-group 12-lane exact totals
-    [g_pad, COL_LANES] int64 (lanes: 8 value chunks, count, 3 flag bits —
-    same column layout as the classic kernels, so _finish_col shares).
+def fact_cols_per_pass(num_groups: int) -> int:
+    """How many aggregate columns one factorized pass carries: the 128
+    output lanes split into per-column bands of 12 * ceil(G/128) (capped
+    by the superblock size)."""
+    n_hi = min(-(-max(num_groups, 1) // LANES), 128 // COL_LANES)
+    return max(1, LANES // (COL_LANES * n_hi))
 
-    gid_m: [n] int32 (-1 = excluded); vlo/vhi/flags: [n] uint32."""
+
+def _mxu_chunk_totals_fact(gid_m, vlo, vhi, flags, num_groups: int):
+    """Factorized kernel dispatch: per-group per-column 12-lane exact
+    totals [g_pad, C * COL_LANES] int64 (column c in lanes 12c..12c+11:
+    8 value chunks, then flag bits 2..5 -> lanes map (9, 8, 10, 11) =
+    count, +inf, -inf, NaN for _finish_col).
+
+    gid_m: [n] int32 (-1 = excluded); vlo/vhi/flags: [C, n] uint32."""
     n = gid_m.shape[0]
     if n > MAX_EXACT_ROWS:
         half = (n + 1) // 2
         return (
-            _mxu_chunk_totals_fact(gid_m[:half], vlo[:half], vhi[:half],
-                                   flags[:half], num_groups)
-            + _mxu_chunk_totals_fact(gid_m[half:], vlo[half:], vhi[half:],
-                                     flags[half:], num_groups)
+            _mxu_chunk_totals_fact(gid_m[:half], vlo[:, :half],
+                                   vhi[:, :half], flags[:, :half],
+                                   num_groups)
+            + _mxu_chunk_totals_fact(gid_m[half:], vlo[:, half:],
+                                     vhi[:, half:], flags[:, half:],
+                                     num_groups)
         )
+    n_cols = vlo.shape[0]
     n_hi = min(-(-max(num_groups, 1) // LANES), 128 // COL_LANES)  # <= 10
+    assert COL_LANES * n_hi * n_cols <= LANES, (n_hi, n_cols)
     sb_groups = n_hi * LANES
     n_sb = -(-max(num_groups, 1) // sb_groups)
     blocks = -(-n // ROWS_PER_STEP)
     n_pad = blocks * ROWS_PER_STEP
-    vlo = jnp.pad(vlo, (0, n_pad - n)).reshape(-1, LANES)
-    vhi = jnp.pad(vhi, (0, n_pad - n)).reshape(-1, LANES)
-    flags = jnp.pad(flags, (0, n_pad - n)).reshape(-1, LANES)
+    vlo = jnp.pad(vlo, ((0, 0), (0, n_pad - n))).reshape(n_cols, -1, LANES)
+    vhi = jnp.pad(vhi, ((0, 0), (0, n_pad - n))).reshape(n_cols, -1, LANES)
+    flags = jnp.pad(
+        flags, ((0, 0), (0, n_pad - n))
+    ).reshape(n_cols, -1, LANES)
     gid_m = jnp.pad(gid_m, (0, n_pad - n),
                     constant_values=-1).reshape(-1, LANES)
     r_iters = ROWS_PER_STEP // LANES
     interpret = jax.devices()[0].platform == "cpu"
-    spec = pl.BlockSpec((r_iters, LANES), lambda sb, i: (i, 0))
+    gspec = pl.BlockSpec((r_iters, LANES), lambda sb, i: (i, 0))
+    cspec = pl.BlockSpec((n_cols, r_iters, LANES), lambda sb, i: (0, i, 0))
     with jax.enable_x64(False):
         lo, hi = pl.pallas_call(
-            _make_kernel_fact(n_hi, r_iters),
+            _make_kernel_fact(n_hi, n_cols, r_iters),
             grid=(n_sb, blocks),
-            in_specs=[spec, spec, spec, spec],
+            in_specs=[gspec, cspec, cspec, cspec],
             out_specs=(
                 pl.BlockSpec((LANES, LANES), lambda sb, i: (sb, 0)),
                 pl.BlockSpec((LANES, LANES), lambda sb, i: (sb, 0)),
@@ -169,120 +188,16 @@ def _mxu_chunk_totals_fact(gid_m, vlo, vhi, flags, num_groups: int):
             interpret=interpret,
         )(gid_m, vlo, vhi, flags)
     tot = hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
-    # tot[sb*128 + glo, ghi*12 + k] -> group sb*sb_groups + ghi*128 + glo
-    t = tot[:, : n_hi * COL_LANES].reshape(n_sb, LANES, n_hi, COL_LANES)
-    t = jnp.moveaxis(t, 1, 2).reshape(n_sb * n_hi * LANES, COL_LANES)
+    # tot[sb*128 + glo, c*(12*n_hi) + ghi*12 + k]
+    #   -> group sb*sb_groups + ghi*128 + glo, column c, lane k
+    band = COL_LANES * n_hi
+    t = tot[:, : n_cols * band].reshape(n_sb, LANES, n_cols, n_hi,
+                                        COL_LANES)
+    # -> [n_sb, n_hi, LANES(glo), n_cols, COL_LANES] -> [g, c*12]
+    t = jnp.transpose(t, (0, 3, 1, 2, 4)).reshape(
+        n_sb * n_hi * LANES, n_cols * COL_LANES
+    )
     return t
-
-
-def _make_kernel(block_rows: int):
-    def _kernel(gid_ref, vlo_ref, vhi_ref, flags_ref, lo_ref, hi_ref):
-        gb = pl.program_id(0)
-        step = pl.program_id(1)
-
-        @pl.when(step == 0)
-        def _init():
-            lo_ref[...] = jnp.zeros_like(lo_ref)
-            hi_ref[...] = jnp.zeros_like(hi_ref)
-
-        g = lo_ref.shape[0]
-        n_cols = vlo_ref.shape[0]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        giota = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
-
-        # all aggregate columns share the same one_hot and matmul
-        # (12 lanes each); the sub loop is a Python unroll — an in-kernel
-        # fori measured 1.6x slower (it defeats software pipelining)
-        acc = jnp.zeros((g, LANES), jnp.float32)
-        for s in range(block_rows // SUB):
-            sl = pl.ds(s * SUB, SUB)
-            gid = gid_ref[sl]     # [SUB] int32, -1 for masked rows
-            local = gid - gb * g
-            one_hot = (local[:, None] == giota).astype(jnp.bfloat16)
-            # [SUB, LANES] chunk matrix in VMEM: per column c, lane
-            # 12c+k is value chunk k (k<8), lane 12c+8+j reads flag bit
-            # 2+j (bit 2 = +inf, 3 = include/count, 4 = -inf, 5 = NaN)
-            # — HBM inputs stay 12 B/row/column
-            cval = jnp.zeros((SUB, LANES), jnp.uint32)
-            for c in range(n_cols):
-                vlo = vlo_ref[c, sl]    # [SUB] uint32 value bits 0..31
-                vhi = vhi_ref[c, sl]    # [SUB] uint32 value bits 32..63
-                fl = flags_ref[c, sl]   # [SUB] uint32 flag bits
-                ll = lane - (COL_LANES * c)
-                in_col = (ll >= 0) & (ll < COL_LANES)
-                word = jnp.where(ll < 4, vlo[:, None], vhi[:, None])
-                byte = (word >> ((ll & 3) * 8).astype(jnp.uint32)) & 0xFF
-                fbit = (
-                    fl[:, None]
-                    >> jnp.clip(ll - 6, 0, 5).astype(jnp.uint32)
-                ) & 1
-                v = jnp.where(ll < 8, byte, fbit)
-                cval = cval | jnp.where(in_col, v, jnp.uint32(0))
-            chunks = cval.astype(jnp.int32).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                one_hot, chunks,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        bi = acc.astype(jnp.int32)
-        lo_ref[...] += bi & 0xFFFF
-        hi_ref[...] += bi >> 16
-
-    return _kernel
-
-
-def _mxu_chunk_totals(gid_m: jnp.ndarray, vlo: jnp.ndarray,
-                      vhi: jnp.ndarray, flags: jnp.ndarray,
-                      num_groups: int) -> jnp.ndarray:
-    """Core dispatch: per-group per-lane exact totals [g_pad, LANES] int64.
-
-    gid_m: [n] int32 (-1 = excluded row); vlo/vhi/flags: [C, n] uint32
-    planes, one row per aggregate column (C <= MAX_COLS)."""
-    n = gid_m.shape[0]
-    if n > MAX_EXACT_ROWS:
-        half = (n + 1) // 2
-        return (
-            _mxu_chunk_totals(gid_m[:half], vlo[:, :half], vhi[:, :half],
-                              flags[:, :half], num_groups)
-            + _mxu_chunk_totals(gid_m[half:], vlo[:, half:], vhi[:, half:],
-                                flags[:, half:], num_groups)
-        )
-    g_pad = max(128, -(-num_groups // 128) * 128)
-    gblock = min(GBLOCK, g_pad)
-    n_gblocks = -(-g_pad // gblock)
-    g_pad = n_gblocks * gblock
-    c = vlo.shape[0]
-    block_rows = 8192 if c == 1 else 1024  # VMEM stack vs sub-unrolling
-    blocks = -(-n // block_rows)
-    n_pad = blocks * block_rows
-    vlo = jnp.pad(vlo, ((0, 0), (0, n_pad - n)))
-    vhi = jnp.pad(vhi, ((0, 0), (0, n_pad - n)))
-    flags = jnp.pad(flags, ((0, 0), (0, n_pad - n)))
-    gid_m = jnp.pad(gid_m, (0, n_pad - n), constant_values=-1)
-
-    interpret = jax.devices()[0].platform == "cpu"
-    # trace the kernel with x64 off: the engine's global jax_enable_x64
-    # makes index-map arithmetic default to i64, which Mosaic refuses
-    with jax.enable_x64(False):
-        col_spec = pl.BlockSpec((c, block_rows), lambda gb, i: (0, i))
-        lo, hi = pl.pallas_call(
-            _make_kernel(block_rows),
-            grid=(n_gblocks, blocks),
-            in_specs=[
-                pl.BlockSpec((block_rows,), lambda gb, i: (i,)),
-                col_spec, col_spec, col_spec,
-            ],
-            out_specs=(
-                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
-                pl.BlockSpec((gblock, LANES), lambda gb, i: (gb, 0)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((g_pad, LANES), jnp.int32),
-            ),
-            interpret=interpret,  # CPU backend: correctness-testing path
-        )(gid_m, vlo, vhi, flags)
-    return hi.astype(jnp.int64) * 65536 + lo.astype(jnp.int64)
 
 
 def _value_planes(values_i64: jnp.ndarray, ok: jnp.ndarray):
@@ -377,39 +292,26 @@ def _finish_col(totals12: jnp.ndarray, num_groups: int, inv_scale,
 
 def grouped_sums_counts_multi(items, gid, num_groups: int):
     """Batched grouped SUM/COUNT: `items` is a list of (values, ok) with
-    integer or float dtypes; ALL columns share one one-hot matmul pass per
-    10 columns. Returns a list of (sums, counts) — float columns get f64
+    integer or float dtypes; columns share the factorized matmul pass —
+    the 128 output lanes split into per-column 12*ceil(G/128)-lane bands,
+    so small group spaces carry up to 10 columns per pass and G=1024
+    carries one. Returns a list of (sums, counts) — float columns get f64
     sums with IEEE inf/NaN semantics, integer columns exact int64."""
     out = []
-    for start in range(0, len(items), MAX_COLS):
-        chunk = items[start:start + MAX_COLS]
+    per_pass = fact_cols_per_pass(num_groups)
+    gid_m = jnp.where(gid >= 0, gid, -1).astype(jnp.int32)
+    for start in range(0, len(items), per_pass):
+        chunk = items[start:start + per_pass]
         preps = [
             _prep_float(v, ok)
             if jnp.issubdtype(v.dtype, jnp.floating) else _prep_int(v, ok)
             for v, ok in chunk
         ]
-        gid_m = jnp.where(gid >= 0, gid, -1).astype(jnp.int32)
-        if len(preps) == 1:
-            # single-column fast path: factorized transposed-one-hot
-            # kernel (lane layout: 8 = count from the include bit folded
-            # into gid, 9/10/11 = flag bits 0..2)
-            vlo1, vhi1, fl, _ = preps[0]
-            fl_old = (
-                ((fl >> _B_POS) & 1)
-                | (((fl >> _B_NEG) & 1) << 1)
-                | (((fl >> _B_NAN) & 1) << 2)
-            )
-            gid1 = jnp.where((fl >> _B_CNT) & 1 == 1, gid_m, -1)
-            totals = _mxu_chunk_totals_fact(
-                gid1, vlo1, vhi1, fl_old, num_groups
-            )
-            lanes = (8, 9, 10, 11)  # count, +inf, -inf, NaN
-        else:
-            vlo = jnp.stack([p[0] for p in preps])
-            vhi = jnp.stack([p[1] for p in preps])
-            flags = jnp.stack([p[2] for p in preps])
-            totals = _mxu_chunk_totals(gid_m, vlo, vhi, flags, num_groups)
-            lanes = (9, 8, 10, 11)
+        vlo = jnp.stack([p[0] for p in preps])
+        vhi = jnp.stack([p[1] for p in preps])
+        flags = jnp.stack([p[2] for p in preps])
+        totals = _mxu_chunk_totals_fact(gid_m, vlo, vhi, flags, num_groups)
+        lanes = (9, 8, 10, 11)  # count, +inf, -inf, NaN (flag bits 3,2,4,5)
         for c, p in enumerate(preps):
             t12 = totals[:, COL_LANES * c: COL_LANES * (c + 1)]
             out.append(_finish_col(t12, num_groups, p[3], lanes))
