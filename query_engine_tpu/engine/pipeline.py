@@ -1745,11 +1745,13 @@ class CompiledPipeline:
                                list(lt.cols) + list(rt.cols))
         ]
         # residual_outer: surviving inner pairs + the pad blocks; otherwise
-        # every emitted row up to out_rows is live
+        # every emitted row up to out_rows is live. NOTE the residual_outer
+        # sel has HOLES (equi pairs the residual rejected), so the table is
+        # NOT dense — the root assembly must compact, not slice by count.
         sel = (keep | pad_mask) if residual_outer else (pos < out_rows)
         # gathered columns keep their source value covers
-        out = _TTable(plan.out_schema, cols, sel, out_cap, True,
-                      lt.bounds + rt.bounds)
+        out = _TTable(plan.out_schema, cols, sel, out_cap,
+                      not residual_outer, lt.bounds + rt.bounds)
         if plan.residual is not None and not residual_outer:
             mask = ex.evaluator.eval_predicate_mask(
                 plan.residual, _ShimBatch(out)

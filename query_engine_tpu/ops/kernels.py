@@ -1107,14 +1107,22 @@ def _seg_total_i32(x: jnp.ndarray, change: jnp.ndarray) -> jnp.ndarray:
     inclusive prefix at both segment ends.
 
     The broadcasts ride ENCODED cummax scans, not associative_scan: the
-    payload (prefix c, 26 bits of it, plus x's bit) sits in the low word
-    and the position in the high word, so the latest flagged position's
-    payload wins a plain monotonic max. TPU compile time for a generic
+    payload ((c << 1) | x — so the prefix c gets 31 bits and x's low bit
+    rides along) sits in the low 32-bit word and the position in the high
+    word, so the latest flagged position's payload wins a plain monotonic
+    max. Bit budget: c = cumsum(x) must stay < 2**31 or it would corrupt
+    the position word — asserted statically below (callers pass 0/1
+    indicator planes, so c <= n). TPU compile time for a generic
     associative_scan at 16M+ rows is pathological (its recursive
     slice/concat tree wedged the round-3/4 bench for 90+ minutes inside
     the remote compile service); cummax lowers through the optimized
     cumulative-reduce-window path."""
     n = x.shape[0]
+    # static capacity guard for the (c << 1) | x encoding: with 0/1
+    # indicator inputs, max(cumsum) == n, which must fit in 31 bits
+    assert n < (1 << 31), (
+        f"_seg_total_i32 encoding supports < 2**31 rows, got {n}"
+    )
     c = jnp.cumsum(x)
     idx = jnp.arange(n, dtype=jnp.int64)
     # forward: first_c and first_x of each run from ONE encoded scan

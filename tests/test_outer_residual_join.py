@@ -71,6 +71,37 @@ def test_pipeline_matches_eager(seed, q):
     assert piped == eager
 
 
+NO_ORDER_QUERIES = [q.split(" ORDER BY")[0] for q in QUERIES]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("q", NO_ORDER_QUERIES, ids=lambda q: q[:48])
+def test_pipeline_matches_eager_no_order(seed, q):
+    # ADVICE r4: without ORDER BY the root assembly takes the dense fast
+    # path, which must still compact the holey residual-outer mask —
+    # compare as sorted multisets
+    piped = make_session(seed).sql(q).to_pylist()
+    eager_sess = make_session(seed)
+    eager_sess.executor._compiled = False
+    eager = eager_sess.sql(q).to_pylist()
+    assert sorted(map(repr, piped)) == sorted(map(repr, eager))
+
+
+def test_residual_outer_no_order_exact_repro():
+    # ADVICE r4 confirmed repro: residual-failing equi pairs must not be
+    # emitted and NULL-pad outer rows must not be dropped when no ORDER BY
+    # forces a compaction
+    s = Session()
+    s.register_table("a", {"k": [1, 1, 2, 3], "x": [10, 20, 30, 40]})
+    s.register_table("b", {"k": [1, 1], "y": [5, 100]})
+    rows = s.sql(
+        "SELECT a.k, a.x, b.y FROM a LEFT JOIN b "
+        "ON a.k = b.k AND b.y > 50"
+    ).to_pylist()
+    got = sorted(rows, key=repr)
+    assert got == [(1, 10, 100), (1, 20, 100), (2, 30, None), (3, 40, None)]
+
+
 def test_pipeline_inlines_outer_residual():
     s = make_session(7)
     before = s.executor.pipeline.stats["joins_inlined"]
