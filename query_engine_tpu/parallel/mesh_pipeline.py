@@ -114,7 +114,7 @@ class MeshPipeline:
     """
 
     def __init__(self, executor, mesh: Mesh, axis: str = "data",
-                 base_factor: float = 1.25):
+                 base_factor: float = spmd.DEFAULT_RECV_FACTOR):
         self.executor = executor
         self.cp = executor.pipeline
         self.mesh = mesh
@@ -1014,20 +1014,30 @@ class MeshPipeline:
         )
         cap = t.capacity
         live = t.sel
-        # dead rows ride at +inf so live keys pack to the front of the
-        # local sorted sample plane
+        # dead rows ride at +inf so they fall out of the pivot quantiles
         skey = jnp.where(live, okey, jnp.int64(_I64_MAX))
-        ssorted = jnp.sort(skey)
-        c = jnp.sum(live.astype(jnp.int64))
-        ns = min(64, cap)
-        pos = (jnp.arange(ns, dtype=jnp.int64) * jnp.maximum(c, 1)) // ns
-        samples = ssorted[jnp.clip(pos, 0, cap - 1)]
+        # stride-sample the UNSORTED planes (no local pre-sort: the
+        # previous jnp.sort-for-order-statistics was a full extra sort
+        # pass per exchange — probe_sort_phases.py measured it at ~10% of
+        # a distributed sort step). Positions are arbitrary wrt key order,
+        # so this is a systematic ~ random sample of the live rows; dead
+        # samples ride at +inf and are counted out of the quantiles below.
+        # s >= 512*n keeps the relative shard-width error 2.5*sqrt(n/s)
+        # within the 1.125 base factor (spmd.sort_samples_for math)
+        ns = min(cap, 512 * self.n)
+        pos = (jnp.arange(ns, dtype=jnp.int64) * cap) // ns
+        samples = skey[pos]
+        sval = live[pos]
         allsamp = jnp.sort(
             jax.lax.all_gather(samples, self.axis).reshape(-1)
         )
-        bidx = (jnp.arange(1, self.n, dtype=jnp.int64)
-                * allsamp.shape[0]) // self.n
-        pivots = allsamp[bidx]
+        m = jnp.sum(
+            jax.lax.all_gather(sval, self.axis).astype(jnp.int64)
+        )
+        # n-1 pivots at even quantiles of the VALID samples (valid ones
+        # sort to the front; +inf sentinels cluster past index m-1)
+        bidx = (jnp.arange(1, self.n, dtype=jnp.int64) * m) // self.n
+        pivots = allsamp[jnp.clip(bidx, 0, allsamp.shape[0] - 1)]
         return jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
 
     def _mtrace_sort(self, plan, tables, res, ov, factor) -> _TTable:

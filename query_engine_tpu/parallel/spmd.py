@@ -80,13 +80,38 @@ def bucket_rows(
 
     Returns (idx[n_parts, per] local row index planes, counts[n_parts]).
     Slots beyond a destination's count hold garbage indices — consumers mask
-    by `counts` (exchange_columns does). One stable sort groups rows by
-    destination with dead rows last: O(n log n + n_parts*per), replacing the
-    previous n_parts separate jnp.nonzero scans (O(n * n_parts), and nonzero
-    lowers poorly on TPU).
+    by `counts` (exchange_columns does). Rows past a destination's `per`
+    capacity are dropped (callers count the drop as exchange overflow and
+    grow-retry).
+
+    For the mesh-sized n_parts (<= 32) this is a COUNTING scatter, not a
+    sort: a [rows, n_parts] one-hot cumsum gives each row its within-bucket
+    rank in O(rows * n_parts) VPU work (constant total work across the
+    mesh, since rows = table/n_parts per shard), then ONE scatter places
+    row indices into their [dest, rank] slot. The previous stable
+    lax.sort([pid, iota]) cost ~1.05 s at 4M rows on the measurement box —
+    ~30% of the whole distributed-sort step (benchmarks/
+    probe_sort_phases.py); the counting version is ~5x cheaper and on TPU
+    trades an 8.6 ns/row packed sort for one 10 ns/row scatter plus scans.
+    Above 32 destinations the sort variant wins again (one-hot width) and
+    is kept as the fallback.
     """
     rows = pid.shape[0]
     key = jnp.where(live, pid.astype(jnp.int32), jnp.int32(n_parts))
+    if n_parts <= 32:
+        lanes = jnp.arange(n_parts, dtype=jnp.int32)
+        onehot = key[:, None] == lanes[None, :]
+        pc = jnp.cumsum(onehot.astype(jnp.int32), axis=0)  # inclusive
+        counts = pc[-1].astype(jnp.int64)
+        within = jnp.sum(jnp.where(onehot, pc, 0), axis=1) - 1
+        pos = key.astype(jnp.int64) * per + within.astype(jnp.int64)
+        ok = live & (within < per)
+        pos = jnp.where(ok, pos, n_parts * per)  # dropped/dead -> spill slot
+        iota = jnp.arange(rows, dtype=jnp.int32)
+        flat = jnp.zeros(n_parts * per + 1, jnp.int32).at[pos].set(
+            iota, mode="drop"
+        )
+        return flat[:-1].reshape(n_parts, per), counts
     iota = jnp.arange(rows, dtype=jnp.int32)
     _, siota = jax.lax.sort([key, iota], num_keys=1, is_stable=True)
     counts = jax.ops.segment_sum(
@@ -327,8 +352,15 @@ def send_cap(per_shard: int, n: int, factor) -> int:
     return min(_cap128(want), per_shard)
 
 
-DEFAULT_RECV_FACTOR = 1.25  # bounded exchanges are the DEFAULT; overflow
-# flags + the caller's grow-and-retry handle skew (TPU_DESIGN #5)
+DEFAULT_RECV_FACTOR = 1.125  # bounded exchanges are the DEFAULT; overflow
+# flags + the caller's grow-and-retry handle skew (TPU_DESIGN #5).
+# Round 5: 1.25 -> 1.125. Every point of receive capacity is a point of
+# LOCAL WORK downstream (the received planes feed full-capacity sorts and
+# scans), and splitmix64 hash balance at mesh sizes is sub-percent for
+# non-degenerate keys — the 1.25 slack was charging a ~12% local-work tax
+# on every exchange to avoid retries that the factor-memory makes
+# once-per-plan-shape anyway (SCALING_r04 join_n2 inflation 1.267, most
+# of it exactly this capacity tax).
 
 
 def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
@@ -450,19 +482,53 @@ def make_distributed_join_counts(mesh: Mesh, n_left_cols: int,
 # ---------------------------------------------------------------------------
 
 
-def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
+def sort_samples_for(n: int, cap: int) -> int:
+    """Samples per shard for the range-exchange splitter pass: 1024*n
+    (capped at the shard capacity), so the relative shard-size error
+    2.5*sqrt(n/s) stays ~8% for every mesh size. The error math: a shard's
+    received fraction is the gap between two adjacent sample quantiles of
+    s*n draws; each boundary has sd sqrt(q(1-q)/(s*n)) of T, so the gap's
+    sd RELATIVE to the 1/n mean width is ~sqrt(n/(2s)) — it GROWS with n
+    at fixed s (the round-5 n=8 overflow-retry regression: a 1.0625
+    factor at s=512 was one sd, not four)."""
+    return min(cap, 1024 * max(n, 1))
+
+
+def sort_recv_factor(n: int, n_samples: int) -> float:
+    """Default receive-capacity factor for the sampled range exchange:
+    1 + 2.5*sqrt(n/s) concentration slack (see sort_samples_for; ~5 sd of
+    the shard-width error, so overflow-retries are rare). Never looser
+    than DEFAULT_RECV_FACTOR; the grow-and-retry path covers pathological
+    distributions (e.g. one value spanning a whole shard)."""
+    return min(DEFAULT_RECV_FACTOR,
+               1.0 + 2.5 * float(np.sqrt(max(n, 1) / n_samples)))
+
+
+def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = None,
                           axis: str = "data",
-                          recv_factor: float = DEFAULT_RECV_FACTOR):
+                          recv_factor="auto"):
     """Build the SPMD global sort: after it runs, shard i holds keys <=
     shard i+1's keys and each shard is locally sorted — the concatenation in
     shard order is the global ORDER BY (sorted-merge parity,
     reference operators.rs:141-194, without the single-node concat).
 
-    Bounded exchange by default (see make_distributed_join_counts);
-    sampled pivots keep range partitions balanced, so the default factor
-    holds unless the key distribution is pathological — then the trailing
-    overflow output trips and the caller retries larger."""
+    Splitter pass (round 5): stride-sample the UNSORTED live keys (a
+    systematic sample ~ random sample; no local pre-sort — the previous
+    jnp.sort-for-order-statistics cost a full extra sort pass per shard,
+    ~10% of the step, and was dead code at N=1, which alone inflated
+    t(N)/t(1) by ~0.10; benchmarks/probe_sort_phases.py), all_gather the
+    s*n samples, sort that tiny plane, take n-1 evenly spaced pivots. The
+    receive capacity defaults to the sampling-theory factor
+    (sort_recv_factor: ~1.08 at s=1024*n) instead of the generic
+    1.25 — every point of capacity is a point of local-sort work
+    downstream. recv_factor: "auto" = sort_recv_factor(n, s); a float =
+    that factor (the grow-retry path passes doubled floats); None = the
+    whole-table worst case."""
     n = mesh.devices.size
+    if n_samples is None:
+        n_samples = 1024 * n  # keeps the relative width error ~8% at any n
+    if recv_factor == "auto":
+        recv_factor = sort_recv_factor(n, n_samples)
 
     def step(key, kv, shard_rows, *cols):
         my = jax.lax.axis_index(axis)
@@ -472,15 +538,20 @@ def make_distributed_sort(mesh: Mesh, n_cols: int, n_samples: int = 64,
         valids = list(cols[n_cols:])
         okey = K.orderable_i64(key)
         live = jnp.arange(cap) < n_rows
-        # sample local keys uniformly (nulls sort last: +inf surrogate)
+        # nulls sort last: +inf surrogate
         skey = jnp.where(live & kv, okey, jnp.int64(np.iinfo(np.int64).max))
-        skey_sorted = jnp.sort(skey)
-        take = jnp.linspace(0, cap - 1, n_samples).astype(jnp.int64)
-        samples = skey_sorted[take]
+        # stride sample of the live prefix (positions are arbitrary wrt
+        # key order, so this is a systematic ~ random value sample)
+        qpos = (
+            jnp.linspace(0.0, 1.0, n_samples)
+            * jnp.maximum(n_rows - 1, 0).astype(jnp.float64)
+        ).astype(jnp.int64)
+        samples = skey[qpos]
         all_samples = jax.lax.all_gather(samples, axis).reshape(-1)
         all_sorted = jnp.sort(all_samples)
         # n-1 boundary pivots
-        bidx = (jnp.arange(1, n) * (all_sorted.shape[0] // n)).astype(jnp.int64)
+        bidx = (jnp.arange(1, n) * (all_sorted.shape[0] // n)).astype(
+            jnp.int64)
         pivots = all_sorted[bidx]
         pid = jnp.searchsorted(pivots, skey, side="right").astype(jnp.int32)
         sc = send_cap(cap, n, recv_factor)
