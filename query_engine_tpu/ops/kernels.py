@@ -1101,50 +1101,6 @@ def _join_ranks_full(left_keys, right_keys, n_left, n_right,
     return ranks[:cap_l], ranks[cap_l:], sperm, sorted_lead, change
 
 
-def _seg_total_i32(x: jnp.ndarray, change: jnp.ndarray) -> jnp.ndarray:
-    """Per-position segment total of x (segments delimited by `change`
-    start flags) — pure scans, no gathers: cumsum + broadcast of the
-    inclusive prefix at both segment ends.
-
-    The broadcasts ride ENCODED cummax scans, not associative_scan: the
-    payload ((c << 1) | x — so the prefix c gets 31 bits and x's low bit
-    rides along) sits in the low 32-bit word and the position in the high
-    word, so the latest flagged position's payload wins a plain monotonic
-    max. Bit budget: c = cumsum(x) must stay < 2**31 or it would corrupt
-    the position word — asserted statically below (callers pass 0/1
-    indicator planes, so c <= n). TPU compile time for a generic
-    associative_scan at 16M+ rows is pathological (its recursive
-    slice/concat tree wedged the round-3/4 bench for 90+ minutes inside
-    the remote compile service); cummax lowers through the optimized
-    cumulative-reduce-window path."""
-    n = x.shape[0]
-    # static capacity guard for the (c << 1) | x encoding: with 0/1
-    # indicator inputs, max(cumsum) == n, which must fit in 31 bits
-    assert n < (1 << 31), (
-        f"_seg_total_i32 encoding supports < 2**31 rows, got {n}"
-    )
-    c = jnp.cumsum(x)
-    idx = jnp.arange(n, dtype=jnp.int64)
-    # forward: first_c and first_x of each run from ONE encoded scan
-    pay = (c.astype(jnp.int64) << 1) | x.astype(jnp.int64)
-    enc = jnp.where(change, (idx << 32) | pay, jnp.int64(-1))
-    m = jax.lax.cummax(enc)
-    first_c = ((m & jnp.int64(0xFFFFFFFF)) >> 1).astype(x.dtype)
-    first_x = (m & jnp.int64(1)).astype(x.dtype)
-    # backward: last_c = c at each run's end = the nearest flagged
-    # position in reverse traversal — same encoded scan over the
-    # REVERSED planes (idx is the reversed-plane position, so the most
-    # recently passed flag wins the max)
-    end_flag = jnp.roll(change, -1).at[-1].set(True)
-    enc_r = jnp.where(
-        end_flag[::-1], (idx << 32) | c[::-1].astype(jnp.int64),
-        jnp.int64(-1),
-    )
-    m_r = jax.lax.cummax(enc_r)[::-1]
-    last_c = (m_r & jnp.int64(0xFFFFFFFF)).astype(x.dtype)
-    return last_c - first_c + first_x
-
-
 def join_ranks_counts(
     left_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     right_keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
@@ -1171,28 +1127,49 @@ def join_ranks_counts(
     lr, rr, sperm, sorted_lead, change = _join_ranks_full(
         left_keys, right_keys, n_left, n_right, space=space
     )
+    n = sperm.shape[0]
+    assert n < (1 << 31), n  # (idx << 32) | prefix encoding bit budget
     valid_pos = sorted_lead == 0  # live, non-null keys
     is_right = sperm >= cap_l
-    x_r = (valid_pos & is_right).astype(jnp.int32)
-    tot_r = _seg_total_i32(x_r, change)
     left_pos = valid_pos & ~is_right
+    x_r = (valid_pos & is_right).astype(jnp.int32)
+    x_l = left_pos.astype(jnp.int32)
+    # Left rows precede right rows inside every key segment (stable sort
+    # over the left++right concatenation — see join_count_total), so a
+    # left position's match count is the segment's rights BETWEEN p and
+    # the next segment start: ONE reverse encoded cummax carrying the
+    # next change's exclusive right-prefix (replaces a fwd+bwd
+    # _seg_total_i32), and a right position's matched bit needs only the
+    # FORWARD left-prefix carry (replaces the second fwd+bwd pass).
+    L = jnp.cumsum(x_l)
+    R = jnp.cumsum(x_r)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    lo = jnp.int64(0xFFFFFFFF)
+    rex = (R - x_r).astype(jnp.int64)
+    enc_rr = jnp.where(change[::-1], (idx << 32) | rex[::-1], jnp.int64(-1))
+    m_rr = jax.lax.cummax(enc_rr)[::-1]  # nearest change >= p
+    m_next = jnp.concatenate([m_rr[1:], jnp.full((1,), -1, jnp.int64)])
+    r_end = jnp.where(m_next < 0, R[-1].astype(jnp.int64), m_next & lo)
+    nr_at = (r_end - R.astype(jnp.int64)).astype(jnp.int32)
     # scatter per-left counts back to row order (i32; drop non-left)
     tgt = jnp.where(left_pos, sperm, jnp.int32(n_ranks))
     counts = (
         jnp.zeros(cap_l, dtype=jnp.int32)
         .at[tgt]
-        .set(jnp.where(left_pos, tot_r, 0), mode="drop")
+        .set(jnp.where(left_pos, nr_at, 0), mode="drop")
     )
     offsets = (jnp.cumsum(counts) - counts).astype(jnp.int64)
     total = jnp.sum(counts.astype(jnp.int64))
     left_matched = counts > 0
-    x_l = left_pos.astype(jnp.int32)
-    tot_l = _seg_total_i32(x_l, change)
+    lex = (L - x_l).astype(jnp.int64)
+    enc_l = jnp.where(change, (idx << 32) | lex, jnp.int64(-1))
+    m_l = jax.lax.cummax(enc_l)
+    nl_at = L.astype(jnp.int64) - jnp.where(m_l < 0, 0, m_l & lo)
     rtgt = jnp.where(valid_pos & is_right, sperm - cap_l, jnp.int32(n_ranks))
     right_matched = (
         jnp.zeros(cap_r, dtype=bool)
         .at[rtgt]
-        .set(tot_l > 0, mode="drop")
+        .set(nl_at > 0, mode="drop")
     )
     # emit machinery: right rows grouped by rank (small-side sort)
     lm_r = live_mask(cap_r, n_right)
@@ -1229,20 +1206,49 @@ def join_count_total(
     _, _, sperm, sorted_lead, change = _join_ranks_full(
         left_keys, right_keys, n_left, n_right
     )
+    n = sperm.shape[0]
+    assert n < (1 << 31), n  # (idx << 32) | prefix encoding bit budget
     valid_pos = sorted_lead == 0
     is_right = sperm >= cap_l
     x_r = (valid_pos & is_right).astype(jnp.int32)
     x_l = (valid_pos & ~is_right).astype(jnp.int32)
-    tot_r = _seg_total_i32(x_r, change)
-    tot_l = _seg_total_i32(x_l, change)
-    left_pos = valid_pos & ~is_right
-    total = jnp.sum(
-        jnp.where(left_pos, tot_r, 0).astype(jnp.int64)
-    )
-    matched_left = jnp.sum((left_pos & (tot_r > 0)).astype(jnp.int64))
-    matched_right = jnp.sum(
-        (valid_pos & is_right & (tot_l > 0)).astype(jnp.int64)
-    )
+    # The stable joint sort keeps original order within equal keys, and
+    # left rows precede right rows in the input concatenation — so inside
+    # every key segment ALL left rows come before ALL right rows. A right
+    # position p therefore sees its segment's ENTIRE left count in the
+    # forward prefix: nl(p) = L[p] - Lex[seg_start(p)]. That makes the
+    # whole count program forward-only: 2 cumsums + 2 encoded cummaxes
+    # (vs the previous 2x _seg_total_i32 = 4 encoded scans + 4 plane
+    # reversals — measured 64% of the op's speed-of-light in round 4;
+    # VERDICT r4 item 3).
+    L = jnp.cumsum(x_l)  # inclusive
+    R = jnp.cumsum(x_r)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    lex = (L - x_l).astype(jnp.int64)  # exclusive prefix
+    rex = (R - x_r).astype(jnp.int64)
+    enc_l = jnp.where(change, (idx << 32) | lex, jnp.int64(-1))
+    enc_r = jnp.where(change, (idx << 32) | rex, jnp.int64(-1))
+    m_l = jax.lax.cummax(enc_l)  # latest segment start's lex, per position
+    m_r = jax.lax.cummax(enc_r)
+    lo = jnp.int64(0xFFFFFFFF)
+    l_start = jnp.where(m_l < 0, 0, m_l & lo)
+    nl_at = L.astype(jnp.int64) - l_start
+    right_here = x_r > 0
+    # total = sum over segments nl*nr = sum over right positions nl(p)
+    total = jnp.sum(jnp.where(right_here, nl_at, 0))
+    matched_right = jnp.sum((right_here & (nl_at > 0)).astype(jnp.int64))
+    # matched_left = sum over segments nl*[nr>0]: close each segment at
+    # the NEXT change position (prev-start carries via a 1-shift of the
+    # cummaxes), plus the final segment's term at the array end
+    m_lp = jnp.concatenate([jnp.full((1,), -1, jnp.int64), m_l[:-1]])
+    m_rp = jnp.concatenate([jnp.full((1,), -1, jnp.int64), m_r[:-1]])
+    nl_seg = lex - jnp.where(m_lp < 0, 0, m_lp & lo)
+    nr_seg = rex - jnp.where(m_rp < 0, 0, m_rp & lo)
+    ml_terms = jnp.where(change & (nr_seg > 0), nl_seg, 0)
+    nl_fin = L[-1].astype(jnp.int64) - jnp.where(m_l[-1] < 0, 0, m_l[-1] & lo)
+    nr_fin = R[-1].astype(jnp.int64) - jnp.where(m_r[-1] < 0, 0, m_r[-1] & lo)
+    matched_left = jnp.sum(ml_terms) + jnp.where(nr_fin > 0, nl_fin,
+                                                 jnp.int64(0))
     if return_space:
         return total, matched_left, matched_right, (sperm, sorted_lead, change)
     return total, matched_left, matched_right
