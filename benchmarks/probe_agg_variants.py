@@ -370,6 +370,8 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"s8 import failed: {e!r}", file=sys.stderr)
 
+    report = {"metric": "agg_variant_probe", "rows": n, "groups": G,
+              "device": str(jax.devices()[0]), "variants": {}}
     dead = set()
     for name, f in cases.items():
         try:
@@ -377,8 +379,10 @@ def main():
             okc = bool(jnp.all(s[:G] == ref_s)) and bool(
                 jnp.all(c[:G].astype(jnp.int64) == ref_c))
             print(f"{name}: correct={okc}", flush=True)
+            report["variants"][name] = {"correct": okc}
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {repr(e)[:160]}", flush=True)
+            report["variants"][name] = {"error": repr(e)[:160]}
             dead.add(name)
 
     def bench(f, label):
@@ -397,14 +401,23 @@ def main():
         ms = min(t) * 1e3 / 8
         print(f"{label}: {ms:6.2f} ms/iter amortized "
               f"({n / (ms / 1e3) / 1e6:5.0f}M rows/s)")
+        return ms
 
     for name, f in cases.items():
         if name in dead:
             continue
         try:
-            bench(f, name)
+            ms = bench(f, name)
+            report["variants"][name]["ms_amortized"] = round(ms, 3)
+            report["variants"][name]["rows_per_sec"] = round(n / (ms / 1e3),
+                                                             1)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: BENCH FAILED {repr(e)[:160]}", flush=True)
+            report["variants"][name]["bench_error"] = repr(e)[:160]
+    # machine-readable artifact line (VERDICT r4 item 9: kernel-level
+    # progress must be auditable without trusting commit messages)
+    import json
+    print(json.dumps(report), flush=True)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,7 @@ def test_having_and_limit_above():
         "HAVING COUNT(*) > 10 ORDER BY s DESC LIMIT 7")
 
 
+@pytest.mark.slow
 def test_fk_join_below_aggregate():
     cmp("SELECT f.k, SUM(f.v + d.w) AS s, MIN(d.w) AS mw "
         "FROM fact f JOIN dim d ON f.k = d.d_id "

@@ -183,6 +183,7 @@ def test_pipeline_after_dml():
         == [(4,), (3,), (2,)]
 
 
+@pytest.mark.slow
 def test_bounded_dup_join_emit_capacity():
     """Joins with a bounded-duplication (non-unique) side compile with a
     static emit capacity; covers the bounded-LEFT outer-join bound where
@@ -216,6 +217,7 @@ def test_bounded_dup_join_emit_capacity():
     assert s.executor.pipeline.stats["compiles"] >= 3
 
 
+@pytest.mark.slow
 def test_counted_join_reuses_count_programs_sort():
     """The emit program of a count->emit join consumes the count program's
     sorted space (sperm/lead/change planes handed across dispatches) and
@@ -283,6 +285,7 @@ def test_joins_compile_in_segment_not_silently_demoted():
     assert st["joins_demoted"] == 0, st
 
 
+@pytest.mark.slow
 def test_group_space_count_emit_for_unbounded_keys():
     """Aggregates on computed/float group keys (no static range) run a
     group-space count->emit: a cached COUNT program returns ng, the emit

@@ -70,6 +70,7 @@ def test_fused_filter_cache_keys_on_column_indices():
         assert out == want, ("compiled" if compiled else "eager", out[:5])
 
 
+@pytest.mark.slow
 def test_dml_interleaved_with_cached_programs():
     """Stats (bounds, key multiplicity) and compiled programs are cached per
     table version; DML must invalidate them. Interleave INSERT/UPDATE/DELETE

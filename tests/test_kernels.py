@@ -234,6 +234,7 @@ def test_segment_minmax_all_dtypes_exact():
                     assert got[g] == red(data[m]), (name, fn, g)
 
 
+@pytest.mark.slow
 def test_segment_sum_i64_chunk_tiers_exact():
     import numpy as np
     import jax.numpy as jnp
@@ -371,6 +372,7 @@ def test_fk_gather_by_rank_unpackable_returns_none():
     assert out is None  # f64 column cannot pack -> caller falls back
 
 
+@pytest.mark.slow
 def test_group_ids_composite_ranges_matches_default():
     """Bounded multi-key grouping via the single composite i64 operand
     produces the same dense ids/groups as the multi-operand sort."""

@@ -290,6 +290,7 @@ def test_env_mesh_enable(monkeypatch):
     assert r.to_pylist() == [(1, 40), (2, 60)]
 
 
+@pytest.mark.slow
 def test_partitioned_windows_on_mesh(mesh):
     """Window functions with a shared PARTITION BY distribute: one
     exchange co-locates partitions, the single-chip window kernels run
@@ -419,6 +420,7 @@ def test_global_rank_windows_on_mesh(mesh):
     )
 
 
+@pytest.mark.slow
 def test_global_aggregate_windows_on_mesh(mesh):
     """Prefix-frame (running) and whole-table window aggregates with no
     PARTITION BY lower to the mesh: local results combine with an
@@ -465,6 +467,7 @@ def test_global_aggregate_windows_on_mesh(mesh):
     )
 
 
+@pytest.mark.slow
 def test_global_lag_lead_on_mesh(mesh):
     """LAG/LEAD with no PARTITION BY lower to the mesh via boundary
     halos: each shard all_gathers its edge rows, builds the k rows
@@ -494,6 +497,7 @@ def test_global_lag_lead_on_mesh(mesh):
         check(mesh, sql)
 
 
+@pytest.mark.slow
 def test_global_rows_frames_on_mesh(mesh):
     """Bounded ROWS frames with no PARTITION BY: edge rows combine the
     local clamped aggregate with halo suffix/prefix aggregates; unbounded
@@ -528,6 +532,7 @@ def test_global_rows_frames_on_mesh(mesh):
         check(mesh, sql)
 
 
+@pytest.mark.slow
 def test_global_ntile_first_last_on_mesh(mesh):
     """NTILE recomputes from the global rank + total count; FIRST_VALUE /
     unbounded-end LAST_VALUE broadcast the global first/last row's value;

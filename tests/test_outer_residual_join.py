@@ -8,6 +8,12 @@ import pytest
 from query_engine_tpu.engine.executor import QueryExecutor
 from query_engine_tpu.engine.session import Session
 
+# fast profile runs seed 0 only; the extra randomized seeds ride the slow
+# tier (the <8 min 1-CPU profile budget, VERDICT r4 item 5)
+SEEDS = [0,
+         pytest.param(1, marks=pytest.mark.slow),
+         pytest.param(2, marks=pytest.mark.slow)]
+
 QUERIES = [
     "SELECT a.k, a.x, b.y FROM a LEFT JOIN b ON a.k = b.k AND b.y > 50 "
     "ORDER BY a.k, a.x, b.y",
@@ -39,7 +45,7 @@ def make_session(seed: int) -> Session:
     return s
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", SEEDS)
 @pytest.mark.parametrize("q", QUERIES, ids=lambda q: q[:48])
 def test_fused_matches_steps(monkeypatch, seed, q):
     # executor-level differential: two-program fused vs step oracle (the
@@ -58,7 +64,7 @@ def test_fused_matches_steps(monkeypatch, seed, q):
     assert fused == steps  # ORDER BY makes the full rows comparable
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", SEEDS)
 @pytest.mark.parametrize("q", QUERIES, ids=lambda q: q[:48])
 def test_pipeline_matches_eager(seed, q):
     # the compiled pipeline now lowers outer-residual joins inline (one
@@ -74,7 +80,7 @@ def test_pipeline_matches_eager(seed, q):
 NO_ORDER_QUERIES = [q.split(" ORDER BY")[0] for q in QUERIES]
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", SEEDS)
 @pytest.mark.parametrize("q", NO_ORDER_QUERIES, ids=lambda q: q[:48])
 def test_pipeline_matches_eager_no_order(seed, q):
     # ADVICE r4: without ORDER BY the root assembly takes the dense fast

@@ -177,6 +177,7 @@ def test_gather_columns_packed_mxu_small_route(monkeypatch):
     assert forced == s2.sql(sql).to_pylist()
 
 
+@pytest.mark.slow
 def test_mxu_multi_column_batched_aggregate():
     """Up to 10 aggregate columns share one matmul (grouped_sums_counts_multi)."""
     from query_engine_tpu.ops.pallas.group_agg import grouped_sums_counts_multi

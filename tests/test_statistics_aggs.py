@@ -149,6 +149,7 @@ def test_unsupported_forms():
         s.sql("SELECT STDDEV(v) OVER (PARTITION BY k) FROM t")
 
 
+@pytest.mark.slow
 def test_mesh_partial_final_variance():
     devs = jax.devices()
     assert len(devs) >= 8
@@ -411,6 +412,7 @@ def test_covar_errors():
         s.sql("SELECT COVAR_POP(DISTINCT y, x) FROM t2")
 
 
+@pytest.mark.slow
 def test_covar_mesh_partial_final():
     devs = jax.devices()
     assert len(devs) >= 8

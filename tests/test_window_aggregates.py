@@ -122,6 +122,7 @@ def test_rows_following_frame(env):
         assert got == (int(w) if ok else None)
 
 
+@pytest.mark.slow
 def test_rolling_min_max_frames(env):
     """Bounded-start MIN/MAX frames (van Herk/Gil-Werman block windows with
     running-extreme edge fallbacks) vs a brute-force oracle."""

@@ -130,6 +130,7 @@ def test_mesh_matches_single_device():
     assert a == b
 
 
+@pytest.mark.slow
 def test_global_rank_dist_lowers_to_mesh():
     # no PARTITION BY: PERCENT_RANK/CUME_DIST ride the ("rank_dist",)
     # patch family — range exchange + prior-shard offset + broadcast total
@@ -153,6 +154,7 @@ def test_global_rank_dist_lowers_to_mesh():
 
 # ---- value-distance (RANGE offset) frames ----------------------------------
 
+@pytest.mark.slow
 def test_range_offset_frames_vs_python():
     rng = np.random.default_rng(17)
     n = 1500
@@ -191,6 +193,7 @@ def test_range_offset_frames_vs_python():
         assert mu == pytest.approx(min(lo))
 
 
+@pytest.mark.slow
 def test_range_offset_frames_errors_and_mesh():
     s = Session()
     s.register_table("e", {"k": [1, 1], "v": [1.0, 2.0], "w": [1.0, 2.0]})
