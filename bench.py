@@ -212,10 +212,37 @@ def _build_args(cap, bcap):
     )
 
 
+def _fused_measure(cap, bcap, iters):
+    """Build args + pipeline, warm (persistent-cache hit), measure. Runs
+    inside a measure:fused stage subprocess."""
+    args = _build_args(cap, bcap)
+    pipeline = build_pipeline(cap, bcap,
+                              jax.devices()[0].platform != "cpu")
+
+    def run_once():
+        out = pipeline(*args)
+        # force full completion: materialize a scalar that depends on
+        # every heavy op (block_until_ready alone can return early on
+        # remote/tunneled platforms)
+        return float(np.asarray(out[4])) + float(
+            np.asarray(out[3])) + float(np.asarray(out[5])[0])
+
+    t0 = time.time()
+    run_once()
+    warm_s = time.time() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    return {
+        "rows_per_sec": round(float(int(args[-2])) / min(times), 1),
+        "warm_compile_s": round(warm_s, 1),
+    }
+
+
 def main():
-    cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
     iters = int(os.environ.get("QE_BENCH_ITERS", 3))
-    bcap = max(cap >> 4, 128)
     REPORT["in_progress"] = True
     REPORT["device"] = str(jax.devices()[0])
     emit()  # T0 record: a kill at ANY later point leaves parseable JSON
@@ -251,8 +278,8 @@ def main():
     #    service), so compile it in a SUBPROCESS with a hard timeout — the
     #    persistent compilation cache makes the in-process warmup instant
     #    afterwards, and a timeout records a skip instead of eating the
-    #    whole budget (round-3 failure mode).
-    args = _build_args(cap, bcap)
+    #    whole budget (round-3 failure mode). The parent builds NO args —
+    #    the 16.7M-row upload happens once, inside the measure subprocess.
     fused_timeout = min(
         max(remaining() - 240.0, 60.0),
         float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
@@ -263,58 +290,85 @@ def main():
         if rc is None else f"rc={rc}"
     )
     if rc == 0:
-        use_mxu = jax.devices()[0].platform != "cpu"
-        pipeline = build_pipeline(cap, bcap, use_mxu)
-
-        def run_once():
-            out = pipeline(*args)
-            # force full completion: materialize a scalar that depends on
-            # every heavy op (block_until_ready alone can return early on
-            # remote/tunneled platforms)
-            return float(np.asarray(out[4])) + float(
-                np.asarray(out[3])) + float(np.asarray(out[5])[0])
-
-        t0 = time.time()
-        run_once()  # warm (hits the persistent cache the subprocess filled)
-        REPORT["compile_s"]["fused_pipeline"] = round(time.time() - t0, 1)
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            run_once()
-            times.append(time.perf_counter() - t0)
-        rows_per_sec = float(int(args[-2])) / min(times)
-        # pipeline reads each input plane once: age 4+1, salary 8+1,
-        # dept 4+1, grp 4, dim-side negligible -> 23 B/row min traffic
-        REPORT["fused_pipeline_rows_per_sec"] = round(rows_per_sec, 1)
-        REPORT["hbm_roofline_frac"] = round(
-            rows_per_sec * 23 / HBM_BYTES_PER_SEC, 4
-        )
-        # Headline = the faster of the hand-fused kernel pipeline and the
-        # full SQL engine path on the same workload (the engine overtook
-        # the hand pipeline in round 2 — the product's own number is the
-        # honest one).
-        _set_headline("fused_filter_agg_join_sort_pipeline", rows_per_sec)
-        print(f"fused pipeline: {rows_per_sec:,.0f} rows/s "
-              f"(warm compile {REPORT['compile_s']['fused_pipeline']}s, "
-              f"subprocess precompile {pre_s:.0f}s)", file=sys.stderr)
+        rc_m, s_m, res = _run_stage(
+            "measure:fused", min(max(remaining() - 120.0, 60.0), 420.0))
+        if res.get("rows_per_sec"):
+            rows_per_sec = res["rows_per_sec"]
+            REPORT["compile_s"]["fused_pipeline"] = res.get("warm_compile_s")
+            # pipeline reads each input plane once: age 4+1, salary 8+1,
+            # dept 4+1, grp 4, dim-side negligible -> 23 B/row min traffic
+            REPORT["fused_pipeline_rows_per_sec"] = rows_per_sec
+            REPORT["hbm_roofline_frac"] = round(
+                rows_per_sec * 23 / HBM_BYTES_PER_SEC, 4
+            )
+            # Headline = the faster of the hand-fused kernel pipeline and
+            # the full SQL engine path on the same workload (the engine
+            # overtook the hand pipeline in round 2 — the product's own
+            # number is the honest one).
+            _set_headline("fused_filter_agg_join_sort_pipeline",
+                          rows_per_sec)
+            print(f"fused pipeline: {rows_per_sec:,.0f} rows/s "
+                  f"(warm compile {res.get('warm_compile_s')}s, "
+                  f"subprocess precompile {pre_s:.0f}s)", file=sys.stderr)
+        else:
+            REPORT["fused_pipeline_rows_per_sec"] = (
+                res or {"stage_rc": rc_m, "s": round(s_m, 1)})
+            print(f"fused pipeline: measure stage rc={rc_m} after "
+                  f"{s_m:.0f}s — no number", file=sys.stderr)
     else:
         REPORT["fused_pipeline_rows_per_sec"] = "skipped_compile_timeout"
         print(f"fused pipeline: precompile rc={rc} after {pre_s:.0f}s — "
               "skipped", file=sys.stderr)
     emit()
 
-    if os.environ.get("QE_BENCH_OPS", "1") != "0":
+    if os.environ.get("QE_BENCH_OPS", "1") != "0" and remaining() > 90:
         t0 = time.time()
-        REPORT["per_op"] = _per_op(cap, bcap, args, iters)
+        # batch-precompile every per-op program in ONE subprocess, then
+        # run the whole measurement stage in ANOTHER bounded subprocess
+        # (fetch hangs cost their timeout, and each op's result is
+        # flushed progressively — a late hang keeps the early ops)
+        prog_path = f"/tmp/qe_ops_prog_{os.getpid()}.txt"
+        rc_b, pre_b = _precompile(
+            "ops:ALL", min(max(remaining() - 300.0, 60.0), 1200.0),
+            progress_path=prog_path)
+        warmed = _read_progress(prog_path)
+        try:
+            os.unlink(prog_path)
+        except OSError:
+            pass
+        REPORT["compile_s"]["ops_all_precompile"] = (
+            round(pre_b, 1) if rc_b == 0
+            else f"rc={rc_b}/{pre_b:.0f}s/{len(warmed)}warm")
+        rc_o, s_o, res_o = _run_stage(
+            "measure:ops", max(min(remaining() - 240.0, 1500.0), 90.0),
+            {"QE_WARMED_OPS": ",".join(sorted(warmed))})
+        if rc_o != 0:
+            res_o["_stage"] = {"rc": rc_o, "s": round(s_o, 1)}
+        REPORT["per_op"] = res_o
         REPORT["compile_s"]["per_op_total_s"] = round(time.time() - t0, 1)
         emit()
 
-    if os.environ.get("QE_BENCH_TPCH", "1") != "0":
+    if os.environ.get("QE_BENCH_TPCH", "1") != "0" and remaining() > 60:
+        t0 = time.time()
+        prog_path = f"/tmp/qe_tpch_prog_{os.getpid()}.txt"
+        rc_b, pre_b = _precompile(
+            "tpch:ALL", min(max(remaining() - 120.0, 60.0), 1500.0),
+            progress_path=prog_path)
+        warmed = _read_progress(prog_path)
         try:
-            REPORT["tpch_ms"] = _tpch_bench()
-        except Exception as e:  # noqa: BLE001
-            REPORT["tpch_ms"] = {"error": repr(e)[:200]}
-            print(f"tpch: MEASUREMENT FAILED ({e!r})", file=sys.stderr)
+            os.unlink(prog_path)
+        except OSError:
+            pass
+        REPORT["compile_s"]["tpch_all_precompile"] = (
+            round(pre_b, 1) if rc_b == 0
+            else f"rc={rc_b}/{pre_b:.0f}s/{len(warmed)}warm")
+        rc_t, s_t, res_t = _run_stage(
+            "measure:tpch", max(remaining() - 40.0, 60.0),
+            {"QE_WARMED_TPCH": ",".join(sorted(warmed))})
+        if rc_t != 0:
+            res_t["_stage"] = {"rc": rc_t, "s": round(s_t, 1)}
+        REPORT["tpch_ms"] = res_t
+        REPORT["compile_s"]["tpch_total_s"] = round(time.time() - t0, 1)
         emit()
 
     _baseline_block()
@@ -420,10 +474,11 @@ def _engine_setup(n):
 
 
 def _engine_stage(name, n, iters, timeout_s):
-    """Subprocess-precompile then measure the SQL engine path at n rows.
-    A compile timeout records a skip marker and moves on (never stalls);
-    a successful measurement updates the headline if it is the best so
-    far."""
+    """Subprocess-precompile then subprocess-measure the SQL engine path
+    at n rows. A compile timeout records a skip marker and moves on
+    (never stalls); the measurement subprocess bounds the fetch-hang
+    hazard the same way; a successful measurement updates the headline if
+    it is the best so far."""
     rc, pre_s = _precompile(f"{name}:{n}", timeout_s)
     REPORT["compile_s"][f"{name}_precompile"] = (
         round(pre_s, 1) if rc == 0 else f"timeout>{timeout_s:.0f}s"
@@ -434,12 +489,16 @@ def _engine_stage(name, n, iters, timeout_s):
         print(f"{name}: precompile rc={rc} after {pre_s:.0f}s — skipped",
               file=sys.stderr)
         return
-    try:
-        engine = _engine_bench(n, iters)
+    rc_m, s_m, engine = _run_stage(
+        f"measure:engine:{n}",
+        min(max(remaining() - 120.0, 60.0), 420.0),
+    )
+    if not engine:
+        engine = {"stage_rc": rc_m, "s": round(s_m, 1)}
+        print(f"{name}: measure stage rc={rc_m} after {s_m:.0f}s — no "
+              "number", file=sys.stderr)
+    if "compile_s" in engine:
         REPORT["compile_s"][name] = engine.pop("compile_s")
-    except Exception as e:  # noqa: BLE001
-        engine = {"error": repr(e)[:200]}
-        print(f"{name}: MEASUREMENT FAILED ({e!r})", file=sys.stderr)
     REPORT[name] = engine
     if isinstance(engine, dict) and engine.get("rows_per_sec"):
         _set_headline(f"{name}_sql_filter_join_agg_sort",
@@ -495,45 +554,50 @@ def _quick_fn():
     return _one_fn(_quick_op)
 
 
+def _quick_measure(iters):
+    """Compile (cache-warm or trivially cold) + measure the quick filter
+    program. Runs inside a measure:quick stage subprocess."""
+    f = _quick_fn()
+    a = _quick_args()
+    float(np.asarray(f(*a)))  # warm
+    ts = []
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        float(np.asarray(f(*a)))
+        ts.append(time.perf_counter() - t0)
+    rps = float(int(a[-1])) / min(ts)
+    return {
+        "rows_per_sec": round(rps, 1), "rows": int(a[-1]),
+        "ms": round(min(ts) * 1e3, 2),
+    }
+
+
 def _quick_stage(iters):
     """The per-op filter program measured FIRST as the insurance number:
     one filter-count at QE_BENCH_ROWS, in the first ~2 min of the run, so
-    the driver record is never value=0.0. Goes through the subprocess
-    guard — round 3 saw even the compile SERVICE wedge, and an in-process
-    compile cannot be preempted."""
-    rc, pre_s = _precompile("quick_filter", min(max(remaining() - 700.0,
-                                                    60.0), 150.0))
-    REPORT["compile_s"]["quick_filter_precompile"] = (
-        round(pre_s, 1) if rc == 0 else f"rc={rc}"
+    the driver record is never value=0.0. The WHOLE stage (compile AND
+    measure) runs in one bounded subprocess: the filter program compiles
+    in seconds even cold, and the fetch-hang hazard (13-19 min tunnel
+    stalls observed on warm programs) is bounded the same way."""
+    rc, s, res = _run_stage("measure:quick",
+                            min(max(remaining() - 700.0, 60.0), 240.0))
+    REPORT["compile_s"]["quick_stage"] = (
+        round(s, 1) if rc == 0 else f"rc={rc}/{s:.0f}s"
     )
-    if rc != 0:
-        REPORT["quick_filter"] = {"skipped_compile_timeout": round(pre_s, 1)}
-        return
-    try:
-        f = _quick_fn()
-        a = _quick_args()
-        float(np.asarray(f(*a)))  # warm
-        ts = []
-        for _ in range(max(iters, 3)):
-            t0 = time.perf_counter()
-            float(np.asarray(f(*a)))
-            ts.append(time.perf_counter() - t0)
-        rps = float(int(a[-1])) / min(ts)
-        REPORT["quick_filter"] = {
-            "rows_per_sec": round(rps, 1), "rows": int(a[-1]),
-            "ms": round(min(ts) * 1e3, 2),
-        }
-        if REPORT["value"] == 0.0:
-            REPORT["metric"] = "quick_filter_rows_per_sec"
-            REPORT["value"] = round(rps, 1)
-            REPORT["vs_baseline"] = round(rps / REFERENCE_JOIN_ROWS_PER_SEC,
-                                          2)
-        REPORT.pop("in_progress", None)
-        print(f"quick_filter: {rps:,.0f} rows/s ({min(ts)*1e3:.1f} ms)",
+    if not res or not res.get("rows_per_sec"):
+        REPORT["quick_filter"] = res or {"stage_rc": rc, "s": round(s, 1)}
+        print(f"quick_filter: stage rc={rc} after {s:.0f}s — no number",
               file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        REPORT["quick_filter"] = {"error": repr(e)[:200]}
-        print(f"quick_filter: MEASUREMENT FAILED ({e!r})", file=sys.stderr)
+        return
+    REPORT["quick_filter"] = res
+    rps = res["rows_per_sec"]
+    if REPORT["value"] == 0.0:
+        REPORT["metric"] = "quick_filter_rows_per_sec"
+        REPORT["value"] = rps
+        REPORT["vs_baseline"] = round(rps / REFERENCE_JOIN_ROWS_PER_SEC, 2)
+    REPORT.pop("in_progress", None)
+    print(f"quick_filter: {rps:,.0f} rows/s ({res['ms']:.1f} ms)",
+          file=sys.stderr)
 
 
 def _tpch_bench():
@@ -553,22 +617,45 @@ def _tpch_bench():
     s, _tables = tpch_mini.build(n_li)
     out = {"lineitem_rows": n_li, "build_s": round(time.time() - t0, 1)}
     reps = max(1, int(os.environ.get("QE_BENCH_TPCH_ITERS", "2")))
+    # Which queries are already warm in the persistent cache? Inside a
+    # measure:tpch stage subprocess the parent hands us the set it just
+    # batch-precompiled (QE_WARMED_TPCH: ONE subprocess warms all 22 —
+    # one startup + one table build instead of 22, each of which costs
+    # ~30-60s even fully warm); standalone callers batch-precompile here.
+    env_w = os.environ.get("QE_WARMED_TPCH")
+    if env_w is not None:
+        warmed = set(filter(None, env_w.split(",")))
+    else:
+        prog_path = f"/tmp/qe_tpch_progress_{os.getpid()}.txt"
+        batch_timeout = min(max(remaining() - 90.0, 60.0), 1500.0)
+        rc_b, pre_b = _precompile("tpch:ALL", batch_timeout,
+                                  progress_path=prog_path)
+        warmed = _read_progress(prog_path)
+        try:
+            os.unlink(prog_path)
+        except OSError:
+            pass
+        out["precompile"] = {"s": round(pre_b, 1), "rc": rc_b,
+                             "warmed": len(warmed)}
+        print(f"tpch:ALL precompile: rc={rc_b} {pre_b:.0f}s, "
+              f"{len(warmed)} queries warm", file=sys.stderr)
     for name, q in tpch_mini.QUERIES.items():
         if remaining() < 40:
             out[name] = "skipped_budget"
             continue
-        # per-query subprocess precompile (hard timeout): a cold compile
-        # of ONE query can no longer eat the remaining budget — it marks
-        # a skip and the other queries still land on the record
-        timeout = min(max(remaining() - 30.0, 30.0),
-                      float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT",
-                                           "600")))
-        rc, pre_s = _precompile(f"tpch:{name}", timeout)
-        if rc != 0:
-            out[name] = f"skipped_compile_timeout_{pre_s:.0f}s"
-            print(f"tpch {name}: precompile rc={rc} after {pre_s:.0f}s — "
-                  "skipped", file=sys.stderr)
-            continue
+        if f"tpch:{name}" not in warmed:
+            # cold query: per-query subprocess precompile (hard timeout) —
+            # a cold compile of ONE query can no longer eat the remaining
+            # budget; it marks a skip and the other queries still land
+            timeout = min(max(remaining() - 30.0, 30.0),
+                          float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT",
+                                               "600")))
+            rc, pre_s = _precompile(f"tpch:{name}", timeout)
+            if rc != 0:
+                out[name] = f"skipped_compile_timeout_{pre_s:.0f}s"
+                print(f"tpch {name}: precompile rc={rc} after {pre_s:.0f}s "
+                      "— skipped", file=sys.stderr)
+                continue
         try:
             s.sql(q)  # warm (persistent cache hit)
             ts = []
@@ -581,6 +668,7 @@ def _tpch_bench():
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": repr(e)[:120]}
             print(f"tpch {name}: FAILED ({e!r})", file=sys.stderr)
+        _stage_flush(out)  # progressive: a late hang keeps early queries
     q_ms = [v for k, v in out.items()
             if k.startswith("Q") and isinstance(v, (int, float))]
     out["total_warm_ms"] = round(sum(q_ms), 1) if q_ms else None
@@ -647,6 +735,32 @@ def _per_op(cap, bcap, args, iters):
     results = {}
     k_amort = int(os.environ.get("QE_BENCH_AMORT_ITERS", "8"))
 
+    # Which per-op programs are already warm in the persistent cache?
+    # Inside a measure:ops stage subprocess the parent hands us the set it
+    # just batch-precompiled (QE_WARMED_OPS); standalone callers batch-
+    # precompile here. Warm ops skip their per-op precompile subprocess;
+    # only the cold remainder pays one.
+    env_w = os.environ.get("QE_WARMED_OPS")
+    if env_w is not None:
+        warmed = set(filter(None, env_w.split(",")))
+    else:
+        warmed = set()
+        if remaining() > 90:
+            prog_path = f"/tmp/qe_ops_progress_{os.getpid()}.txt"
+            batch_timeout = min(max(remaining() - 90.0, 60.0), 1200.0)
+            rc_b, pre_b = _precompile("ops:ALL", batch_timeout,
+                                      progress_path=prog_path)
+            warmed = _read_progress(prog_path)
+            try:
+                os.unlink(prog_path)
+            except OSError:
+                pass
+            results["_ops_all_precompile"] = {
+                "s": round(pre_b, 1), "rc": rc_b, "warmed": len(warmed),
+            }
+            print(f"ops:ALL precompile: rc={rc_b} {pre_b:.0f}s, "
+                  f"{len(warmed)} programs warm", file=sys.stderr)
+
     def timed(name, bytes_per_row, sol_terms, op, a, rows=None, note=None):
         """op(salt, *a) -> output pytree; salt is an int64 scalar in {0,1}
         that the op must fold into at least one input plane.
@@ -663,18 +777,19 @@ def _per_op(cap, bcap, args, iters):
             print(f"{name}: skipped (budget, {remaining():.0f}s left)",
                   file=sys.stderr)
             return
-        timeout = min(
-            max(remaining() - 40.0, 30.0),
-            float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
-        )
-        rc, pre_s = _precompile(name, timeout)
-        if rc != 0:
-            results[name] = {
-                "skipped_compile_timeout": round(pre_s, 1), "rc": rc,
-            }
-            print(f"{name}: program compile exceeded {timeout:.0f}s "
-                  f"(rc={rc}) — skipped", file=sys.stderr)
-            return
+        if name not in warmed:
+            timeout = min(
+                max(remaining() - 40.0, 30.0),
+                float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
+            )
+            rc, pre_s = _precompile(name, timeout)
+            if rc != 0:
+                results[name] = {
+                    "skipped_compile_timeout": round(pre_s, 1), "rc": rc,
+                }
+                print(f"{name}: program compile exceeded {timeout:.0f}s "
+                      f"(rc={rc}) — skipped", file=sys.stderr)
+                return
         try:
             _timed(name, bytes_per_row, sol_terms, op, *a, rows=rows,
                    note=note)
@@ -798,6 +913,7 @@ def _per_op(cap, bcap, args, iters):
         if skip_mxu and d["name"] == "hash_aggregate_mxu_pallas":
             continue
         timed(**d)
+        _stage_flush(results)  # progressive: a later hang keeps early ops
     return results
 
 
@@ -949,16 +1065,26 @@ def _one_fn(op):
     return jax.jit(lambda *a: _digest(op(jnp.int64(0), *a)))
 
 
-def _precompile(name, timeout_s):
-    """Compile `name`'s program ("fused" or a per-op name) in a SUBPROCESS
-    with a hard timeout, populating the persistent compilation cache so
-    the caller's own compile is instant. Returns (rc, seconds); rc None =
-    timeout. An in-process XLA compile cannot be interrupted — this is the
-    only way a wall-clock budget can actually bound one."""
+def _precompile(name, timeout_s, progress_path=None):
+    """Compile `name`'s program ("fused", a per-op name, or a batched
+    "ops:ALL"/"tpch:ALL" target) in a SUBPROCESS with a hard timeout,
+    populating the persistent compilation cache so the caller's own
+    compile is instant. Returns (rc, seconds); rc None = timeout. An
+    in-process XLA compile cannot be interrupted — this is the only way a
+    wall-clock budget can actually bound one.
+
+    progress_path: for batched targets, the subprocess appends each
+    completed sub-target's name to this file as it finishes, so a timeout
+    still tells the caller exactly which programs ARE warm (the cache is
+    per-program, so partial progress is real progress)."""
     import subprocess
 
     env = dict(os.environ)
     env["QE_BENCH_PRECOMPILE"] = name
+    env.pop("QE_PRECOMPILE_PROGRESS", None)
+    env.pop("QE_STAGE_RESULTS", None)  # grandchild must not clobber ours
+    if progress_path:
+        env["QE_PRECOMPILE_PROGRESS"] = progress_path
     t0 = time.time()
     try:
         rc = subprocess.run(
@@ -971,6 +1097,79 @@ def _precompile(name, timeout_s):
     return rc, time.time() - t0
 
 
+def _progress_mark(name):
+    """Record a completed sub-target in the batched-precompile progress
+    file (see _precompile). No-op outside batched precompile runs."""
+    p = os.environ.get("QE_PRECOMPILE_PROGRESS")
+    if p:
+        with open(p, "a") as fh:
+            fh.write(name + "\n")
+
+
+def _read_progress(path):
+    try:
+        with open(path) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        return set()
+
+
+def _stage_flush(obj):
+    """Atomically write a measurement stage's progressive results to the
+    results file the parent reads (see _run_stage). No-op outside stage
+    subprocesses."""
+    path = os.environ.get("QE_STAGE_RESULTS")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def _run_stage(target, timeout_s, extra_env=None):
+    """Run a MEASUREMENT stage (target "measure:...") in a subprocess with
+    a hard wall-clock timeout, reading progressive results from the stage
+    results file. Compiles are bounded by the subprocess-precompile
+    pattern already; this bounds the other in-process hazard — a tunnel
+    result-fetch that hangs (observed 13-19 min stalls on otherwise-warm
+    programs). A hung stage costs its timeout, keeps every sub-result it
+    flushed before the hang, and cannot take the parent's record down.
+    Returns (rc, seconds, results_dict); rc None = timeout."""
+    import subprocess
+
+    path = f"/tmp/qe_stage_{target.replace(':', '_')}_{os.getpid()}.json"
+    env = dict(os.environ)
+    env["QE_BENCH_PRECOMPILE"] = target
+    env["QE_STAGE_RESULTS"] = path
+    # the child's own budget gate counts from ITS start: hand it the slice
+    # we are giving it, minus teardown margin
+    env["QE_BENCH_BUDGET_S"] = str(max(timeout_s - 15.0, 30.0))
+    env.pop("QE_PRECOMPILE_PROGRESS", None)
+    if extra_env:
+        env.update(extra_env)
+    t0 = time.time()
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc = None
+    res = {}
+    try:
+        with open(path) as fh:
+            res = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    return rc, time.time() - t0, res
+
+
 def _precompile_main(name):
     """Subprocess entry: build the named program, compile + run it once
     (filling the persistent compilation cache), exit. Targets:
@@ -980,6 +1179,30 @@ def _precompile_main(name):
         f = _quick_fn()
         a = _quick_args()
         float(np.asarray(f(*a)))
+        return
+    if name.startswith("measure:"):
+        # measurement stage subprocess (see _run_stage): run the stage
+        # and flush its results for the parent. Compiles hit the warm
+        # persistent cache; a fetch hang here dies with THIS process.
+        what = name.split(":", 1)[1]
+        iters = int(os.environ.get("QE_BENCH_ITERS", 3))
+        if what == "quick":
+            _stage_flush(_quick_measure(iters))
+        elif what.startswith("engine:"):
+            _stage_flush(_engine_bench(int(what.split(":", 1)[1]), iters))
+        elif what == "fused":
+            cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
+            _stage_flush(_fused_measure(cap, max(cap >> 4, 128), iters))
+        elif what == "ops":
+            cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
+            bcap = max(cap >> 4, 128)
+            _per_op(cap, bcap, _build_args(cap, bcap), iters)
+            # _per_op flushes progressively after each op
+        elif what == "tpch":
+            _stage_flush(_tpch_bench())
+            # _tpch_bench also flushes progressively per query
+        else:
+            raise SystemExit(f"unknown measure target {what}")
         return
     if name.startswith(("engine:", "engine_small:")):
         n = int(name.split(":", 1)[1])
@@ -993,7 +1216,20 @@ def _precompile_main(name):
 
         n_li = int(os.environ.get("QE_BENCH_TPCH_ROWS", 1 << 21))
         s, _tables = tpch_mini.build(n_li)
-        s.sql(tpch_mini.QUERIES[name.split(":", 1)[1]])
+        which = name.split(":", 1)[1]
+        if which == "ALL":
+            # batched: ONE subprocess (one python+jax startup, one table
+            # build/upload) warms every query, marking each as it lands —
+            # 22 separate spawns cost ~30-60s EACH in startup + build
+            for qname, q in tpch_mini.QUERIES.items():
+                try:
+                    s.sql(q)
+                    _progress_mark(f"tpch:{qname}")
+                except Exception as e:  # noqa: BLE001
+                    print(f"tpch:{qname} precompile failed: {e!r}",
+                          file=sys.stderr)
+            return
+        s.sql(tpch_mini.QUERIES[which])
         return
     cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
     bcap = max(cap >> 4, 128)
@@ -1004,6 +1240,21 @@ def _precompile_main(name):
         )
         out = pipeline(*args)
         float(np.asarray(out[3]))
+        return
+    if name == "ops:ALL":
+        # batched: one subprocess (one startup, one 16.7M-row arg build +
+        # upload) warms every per-op program, marking each as it lands
+        skip_mxu = jax.devices()[0].platform == "cpu"
+        for d in _op_defs(cap, bcap, args):
+            if skip_mxu and d["name"] == "hash_aggregate_mxu_pallas":
+                continue
+            try:
+                one = _one_fn(d["op"])
+                float(np.asarray(one(*d["a"])))
+                _progress_mark(d["name"])
+            except Exception as e:  # noqa: BLE001
+                print(f"{d['name']} precompile failed: {e!r}",
+                      file=sys.stderr)
         return
     for d in _op_defs(cap, bcap, args):
         if d["name"] == name:
