@@ -187,28 +187,51 @@ def build_pipeline(cap: int, bcap: int, use_mxu_agg: bool):
     return jax.jit(pipeline)
 
 
+def _pin(a, lo, hi):
+    """Force a generated plane to attain exact (lo, hi) bounds so any
+    data-derived program constant downstream is identical across runs and
+    processes — stable persistent-compilation-cache keys."""
+    return a.at[0].set(lo).at[1].set(hi)
+
+
 def _build_args(cap, bcap):
-    rng = np.random.default_rng(42)
+    """All planes are GENERATED ON DEVICE (jax.random): the tunnel moves
+    host->device data at ~1-2 MB/s, so the old 400MB numpy upload cost
+    3-6 MINUTES per process (and every stage subprocess pays it); device
+    generation costs milliseconds plus one small compile. The measured
+    programs are unchanged — they take the planes as arguments, and the
+    distributions (uniform ints in the same ranges, ~2% null dept, unique
+    build keys via permutation) match the old numpy draws."""
+    import jax.random as jr
+
     n_rows = cap - 17
     n_build = bcap - 3
     n_keys = bcap  # every probe row matches ~1 build row
+    ks = jr.split(jr.PRNGKey(42), 7)
 
     # TPU deployment profile: 32-bit lanes for keys/filters (native width on
     # v5e), 64-bit only where aggregation parity needs it (salary sums)
+    @jax.jit
+    def gen():
+        return (
+            _pin(jr.randint(ks[0], (cap,), 18, 65, jnp.int32), 18, 64),
+            _pin(jr.randint(ks[1], (cap,), 50_000, 150_000, jnp.int64),
+                 50_000, 149_999),
+            _pin(jr.randint(ks[2], (cap,), 0, n_keys, jnp.int32),
+                 0, n_keys - 1),
+            jr.uniform(ks[3], (cap,)) > 0.02,
+            _pin(jr.randint(ks[4], (cap,), 0, 1024, jnp.int32), 0, 1023),
+            jr.permutation(ks[5], jnp.arange(bcap, dtype=jnp.int32)),
+            _pin(jr.randint(ks[6], (bcap,), 0, 1000, jnp.int64), 0, 999),
+            jnp.ones(cap, bool),
+            jnp.ones(bcap, bool),
+        )
+
+    age, salary, dept, dept_v, grp, bdept, bval, ones_c, ones_b = gen()
     return (
-        jnp.asarray(rng.integers(18, 65, cap), jnp.int32),
-        jnp.ones(cap, bool),
-        jnp.asarray(rng.integers(50_000, 150_000, cap), jnp.int64),
-        jnp.ones(cap, bool),
-        jnp.asarray(rng.integers(0, n_keys, cap), jnp.int32),
-        jnp.asarray(rng.random(cap) > 0.02),
-        jnp.asarray(rng.integers(0, 1024, cap), jnp.int32),
-        jnp.asarray(rng.permutation(n_keys)[:bcap], jnp.int32),
-        jnp.ones(bcap, bool),
-        jnp.asarray(rng.integers(0, 1000, bcap), jnp.int64),
-        jnp.ones(bcap, bool),
-        np.int64(n_rows),
-        np.int64(n_build),
+        age, ones_c, salary, ones_c, dept, dept_v, grp,
+        bdept, ones_b, bval, ones_b,
+        np.int64(n_rows), np.int64(n_build),
     )
 
 
@@ -273,25 +296,48 @@ def main():
                                            "600"))))
     emit()
 
-    # 2) hand-fused kernel pipeline. Its single XLA program is the largest
-    #    compile of the run (368-453s cold through the tunnel compile
-    #    service), so compile it in a SUBPROCESS with a hard timeout — the
-    #    persistent compilation cache makes the in-process warmup instant
-    #    afterwards, and a timeout records a skip instead of eating the
-    #    whole budget (round-3 failure mode). The parent builds NO args —
-    #    the 16.7M-row upload happens once, inside the measure subprocess.
-    fused_timeout = min(
-        max(remaining() - 240.0, 60.0),
-        float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
-    )
-    rc, pre_s = _precompile("fused", fused_timeout)
-    REPORT["compile_s"]["fused_precompile"] = (
-        round(pre_s, 1) if rc == 0 else f"timeout>{fused_timeout:.0f}s"
-        if rc is None else f"rc={rc}"
-    )
-    if rc == 0:
-        rc_m, s_m, res = _run_stage(
-            "measure:fused", min(max(remaining() - 120.0, 60.0), 420.0))
+    # 2) per-operator roofline rows. ONE bounded subprocess compiles
+    #    (persistent-cache-warm) and measures every op, flushing each op's
+    #    result progressively; a cold-compile overrun or fetch hang costs
+    #    the stage timeout, keeps the flushed ops, and the retry finishes
+    #    the remainder warm. QE_WARMED_OPS="*" tells the child to compile
+    #    in-process (bounded by ITS timeout) instead of spawning per-op
+    #    precompile grandchildren.
+    if os.environ.get("QE_BENCH_OPS", "1") != "0" and remaining() > 90:
+        t0 = time.time()
+        rc_o, s_o, res_o = _measured_stage(
+            "measure:ops", max(min(remaining() - 300.0, 1200.0), 90.0),
+            {"QE_WARMED_OPS": "*"})
+        if rc_o != 0:
+            res_o["_stage"] = {"rc": rc_o, "s": round(s_o, 1)}
+        REPORT["per_op"] = res_o
+        REPORT["compile_s"]["per_op_total_s"] = round(time.time() - t0, 1)
+        emit()
+
+    # 3) TPC-H per-query ms, same single-subprocess + retry pattern
+    #    (QE_WARMED_TPCH="*": queries compile in-process in the child,
+    #    bounded by its timeout, partial results flushed per query).
+    if os.environ.get("QE_BENCH_TPCH", "1") != "0" and remaining() > 60:
+        t0 = time.time()
+        rc_t, s_t, res_t = _measured_stage(
+            "measure:tpch",
+            max(min(remaining() - 150.0, 1200.0), 60.0),
+            {"QE_WARMED_TPCH": "*"})
+        if rc_t != 0:
+            res_t["_stage"] = {"rc": rc_t, "s": round(s_t, 1)}
+        REPORT["tpch_ms"] = res_t
+        REPORT["compile_s"]["tpch_total_s"] = round(time.time() - t0, 1)
+        emit()
+    _baseline_block()
+    emit()
+
+    # 4) hand-fused kernel pipeline, LAST: the engine number has been the
+    #    headline since round 2, so under a tight driver clock the fused
+    #    re-measurement is the right stage to lose. Single bounded
+    #    subprocess + retry like the others.
+    if remaining() > 60:
+        rc_m, s_m, res = _measured_stage(
+            "measure:fused", min(max(remaining() - 30.0, 60.0), 700.0))
         if res.get("rows_per_sec"):
             rows_per_sec = res["rows_per_sec"]
             REPORT["compile_s"]["fused_pipeline"] = res.get("warm_compile_s")
@@ -308,67 +354,13 @@ def main():
             _set_headline("fused_filter_agg_join_sort_pipeline",
                           rows_per_sec)
             print(f"fused pipeline: {rows_per_sec:,.0f} rows/s "
-                  f"(warm compile {res.get('warm_compile_s')}s, "
-                  f"subprocess precompile {pre_s:.0f}s)", file=sys.stderr)
+                  f"(warm compile {res.get('warm_compile_s')}s)",
+                  file=sys.stderr)
         else:
             REPORT["fused_pipeline_rows_per_sec"] = (
                 res or {"stage_rc": rc_m, "s": round(s_m, 1)})
             print(f"fused pipeline: measure stage rc={rc_m} after "
                   f"{s_m:.0f}s — no number", file=sys.stderr)
-    else:
-        REPORT["fused_pipeline_rows_per_sec"] = "skipped_compile_timeout"
-        print(f"fused pipeline: precompile rc={rc} after {pre_s:.0f}s — "
-              "skipped", file=sys.stderr)
-    emit()
-
-    if os.environ.get("QE_BENCH_OPS", "1") != "0" and remaining() > 90:
-        t0 = time.time()
-        # batch-precompile every per-op program in ONE subprocess, then
-        # run the whole measurement stage in ANOTHER bounded subprocess
-        # (fetch hangs cost their timeout, and each op's result is
-        # flushed progressively — a late hang keeps the early ops)
-        prog_path = f"/tmp/qe_ops_prog_{os.getpid()}.txt"
-        rc_b, pre_b = _precompile(
-            "ops:ALL", min(max(remaining() - 300.0, 60.0), 1200.0),
-            progress_path=prog_path)
-        warmed = _read_progress(prog_path)
-        try:
-            os.unlink(prog_path)
-        except OSError:
-            pass
-        REPORT["compile_s"]["ops_all_precompile"] = (
-            round(pre_b, 1) if rc_b == 0
-            else f"rc={rc_b}/{pre_b:.0f}s/{len(warmed)}warm")
-        rc_o, s_o, res_o = _run_stage(
-            "measure:ops", max(min(remaining() - 240.0, 1500.0), 90.0),
-            {"QE_WARMED_OPS": ",".join(sorted(warmed))})
-        if rc_o != 0:
-            res_o["_stage"] = {"rc": rc_o, "s": round(s_o, 1)}
-        REPORT["per_op"] = res_o
-        REPORT["compile_s"]["per_op_total_s"] = round(time.time() - t0, 1)
-        emit()
-
-    if os.environ.get("QE_BENCH_TPCH", "1") != "0" and remaining() > 60:
-        t0 = time.time()
-        prog_path = f"/tmp/qe_tpch_prog_{os.getpid()}.txt"
-        rc_b, pre_b = _precompile(
-            "tpch:ALL", min(max(remaining() - 120.0, 60.0), 1500.0),
-            progress_path=prog_path)
-        warmed = _read_progress(prog_path)
-        try:
-            os.unlink(prog_path)
-        except OSError:
-            pass
-        REPORT["compile_s"]["tpch_all_precompile"] = (
-            round(pre_b, 1) if rc_b == 0
-            else f"rc={rc_b}/{pre_b:.0f}s/{len(warmed)}warm")
-        rc_t, s_t, res_t = _run_stage(
-            "measure:tpch", max(remaining() - 40.0, 60.0),
-            {"QE_WARMED_TPCH": ",".join(sorted(warmed))})
-        if rc_t != 0:
-            res_t["_stage"] = {"rc": rc_t, "s": round(s_t, 1)}
-        REPORT["tpch_ms"] = res_t
-        REPORT["compile_s"]["tpch_total_s"] = round(time.time() - t0, 1)
         emit()
 
     _baseline_block()
@@ -446,23 +438,49 @@ def _engine_rows() -> int:
 def _engine_setup(n):
     """Deterministic session + query for the engine stage — shared by the
     subprocess precompile and the in-process measurement so the persistent
-    compilation cache sees the identical programs."""
+    compilation cache sees the identical programs.
+
+    The fact table is DEVICE-GENERATED and registered as a device-backed
+    ColumnBatch (Column.data may be a jax.Array; pipeline.py:201 no-ops,
+    ensure_bounds reduces on device): the old numpy ingest shipped ~200MB
+    through the ~1-2MB/s tunnel per process. Bounds are pinned (_pin) so
+    the data-derived program constants — table-stat bounds drive kernel
+    selection and static emit capacities — are identical across runs."""
     from query_engine_tpu.core.schema import Field, Schema
     from query_engine_tpu.core.types import DataType
-    from query_engine_tpu.columnar.batch import ColumnBatch
+    from query_engine_tpu.columnar.batch import Column, ColumnBatch, \
+        padded_capacity
     from query_engine_tpu.engine.session import Session
+    import jax.random as jr
 
     nd = 1024
+    cap = padded_capacity(n)
+    ks = jr.split(jr.PRNGKey(7), 3)
+
+    @jax.jit
+    def gen():
+        return (
+            _pin(jr.randint(ks[0], (cap,), 18, 65, jnp.int64), 18, 64),
+            _pin(jr.randint(ks[1], (cap,), 50_000, 150_000, jnp.int64),
+                 50_000, 149_999),
+            _pin(jr.randint(ks[2], (cap,), 0, nd, jnp.int64), 0, nd - 1),
+            jnp.ones(cap, bool),
+        )
+
+    age, salary, dept, valid = gen()
+    i64 = DataType.int64()
+    fact = ColumnBatch(
+        Schema([Field("age", i64), Field("salary", i64),
+                Field("dept", i64)]),
+        [Column(age, valid, i64), Column(salary, valid, i64),
+         Column(dept, valid, i64)],
+        n,
+    )
     rng = np.random.default_rng(7)
-    fact = ColumnBatch.from_pydict({
-        "age": rng.integers(18, 65, n),
-        "salary": rng.integers(50_000, 150_000, n),
-        "dept": rng.integers(0, nd, n),
-    }, Schema([Field("age", DataType.int64()),
-               Field("salary", DataType.int64()),
-               Field("dept", DataType.int64())]))
+    bonus = rng.integers(0, 1000, nd)
+    bonus[0], bonus[1] = 0, 999  # pin bounds (host-side _pin)
     dim = ColumnBatch.from_pydict({
-        "dept_id": np.arange(nd), "bonus": rng.integers(0, 1000, nd),
+        "dept_id": np.arange(nd), "bonus": bonus,
     })
     s = Session()
     s.register_table("f", fact)
@@ -474,24 +492,15 @@ def _engine_setup(n):
 
 
 def _engine_stage(name, n, iters, timeout_s):
-    """Subprocess-precompile then subprocess-measure the SQL engine path
-    at n rows. A compile timeout records a skip marker and moves on
-    (never stalls); the measurement subprocess bounds the fetch-hang
-    hazard the same way; a successful measurement updates the headline if
-    it is the best so far."""
-    rc, pre_s = _precompile(f"{name}:{n}", timeout_s)
-    REPORT["compile_s"][f"{name}_precompile"] = (
-        round(pre_s, 1) if rc == 0 else f"timeout>{timeout_s:.0f}s"
-        if rc is None else f"rc={rc}"
-    )
-    if rc != 0:
-        REPORT[name] = {"skipped_compile_timeout": round(pre_s, 1)}
-        print(f"{name}: precompile rc={rc} after {pre_s:.0f}s — skipped",
-              file=sys.stderr)
-        return
-    rc_m, s_m, engine = _run_stage(
+    """ONE bounded subprocess compiles (persistent-cache-warm or cold) AND
+    measures the SQL engine path at n rows, with one retry: a cold
+    compile that overruns the timeout still fills the compile cache, so
+    the retry measures warm. Bounds both in-process hazards (uninterruptible
+    XLA compiles — the round-3/4 killer — and tunnel fetch hangs); a
+    successful measurement updates the headline if it is the best so far."""
+    rc_m, s_m, engine = _measured_stage(
         f"measure:engine:{n}",
-        min(max(remaining() - 120.0, 60.0), 420.0),
+        min(max(remaining() - 120.0, 60.0), timeout_s),
     )
     if not engine:
         engine = {"stage_rc": rc_m, "s": round(s_m, 1)}
@@ -542,12 +551,16 @@ def _quick_op(salt, a, av, n):
 
 def _quick_args():
     cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
-    rng = np.random.default_rng(42)  # age = _build_args' first draw
-    return (
-        jnp.asarray(rng.integers(18, 65, cap), jnp.int32),
+    import jax.random as jr
+
+    # device-generated (see _build_args): age-like plane, all-valid
+    k = jr.split(jr.PRNGKey(42), 7)[0]
+    gen = jax.jit(lambda: (
+        _pin(jr.randint(k, (cap,), 18, 65, jnp.int32), 18, 64),
         jnp.ones(cap, bool),
-        np.int64(cap - 17),
-    )
+    ))
+    age, ones = gen()
+    return (age, ones, np.int64(cap - 17))
 
 
 def _quick_fn():
@@ -643,7 +656,7 @@ def _tpch_bench():
         if remaining() < 40:
             out[name] = "skipped_budget"
             continue
-        if f"tpch:{name}" not in warmed:
+        if f"tpch:{name}" not in warmed and "*" not in warmed:
             # cold query: per-query subprocess precompile (hard timeout) —
             # a cold compile of ONE query can no longer eat the remaining
             # budget; it marks a skip and the other queries still land
@@ -777,7 +790,7 @@ def _per_op(cap, bcap, args, iters):
             print(f"{name}: skipped (budget, {remaining():.0f}s left)",
                   file=sys.stderr)
             return
-        if name not in warmed:
+        if name not in warmed and "*" not in warmed:
             timeout = min(
                 max(remaining() - 40.0, 30.0),
                 float(os.environ.get("QE_BENCH_COMPILE_TIMEOUT", "600")),
@@ -1112,6 +1125,34 @@ def _read_progress(path):
             return {ln.strip() for ln in fh if ln.strip()}
     except OSError:
         return set()
+
+
+def _is_skip(v):
+    if isinstance(v, str):
+        return v.startswith("skipped")
+    if isinstance(v, dict):
+        return any(k.startswith("skipped") or k in ("error", "stage_rc")
+                   for k in v)
+    return False
+
+
+def _measured_stage(target, timeout_s, extra_env=None):
+    """_run_stage with ONE retry: a first attempt that dies (timeout,
+    fetch hang, cold-compile overrun) still fills the persistent compile
+    cache and flushes partial results; the retry finishes the remainder
+    warm. Results merge with real measurements preferred over skip/error
+    markers."""
+    rc, s, res = _run_stage(target, timeout_s, extra_env)
+    if rc != 0 and remaining() > 150:
+        rc2, s2, res2 = _run_stage(
+            target, max(min(remaining() - 60.0, timeout_s), 90.0),
+            extra_env)
+        merged = dict(res)
+        for k, v in res2.items():
+            if k not in merged or _is_skip(merged[k]) or not _is_skip(v):
+                merged[k] = v
+        res, s, rc = merged, s + s2, rc2
+    return rc, s, res
 
 
 def _stage_flush(obj):
