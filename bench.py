@@ -207,12 +207,16 @@ def _build_args(cap, bcap):
     n_rows = cap - 17
     n_build = bcap - 3
     n_keys = bcap  # every probe row matches ~1 build row
-    ks = jr.split(jr.PRNGKey(42), 7)
 
     # TPU deployment profile: 32-bit lanes for keys/filters (native width on
-    # v5e), 64-bit only where aggregation parity needs it (salary sums)
+    # v5e), 64-bit only where aggregation parity needs it (salary sums).
+    # The PRNG keys are ARGUMENTS, not captured constants: a nullary jit
+    # would be constant-folded by XLA at compile time — the 16.7M-row
+    # generation becomes literal constants baked into the executable,
+    # which the compile service then evaluates and ships back through the
+    # ~1-2MB/s tunnel (observed: a 26-minute "compile").
     @jax.jit
-    def gen():
+    def gen(ks):
         return (
             _pin(jr.randint(ks[0], (cap,), 18, 65, jnp.int32), 18, 64),
             _pin(jr.randint(ks[1], (cap,), 50_000, 150_000, jnp.int64),
@@ -227,7 +231,8 @@ def _build_args(cap, bcap):
             jnp.ones(bcap, bool),
         )
 
-    age, salary, dept, dept_v, grp, bdept, bval, ones_c, ones_b = gen()
+    age, salary, dept, dept_v, grp, bdept, bval, ones_c, ones_b = gen(
+        jr.split(jr.PRNGKey(42), 7))
     return (
         age, ones_c, salary, ones_c, dept, dept_v, grp,
         bdept, ones_b, bval, ones_b,
@@ -455,10 +460,10 @@ def _engine_setup(n):
 
     nd = 1024
     cap = padded_capacity(n)
-    ks = jr.split(jr.PRNGKey(7), 3)
 
+    # keys as ARGUMENTS (see _build_args: nullary jit = constant folding)
     @jax.jit
-    def gen():
+    def gen(ks):
         return (
             _pin(jr.randint(ks[0], (cap,), 18, 65, jnp.int64), 18, 64),
             _pin(jr.randint(ks[1], (cap,), 50_000, 150_000, jnp.int64),
@@ -467,7 +472,7 @@ def _engine_setup(n):
             jnp.ones(cap, bool),
         )
 
-    age, salary, dept, valid = gen()
+    age, salary, dept, valid = gen(jr.split(jr.PRNGKey(7), 3))
     i64 = DataType.int64()
     fact = ColumnBatch(
         Schema([Field("age", i64), Field("salary", i64),
@@ -553,13 +558,13 @@ def _quick_args():
     cap = int(os.environ.get("QE_BENCH_ROWS", 1 << 24))
     import jax.random as jr
 
-    # device-generated (see _build_args): age-like plane, all-valid
-    k = jr.split(jr.PRNGKey(42), 7)[0]
-    gen = jax.jit(lambda: (
+    # device-generated (see _build_args; key as ARGUMENT so XLA cannot
+    # constant-fold the generation): age-like plane, all-valid
+    gen = jax.jit(lambda k: (
         _pin(jr.randint(k, (cap,), 18, 65, jnp.int32), 18, 64),
         jnp.ones(cap, bool),
     ))
-    age, ones = gen()
+    age, ones = gen(jr.split(jr.PRNGKey(42), 7)[0])
     return (age, ones, np.int64(cap - 17))
 
 
