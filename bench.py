@@ -7,7 +7,7 @@ on whatever device JAX picks (the real TPU chip under the driver; CPU when
 JAX_PLATFORMS=cpu).
 
 Reliability contract (round-3 lesson: rc=124 recorded NO number at all):
-  * a global wall-clock budget (QE_BENCH_BUDGET_S, default 900 s) gates
+  * a global wall-clock budget (QE_BENCH_BUDGET_S, default 2400 s) gates
     every optional stage; stages skipped on budget grounds are marked
     "skipped_budget" in the JSON instead of silently missing;
   * the headline JSON line is emitted (and flushed) as soon as the first
@@ -45,7 +45,11 @@ import sys
 import time
 
 T_START = time.time()
-BUDGET_S = float(os.environ.get("QE_BENCH_BUDGET_S", "900"))
+# Default raised from 900s: the record is emitted progressively after
+# every stage, so an external kill at any point keeps everything measured
+# so far — a small internal budget only self-truncates. 2400s covers one
+# tunnel stall (observed 10-45 min) plus the full warm stage walk.
+BUDGET_S = float(os.environ.get("QE_BENCH_BUDGET_S", "2400"))
 
 
 def remaining() -> float:
