@@ -622,6 +622,16 @@ def _quick_stage(iters):
           file=sys.stderr)
 
 
+def _tpch_items(tpch_mini):
+    """TPC-H queries with the heaviest-compiling one (Q18: correlated IN
+    over a grouped-HAVING subquery — its cold compile has eaten whole
+    2400s warm legs through the compile service) moved LAST, so a bounded
+    stage lands every other query before risking the wall."""
+    items = list(tpch_mini.QUERIES.items())
+    items.sort(key=lambda kv: kv[0] == "Q18")  # stable: Q18 to the back
+    return items
+
+
 def _tpch_bench():
     """Per-query TPC-H ms at QE_BENCH_TPCH_ROWS lineitem rows through the
     full SQL engine — the query-level perf record VERDICT r3 item 10 asks
@@ -661,7 +671,7 @@ def _tpch_bench():
                              "warmed": len(warmed)}
         print(f"tpch:ALL precompile: rc={rc_b} {pre_b:.0f}s, "
               f"{len(warmed)} queries warm", file=sys.stderr)
-    for name, q in tpch_mini.QUERIES.items():
+    for name, q in _tpch_items(tpch_mini):
         if remaining() < 40:
             out[name] = "skipped_budget"
             continue
@@ -1271,7 +1281,11 @@ def _precompile_main(name):
             # batched: ONE subprocess (one python+jax startup, one table
             # build/upload) warms every query, marking each as it lands —
             # 22 separate spawns cost ~30-60s EACH in startup + build
-            for qname, q in tpch_mini.QUERIES.items():
+            done = _read_progress(
+                os.environ.get("QE_PRECOMPILE_PROGRESS", ""))
+            for qname, q in _tpch_items(tpch_mini):
+                if f"tpch:{qname}" in done:
+                    continue  # warmed by an earlier (killed) sweep leg
                 try:
                     s.sql(q)
                     _progress_mark(f"tpch:{qname}")
@@ -1292,11 +1306,15 @@ def _precompile_main(name):
         float(np.asarray(out[3]))
         return
     if name == "ops:ALL":
-        # batched: one subprocess (one startup, one 16.7M-row arg build +
-        # upload) warms every per-op program, marking each as it lands
+        # batched: one subprocess (one startup, one device-side arg gen)
+        # warms every per-op program, marking each as it lands; entries
+        # already marked by an earlier (killed) sweep leg are skipped
         skip_mxu = jax.devices()[0].platform == "cpu"
+        done = _read_progress(os.environ.get("QE_PRECOMPILE_PROGRESS", ""))
         for d in _op_defs(cap, bcap, args):
             if skip_mxu and d["name"] == "hash_aggregate_mxu_pallas":
+                continue
+            if d["name"] in done:
                 continue
             try:
                 one = _one_fn(d["op"])
